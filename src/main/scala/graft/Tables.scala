@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed-parquet table loaders for the driver fixtures (TESTDATA.md).
+  *
+  * The reference engine's only source is a directory of UTF-8 text files
+  * (`/root/reference/mapreduce/manager/__main__.py:320-327`); we keep that
+  * (see [[graft.pipeline.MapReduce.textDir]]) and add columnar Parquet as
+  * the scale-path source. All reads go through `spark.read.parquet` so
+  * Catalyst's vectorized reader, predicate pushdown and column pruning
+  * apply — verified via `.explain` (PushedFilters / ReadSchema).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** `events.parquet` stores `ts` as Parquet TIMESTAMP(NANOS), which
+    * Spark's reader rejects outright. Read it as raw nanos (legacy conf)
+    * and convert to a microsecond timestamp — same truncation DuckDB
+    * applies, so oracle comparisons agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros((org.apache.spark.sql.functions.col("ts") / 1000L)
+          .cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

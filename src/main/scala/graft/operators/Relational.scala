@@ -1,0 +1,380 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Q, Tables}
+
+/** Relational operator inventory (SURVEY.md §2.C): filters/projections
+  * with parquet pushdown, hash/broadcast/semi/anti/range/as-of joins,
+  * window functions, rollup/cube/grouping-sets, set ops, distinct,
+  * global sort + limit, scalar string/date/math/JSON functions.
+  *
+  * The reference implements none of these (single-input map/reduce only —
+  * see SURVEY §2.C); they are the north-star extension surface expressed
+  * Spark-first so Catalyst plans them (pushdown, join strategy, AQE).
+  *
+  * Determinism contract with the DuckDB oracle: every SUM/AVG over a
+  * money-like double goes through `DECIMAL` so the result is exact and
+  * independent of partial-aggregation order — `sum(double)` would differ
+  * in the last ulp between engines (and between partitionings), the
+  * decimal sum is bit-reproducible. Timestamps are emitted as
+  * `yyyy-MM-dd` strings; derived integers as BIGINT in both engines.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a 2-decimal money double. */
+  private def sumMoney(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Exact average: decimal sum divided by count (both engines promote
+    * to double identically). */
+  private def avgMoney(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(c)
+
+  private def day(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- scan + filter + multi-aggregate (TPC-H Q1 shape) ------------
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumMoney(col("l_quantity")).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          avgMoney(col("l_quantity")).as("avg_qty"),
+          avgMoney(col("l_extendedprice")).as("avg_price"),
+          avgMoney(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ----- selective filter, fully pushed to parquet (TPC-H Q6 shape) --
+    Q("q02_selective_filter",
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          sumMoney(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // ----- 3-way shuffle join + agg + global top-k (TPC-H Q3 shape) ----
+    Q("q03_join3_topk",
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate  > TIMESTAMP '1996-06-30'
+        |GROUP BY l_orderkey, odate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), day(col("o_orderdate")).as("odate"))
+        .agg(sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ----- broadcast dim joins (geo rollup over star schema) -----------
+    Q("q04_broadcast_geo",
+      """SELECT r_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal) AS avg_bal
+        |FROM region
+        |JOIN nation   ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY r_name""".stripMargin) { (s, d) =>
+      broadcast(Tables.region(s, d))
+        .join(broadcast(Tables.nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), avgMoney(col("c_acctbal")).as("avg_bal"))
+    },
+
+    // ----- semi join (EXISTS) ------------------------------------------
+    Q("q05_semi_join",
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 48)""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") > 48)
+        .select(col("l_orderkey"))
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), day(col("o_orderdate")).as("odate"), col("o_totalprice"))
+    },
+
+    // ----- anti join (NOT EXISTS) ---------------------------------------
+    Q("q06_anti_join",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // ----- window: top-3 parts per brand by revenue ---------------------
+    Q("q07_window_topk",
+      """WITH pr AS (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, revenue FROM (
+        |  SELECT pr.*, row_number() OVER (
+        |    PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rn
+        |  FROM pr) t
+        |WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val pr = Tables.part(s, d)
+        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("revenue").desc, col("p_partkey"))
+      pr.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("revenue"))
+    },
+
+    // ----- window: running sum + lag per customer ------------------------
+    Q("q08_window_running",
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+        |  coalesce(lag(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0) AS prev
+        |FROM orders""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("running",
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("prev", coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)))
+        .select(col("o_custkey"), col("o_orderkey"),
+          day(col("o_orderdate")).as("odate"), col("o_totalprice"),
+          col("running"), col("prev"))
+    },
+
+    // ----- rollup ---------------------------------------------------------
+    Q("q09_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+    },
+
+    // ----- cube -----------------------------------------------------------
+    Q("q10_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("sum_price"))
+    },
+
+    // ----- grouping sets ----------------------------------------------------
+    Q("q11_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+
+    // ----- set operations: intersect / except / union --------------------
+    Q("q12_setops",
+      """SELECT 'both' AS op, nkey FROM
+        |  (SELECT c_nationkey AS nkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier) t1
+        |UNION ALL
+        |SELECT 'cust_only' AS op, nkey FROM
+        |  (SELECT c_nationkey AS nkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier) t2""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nkey"))
+      c.intersect(sup).withColumn("op", lit("both"))
+        .unionByName(c.except(sup).withColumn("op", lit("cust_only")))
+        .select(col("op"), col("nkey"))
+    },
+
+    // ----- distinct ---------------------------------------------------------
+    Q("q13_distinct",
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer""") { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+    },
+
+    // ----- global sort + limit ------------------------------------------------
+    Q("q14_sort_limit",
+      """SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS odate
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          day(col("o_orderdate")).as("odate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // ----- scalar string/date/math functions -----------------------------------
+    Q("q15_scalar_funcs",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS oyear,
+        |  upper(substring(o_orderpriority, 1, 3)) AS prio3,
+        |  CASE WHEN o_totalprice < 50000 THEN 'small'
+        |       WHEN o_totalprice < 200000 THEN 'mid'
+        |       ELSE 'big' END AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(sqrt(o_totalprice) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sqrt,
+        |  max(length(o_orderstatus)) AS max_len
+        |FROM orders
+        |GROUP BY oyear, prio3, bucket""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("oyear"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 200000, "mid")
+            .otherwise("big").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sumMoney(sqrt(col("o_totalprice")), 6).as("sum_sqrt"),
+          max(length(col("o_orderstatus"))).as("max_len"))
+    },
+
+    // ----- JSON extraction over the events stream table -------------------------
+    Q("q16_json_extract",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value
+        |FROM events
+        |GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          avgMoney(col("value")).as("avg_value"))
+    },
+
+    // ----- as-of join (events to latest prior order of the same user) -----------
+    // Spark lacks a built-in as-of join; the scalable plan is a single
+    // shuffle: union both sides keyed by (user, time), then a running
+    // last-non-null over the per-key timeline. This avoids any driver-side
+    // state and survives arbitrary key cardinality (cf. reference's absent
+    // join surface, SURVEY §2.C).
+    Q("q17_asof_join",
+      """WITH ou AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, ou.okey
+        |FROM events e ASOF JOIN ou
+        |  ON e.user_id = ou.o_custkey AND e.ts >= ou.o_orderdate""".stripMargin) { (s, d) =>
+      val ou = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("okey"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id").as("k"), col("ts").as("t"),
+          lit(1).as("side"), col("event_id"), lit(null).cast("long").as("okey"))
+      val or = ou.select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(0).as("side"), lit(null).cast("long").as("event_id"), col("okey"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      or.unionByName(ev)
+        .withColumn("asof_okey", last(col("okey"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1 && col("asof_okey").isNotNull)
+        .select(col("event_id"), col("asof_okey").as("okey"))
+    },
+
+    // ----- range join (prices into static buckets) --------------------------------
+    Q("q18_range_join",
+      """SELECT r.lo, r.hi, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |JOIN (VALUES (0, 20000), (20000, 40000), (40000, 60000),
+        |             (60000, 80000), (80000, 100000), (100000, 1000000))
+        |  AS r(lo, hi)
+        |  ON l_extendedprice >= r.lo AND l_extendedprice < r.hi
+        |GROUP BY r.lo, r.hi""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ranges = Seq((0, 20000), (20000, 40000), (40000, 60000),
+        (60000, 80000), (80000, 100000), (100000, 1000000)).toDF("lo", "hi")
+      Tables.lineitem(s, d)
+        .join(broadcast(ranges),
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy(col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // ----- exact count-distinct ------------------------------------------------------
+    Q("q19_count_distinct",
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))
+    },
+
+    // ----- approximate aggregates (sketches differ across engines → rows-only) ------
+    Q.noOracle("q20_approx_sketch") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"))
+    }
+  )
+}
