@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** All engine queries, one per implemented operator (SURVEY.md §2). */
   def all: Seq[Q] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+    operators.TextOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

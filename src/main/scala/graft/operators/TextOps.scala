@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.pipeline.MapReduce
+
+/** Text analysis over the `documents` table — the scaled analog of the
+  * reference's text corpora (FIXTURES.md §B). Word count and grep are
+  * the reference's two queries (SURVEY §2.B); token stats, quality
+  * scoring, language-ID, fingerprinting and n-grams are the
+  * training-data-pipeline extensions, all expressed with codegen'd
+  * `functions._` (no UDFs) so they stay inside whole-stage codegen at
+  * 100 TB.
+  */
+object TextOps {
+
+  private val tokens: Column = split(lower(col("text")), " ", -1)
+
+  private def stopCount(arr: Column, words: Seq[String]): Column =
+    size(filter(arr, t => t.isInCollection(words))).cast("long")
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- the reference's word-count query (B1+B4) over documents -----
+    Q("q21_wordcount",
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |      FROM documents) t
+        |GROUP BY word""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ----- the reference's grep query (B5+B6) over documents ------------
+    Q("q22_grep",
+      """SELECT doc_id, text
+        |FROM documents
+        |WHERE length(trim(text)) > 0
+        |  AND lower(text) LIKE '%fast merge%'""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0 &&
+          lower(col("text")).contains("fast merge"))
+        .select(col("doc_id"), col("text"))
+    },
+
+    // ----- executable-UDF parity: word count via a real shell pipeline ---
+    // Exercises RDD.pipe (reference A3 contract: stdin lines → stdout
+    // lines, arbitrary language — worker/__main__.py:167-186).
+    Q("q23_pipe_wordcount",
+      """SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |      FROM documents) t
+        |GROUP BY key""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val lines = Tables.documents(s, d).select(col("text")).as[String]
+      val mapped = MapReduce.pipeMap(
+        """tr ' ' '\n' | tr '[:upper:]' '[:lower:]' | awk '{print $1"\t1"}'""")(lines)
+      MapReduce.reduceSum(mapped)
+    },
+
+    // ----- token counting (whitespace + BPE-ish regex runs) ---------------
+    Q("q24_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word_runs,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+")).cast("long").as("n_word_runs"),
+        length(col("text")).cast("long").as("n_chars"))
+    },
+
+    // ----- quality scoring (length/punct/stopword ratios) ------------------
+    Q("q25_quality_score",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(lower(text), ' ') AS toks,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS tok_chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks,
+        |    x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS stop_cnt,
+        |  punct_cnt,
+        |  CAST(tok_chars AS DOUBLE) / len(toks) AS mean_tok_len,
+        |  0.5 * (CAST(len(list_filter(toks,
+        |        x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(toks))
+        |    + 0.3 * (CAST(tok_chars AS DOUBLE) / len(toks) / 10.0)
+        |    + 0.2 * (CAST(punct_cnt AS DOUBLE) / len(toks)) AS quality
+        |FROM t""".stripMargin) { (s, d) =>
+      val toks = tokens
+      val nTokens = size(toks).cast("long")
+      val stopCnt = stopCount(toks, Seq("the", "a", "of", "and", "to"))
+      val punctCnt = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
+      val tokChars = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val meanLen = tokChars.cast("double") / nTokens
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        stopCnt.as("stop_cnt"),
+        punctCnt.as("punct_cnt"),
+        meanLen.as("mean_tok_len"),
+        (lit(0.5) * (stopCnt.cast("double") / nTokens)
+          + lit(0.3) * (meanLen / lit(10.0))
+          + lit(0.2) * (punctCnt.cast("double") / nTokens)).as("quality"))
+    },
+
+    // ----- language-ID (stopword n-gram heuristic, deterministic argmax) ---
+    Q("q26_langid",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS BIGINT) AS en_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS BIGINT) AS de_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS BIGINT) AS fr_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','los','y','las'))) AS BIGINT) AS es_cnt
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN en_cnt >= de_cnt AND en_cnt >= fr_cnt AND en_cnt >= es_cnt THEN 'en'
+        |       WHEN de_cnt >= fr_cnt AND de_cnt >= es_cnt THEN 'de'
+        |       WHEN fr_cnt >= es_cnt THEN 'fr'
+        |       ELSE 'es' END AS pred_lang,
+        |  en_cnt, de_cnt, fr_cnt, es_cnt
+        |FROM c""".stripMargin) { (s, d) =>
+      val toks = tokens
+      val en = stopCount(toks, Seq("the", "a", "and", "of"))
+      val de = stopCount(toks, Seq("der", "die", "und", "das"))
+      val fr = stopCount(toks, Seq("le", "la", "et", "les"))
+      val es = stopCount(toks, Seq("el", "los", "y", "las"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          en.as("en_cnt"), de.as("de_cnt"), fr.as("fr_cnt"), es.as("es_cnt"))
+        .select(col("doc_id"), col("lang"),
+          when(col("en_cnt") >= col("de_cnt") && col("en_cnt") >= col("fr_cnt")
+              && col("en_cnt") >= col("es_cnt"), "en")
+            .when(col("de_cnt") >= col("fr_cnt") && col("de_cnt") >= col("es_cnt"), "de")
+            .when(col("fr_cnt") >= col("es_cnt"), "fr")
+            .otherwise("es").as("pred_lang"),
+          col("en_cnt"), col("de_cnt"), col("fr_cnt"), col("es_cnt"))
+    },
+
+    // ----- document fingerprinting (normalized-content hash) ----------------
+    Q("q27_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .cast("binary")).as("fp"))
+    },
+
+    // ----- n-grams: top-20 bigrams by frequency -------------------------------
+    Q("q28_top_bigrams",
+      """SELECT bg, count(*) AS n
+        |FROM (
+        |  SELECT l[i] || ' ' || l[i + 1] AS bg
+        |  FROM (SELECT string_split(lower(text), ' ') AS l FROM documents) t
+        |  CROSS JOIN unnest(range(1, len(l))) AS u(i))
+        |GROUP BY bg
+        |ORDER BY n DESC, bg
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = tokens
+      val bigrams = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      Tables.documents(s, d)
+        .select(explode(bigrams).as("bg"))
+        .groupBy(col("bg"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg"))
+        .limit(20)
+    }
+  )
+}

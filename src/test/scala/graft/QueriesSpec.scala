@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query must execute at sf0.001 and (except the ones
+  * whose predicates can select nothing at this tiny scale) return rows.
+  * The real value-level gate is the DuckDB oracle at sf0.01
+  * (tools/compare.py); this spec catches plan-level regressions fast.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+
+  // queries whose filters may legitimately select zero rows at sf0.001
+  private val mayBeEmpty = Set("q06_anti_join", "q22_grep")
+
+  SparkEntry.all.foreach { q =>
+    test(s"${q.name} runs at sf0.001") {
+      val n = q.fn(spark, Spec.sfDir).count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("entry() smoke (driver contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
