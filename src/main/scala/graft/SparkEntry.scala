@@ -12,7 +12,11 @@ object SparkEntry {
   /** All engine queries, one per implemented operator (SURVEY.md §2). */
   def all: Seq[Q] =
     operators.Relational.queries ++
-    operators.TextOps.queries
+    operators.TextOps.queries ++
+    operators.Dedup.queries ++
+    operators.Similarity.queries ++
+    operators.Multimodal.queries ++
+    operators.Eventing.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -33,10 +33,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, not `/`: double division can round UP by 1 µs on
+    // epoch-nanos magnitudes, diverging from DuckDB's truncation
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros((org.apache.spark.sql.functions.col("ts") / 1000L)
-          .cast("long")))
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

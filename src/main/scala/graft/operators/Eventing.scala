@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.streaming.Streams
+
+/** Event-time operators over the `events` table. The window transform is
+  * shared verbatim with the Structured Streaming path
+  * ([[graft.streaming.Streams.tumblingCounts]]) — one logical plan, batch
+  * or unbounded; the oracle checks it in batch where DuckDB can follow.
+  *
+  * All event-time arithmetic is integer MICROSECONDS (`unix_micros` /
+  * `epoch_us`) — exact in both engines; `epoch()` doubles or
+  * second-truncated casts would drift.
+  */
+object Eventing {
+
+  private val GAP_US: Long = 1800L * 1000000 // 30 min session gap
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- tumbling 5-minute window counts (streaming-shared transform) ----
+    Q("q38_stream_window",
+      """SELECT strftime(make_timestamp(
+        |    CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY wstart, event_type""".stripMargin) { (s, d) =>
+      Streams.tumblingCounts(Tables.events(s, d), "5 minutes")
+    },
+
+    // ----- gap-based sessionization (batch mirror of the stateful op) ------
+    Q("q39_sessionize",
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS new_s,
+        |    event_id
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM y)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  max(t) - min(t) AS dur_us
+        |FROM z
+        |GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("pt", lag(col("t"), 1).over(w))
+        .withColumn("new_s",
+          when(col("pt").isNull || col("t") - col("pt") > GAP_US, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("t")) - min(col("t"))).as("dur_us"))
+    }
+  )
+}

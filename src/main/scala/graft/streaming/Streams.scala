@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is strictly batch
+  * ("streaming" in its README means pipelined I/O — SURVEY §2.C), so
+  * this is north-star extension territory: watermarked tumbling-window
+  * aggregation and custom session state via flatMapGroupsWithState.
+  *
+  * Every transform here is defined on an unbounded `DataFrame` and works
+  * identically on a bounded one — the batch queries in
+  * [[graft.operators.Eventing]] reuse them, which is what makes them
+  * oracle-checkable (DuckDB can't run a stream, but the transform is the
+  * same logical plan either way).
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, n_events: Long,
+      start_ts: Timestamp, end_ts: Timestamp)
+
+  /** Per-user running-session state: O(1), never the raw events. */
+  final case class SessState(nEvents: Long, start: Long, end: Long)
+
+  /** Tumbling-window count/sum per event type. On a stream, pair with
+    * [[withEventWatermark]] so state for closed windows is dropped —
+    * unbounded state is the thing that kills a 100 TB/day stream. */
+  def tumblingCounts(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Read the events table as a file stream (schema must be supplied —
+    * streaming sources don't infer). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Custom stateful operator: gap-based sessionization with
+    * flatMapGroupsWithState. A session closes when the next event of the
+    * same user arrives > `gapSec` later, or when the event-time WATERMARK
+    * passes sessionEnd + gap (event-time timeout — deterministic and
+    * replay-safe, unlike a processing-time timer, and it never triggers
+    * empty busy-loop batches). State per user is O(1) — only the running
+    * session aggregate is kept, never the events.
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(Session(userId, s.nEvents,
+          new Timestamp(s.start), new Timestamp(s.end)))
+      }
+      var cur = state.getOption.orNull
+      val closed = Seq.newBuilder[Session]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case null =>
+            cur = SessState(1, t, t)
+          case s if t - s.end > gapSec * 1000 =>
+            closed += Session(userId, s.nEvents,
+              new Timestamp(s.start), new Timestamp(s.end))
+            cur = SessState(1, t, t)
+          case s =>
+            cur = SessState(s.nEvents + 1, s.start, math.max(s.end, t))
+        }
+      }
+      if (cur != null) {
+        state.update(cur)
+        // must be strictly beyond the current watermark or Spark rejects it
+        state.setTimeoutTimestamp(math.max(cur.end + gapSec * 1000,
+          state.getCurrentWatermarkMs() + 1))
+      }
+      closed.result().iterator
+    }
+
+    events.withWatermark("ts", watermarkDelay).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

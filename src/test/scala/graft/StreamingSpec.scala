@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+
+/** Structured Streaming specs: the shared window transform running as a
+  * real watermarked stream, and the flatMapGroupsWithState sessionizer.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  test("watermarked tumbling-window agg over a real stream") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = Streams.tumblingCounts(
+      Streams.withEventWatermark(input.toDF(), "10 minutes"), "5 minutes")
+    input.addData(
+      Event(1, ts(0, 10), 1, "click", 1.0),
+      Event(2, ts(1, 0), 2, "click", 2.0),
+      Event(3, ts(6, 0), 1, "view", 3.0),
+      Event(4, ts(7, 0), 2, "click", 4.5))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .orderBy("wstart", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 00:05:00", "click", 1L, 4.5),
+      ("2024-01-01 00:05:00", "view", 1L, 3.0)))
+  }
+
+  test("late data beyond the watermark is dropped in append mode") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = Streams.tumblingCounts(
+      Streams.withEventWatermark(input.toDF(), "5 minutes"), "5 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    input.addData(Event(1, ts(0), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window
+    input.addData(Event(2, ts(30), 1, "click", 1.0))
+    q.processAllAvailable()
+    // this event is older than the watermark → must be dropped
+    input.addData(Event(3, ts(1), 1, "click", 99.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts(45), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("late_out")
+      .select("wstart", "n").collect().map(r => (r.getString(0), r.getLong(1)))
+    // window 00:00 was finalized with exactly 1 event (the late one dropped)
+    assert(emitted.contains(("2024-01-01 00:00:00", 1L)))
+    assert(!emitted.contains(("2024-01-01 00:00:00", 2L)))
+  }
+
+  test("stateful sessionization emits gap-separated sessions") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Streams.sessionize(input.toDS(), gapSec = 60,
+      watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // two bursts for user 1 separated by > 60s, one burst for user 2
+    input.addData(
+      Event(1, ts(0, 0), 1, "click", 1.0),
+      Event(2, ts(0, 30), 1, "click", 1.0),
+      Event(3, ts(0, 10), 2, "view", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts(5, 0), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val done = spark.table("sess_out").as[Session].collect()
+    // the first user-1 burst must have closed (gap exceeded): 2 events
+    assert(done.exists(s => s.user_id == 1 && s.n_events == 2 &&
+      s.start_ts == ts(0, 0) && s.end_ts == ts(0, 30)))
+  }
+}
