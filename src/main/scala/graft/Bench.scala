@@ -1,24 +1,60 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line. The JSON is also
+  * written to a file (`SPARK_GRAFT_BENCH_OUT`, default `BENCH_OUT.json`
+  * in the cwd) because sbt wraps stdout in `[info]` prefixes that break
+  * line-oriented JSON parsing downstream.
+  *
+  * Failures are NOT swallowed: each failed query records an `err` string
+  * (and its wall time), failures are counted in the JSON, and the
+  * process exits nonzero so a regression can't hide behind a plausible
+  * total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Session.build(s"local[$cpus]", cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm-up action outside the timed loop: JVM/codegen/parquet-footer
+    // warm-up otherwise lands on whichever query happens to run first
+    // (q06 absorbed ~6 s of it in round 1).
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: $e") }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(e.toString.linesIterator.next().take(200))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val nFailed = results.count(_._3.isDefined)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":${jstr(sfDir)}}"""
+
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(json)
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }

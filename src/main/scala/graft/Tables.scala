@@ -27,12 +27,14 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   /** `events.parquet` stores `ts` as Parquet TIMESTAMP(NANOS), which
-    * Spark's reader rejects outright. Read it as raw nanos (legacy conf)
-    * and convert to a microsecond timestamp — same truncation DuckDB
-    * applies, so oracle comparisons agree.
+    * Spark's reader rejects outright. Sessions built via [[Session.build]]
+    * set `spark.sql.legacy.parquet.nanosAsLong` so it reads as raw nanos;
+    * here we convert to a microsecond timestamp — same truncation DuckDB
+    * applies, so oracle comparisons agree. (The conf lives in session
+    * construction, not here: a loader must not mutate shared session
+    * state under a concurrent reader.)
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // integer `div`, not `/`: double division can round UP by 1 µs on
     // epoch-nanos magnitudes, diverging from DuckDB's truncation
     apply(s, d, "events")

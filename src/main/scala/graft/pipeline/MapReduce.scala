@@ -47,11 +47,13 @@ object MapReduce {
   // ---------------------------------------------------------------- mappers
 
   /** Word-count mapper, `wc_map.sh` semantics (reference B1): split on
-    * single space/tab characters KEEPING empty tokens (that's what
-    * `tr '[ \t]' '\n'` does), lowercase, emit `(token, "1")`. Empty-string
-    * keys are legal and must survive (SURVEY §1.2). */
+    * single space/tab — AND literal square brackets: the reference's
+    * `tr '[ \t]' '\n'` has a 4-character SET1 (`[`, space, tab, `]`), so
+    * brackets are token separators too. Empty tokens are KEPT (each
+    * separator becomes a newline), then lowercase, emit `(token, "1")`.
+    * Empty-string keys are legal and must survive (SURVEY §1.2). */
   val wcMapTr: Mapper = lines =>
-    lines.select(explode(split(lower(col("value")), "[ \t]", -1)).as("key"))
+    lines.select(explode(split(lower(col("value")), "[\\[\\] \t]", -1)).as("key"))
       .select(col("key"), lit("1").as("value"))
 
   /** Word-count mapper, `wc_map.py` semantics (reference B2): Python
@@ -62,10 +64,17 @@ object MapReduce {
       .filter(length(col("key")) > 0)
       .select(col("key"), lit("1").as("value"))
 
-  /** Grep mapper (reference B5, `grep_map.py:12-28`): keep non-blank
-    * lines containing `query` case-insensitively; emit `("1", line)`. */
+  /** Grep mapper (reference B5, `grep_map.py:12-28`): the reference
+    * `strip()`s each line first, drops blanks, then matches the query
+    * case-insensitively and emits `("1", stripped_line)` — so the value
+    * is the TRIMMED line. (The reference's grep_reduce.py additionally
+    * drops matched lines that themselves contain a tab —
+    * `len(line.split("\t")) != 2` — an artifact of its untyped
+    * `key\tvalue` wire format; our reducer sees a typed (key, value) row
+    * so no such line can be malformed: intentional divergence.) */
   def grepMap(query: String): Mapper = lines =>
-    lines.filter(length(trim(col("value"))) > 0 &&
+    lines.select(trim(col("value")).as("value"))
+      .filter(length(col("value")) > 0 &&
         lower(col("value")).contains(query.toLowerCase))
       .select(lit("1").as("key"), col("value"))
 
@@ -140,13 +149,28 @@ object MapReduce {
 
   // ------------------------------------------------------------------- jobs
 
+  /** Directory source with an explicit map-task-count floor, mirroring
+    * the reference job spec's `num_mappers`
+    * (`manager/__main__.py:181-192`, round-robin file split `:330-334`).
+    * Spark splits by bytes rather than whole files — same parallelism
+    * contract, and it still scales when one file is 10 TB. */
+  def textDirM(spark: SparkSession, dir: String,
+               numMappers: Option[Int]): Dataset[String] = {
+    import spark.implicits._
+    numMappers match {
+      case Some(m) => spark.createDataset(spark.sparkContext.textFile(dir, m))
+      case None => textDir(spark, dir)
+    }
+  }
+
   /** Run a job with DataFrame mapper/reducer: the idiomatic scale path.
     * One shuffle (`repartition(R, key)`), per-partition key sort, reduce,
     * `part-%05d` output files — the reference's whole lifecycle
     * (SURVEY §3) as a single Spark action. */
   def run(spark: SparkSession, input: String, output: String,
-          mapper: Mapper, reducer: Reducer, numReducers: Int): Unit = {
-    val kv = mapper(textDir(spark, input))
+          mapper: Mapper, reducer: Reducer, numReducers: Int,
+          numMappers: Option[Int] = None): Unit = {
+    val kv = mapper(textDirM(spark, input, numMappers))
     val shuffled = kv.repartition(numReducers, col("key"))
       .sortWithinPartitions("key", "value")
     val out = reducer(shuffled)
@@ -169,9 +193,11 @@ object MapReduce {
     * + subprocess reducer over the sorted stream — byte-compatible with
     * the reference pipeline end to end. */
   def runPipe(spark: SparkSession, input: String, output: String,
-              mapCmd: String, reduceCmd: String, numReducers: Int): Unit = {
+              mapCmd: String, reduceCmd: String, numReducers: Int,
+              numMappers: Option[Int] = None): Unit = {
     import spark.implicits._
-    val mapped = textDir(spark, input).rdd.pipe(Seq("/bin/sh", "-c", mapCmd))
+    val mapped = textDirM(spark, input, numMappers).rdd
+      .pipe(Seq("/bin/sh", "-c", mapCmd))
     val sorted = mapped.map(line => (line, ()))
       .repartitionAndSortWithinPartitions(new Partitioner {
         private val md5 = new Md5Partitioner(numReducers)
@@ -187,8 +213,16 @@ object MapReduce {
 
   /** Overwrite-sink with reference file naming: delete + recreate the
     * output dir (`manager/__main__.py:344-355`), emit exactly R files
-    * named `part-%05d` (`worker/__main__.py:237-250`), creating empty
-    * files for empty partitions (Spark skips them by default). */
+    * named `part-%05d` (`worker/__main__.py:237-250`).
+    *
+    * Spark emits NO file for an empty shuffle partition and names files
+    * `part-NNNNN-<uuid>`; the reference names each reduce output by its
+    * TRUE partition number (`worker/__main__.py:237`: part_num from the
+    * input path). So each surviving file is renamed to its original
+    * partition index (parsed from the Spark file name — sequential
+    * renumbering would shift data into lower-numbered parts whenever an
+    * empty partition precedes a non-empty one), and empty `part-%05d`
+    * files are created only for truly-empty partitions. */
   def writePartFiles(lines: DataFrame, output: String, numReducers: Int,
                      preservePartitions: Boolean = false): Unit = {
     val tmp = output + ".spark-tmp"
@@ -198,13 +232,20 @@ object MapReduce {
     val outDir = Paths.get(output)
     deleteRecursively(outDir)
     Files.createDirectories(outDir)
-    val parts = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+    val stream = Files.list(Paths.get(tmp))
+    val parts =
+      try stream.toArray.map(_.asInstanceOf[Path]) finally stream.close()
+    val written = parts
       .filter(_.getFileName.toString.startsWith("part-"))
-      .sortBy(_.getFileName.toString)
-    parts.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, outDir.resolve(f"part-$i%05d"))
-    }
-    (parts.length until numReducers).foreach { i =>
+      .map { p =>
+        // Spark task output: part-NNNNN-<uuid>[.ext]; NNNNN is the
+        // partition index this file's rows were shuffled to.
+        val idx = p.getFileName.toString.stripPrefix("part-")
+          .takeWhile(_.isDigit).toInt
+        Files.move(p, outDir.resolve(f"part-$idx%05d"))
+        idx
+      }.toSet
+    (0 until numReducers).filterNot(written).foreach { i =>
       Files.createFile(outDir.resolve(f"part-$i%05d"))
     }
     deleteRecursively(Paths.get(tmp))

@@ -18,11 +18,7 @@ import graft.pipeline.MapReduce
 object RefParity {
   def main(args: Array[String]): Unit = {
     val Array(corpus, wcGolden, grepGolden) = args
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Session.build("local[4]", 4, "graft-refparity")
     spark.sparkContext.setLogLevel("ERROR")
 
     val wcOut = Files.createTempDirectory("refparity-wc").toString + "/out"
@@ -41,12 +37,16 @@ object RefParity {
     if (gotWc != expWc || gotGrep != expGrep) sys.exit(1)
   }
 
-  private def readParts(dir: String): Seq[String] =
-    Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[Path])
+  private def readParts(dir: String): Seq[String] = {
+    val s = Files.list(Paths.get(dir))
+    val parts =
+      try s.toArray.map(_.asInstanceOf[Path]) finally s.close()
+    parts
       .filter(_.getFileName.toString.startsWith("part-"))
       .flatMap(p => new String(Files.readAllBytes(p), "UTF-8")
         .split("\n", -1).filter(_.nonEmpty))
       .toSeq
+  }
 
   private def report(name: String, got: Seq[String], exp: Seq[String]): Unit =
     if (got == exp) println(s"[refparity] $name: PASS (${got.size} lines)")

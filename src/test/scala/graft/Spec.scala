@@ -5,13 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One shared local SparkSession for the whole test JVM. */
 object Spec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = Session.build("local[4]", 4, "graft-test")
     s.sparkContext.setLogLevel("WARN")
     s
   }
