@@ -23,14 +23,22 @@ object Dedup {
 
   /** Word-trigram shingles, 0-based `get` indexing; docs with <3 tokens
     * produce none (guard needed: Spark `sequence(1, n)` with n<1 would
-    * produce a DESCENDING sequence, not an empty one). */
+    * produce a DESCENDING sequence, not an empty one).
+    *
+    * The token array is materialized as its own projection FIRST: a
+    * `split(...)` referenced inside a lambda is re-evaluated per array
+    * element (no common-subexpression elimination across higher-order
+    * function boundaries), which would make shingling O(tokens²) per
+    * document. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
-    val n = size(toks)
+    val t = col("toks")
+    val n = size(t)
     val idx = when(n >= 3, sequence(lit(0), n - 3))
       .otherwise(array().cast("array<int>"))
     Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), explode(transform(idx, i =>
-        concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
+        concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2))))
         .as("shingle"))
       .distinct()
   }
@@ -40,27 +48,88 @@ object Dedup {
       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents) t
       |CROSS JOIN unnest(range(1, len(l) - 1)) AS u(i)""".stripMargin
 
+  /** Document-frequency cap: shingles appearing in more than this many
+    * docs (boilerplate, stop-phrases) are dropped BEFORE any pairwise
+    * work. A shingle shared by k docs contributes k² candidate rows to
+    * an inverted-index join — on a web corpus a handful of boilerplate
+    * shingles otherwise dominate the whole job. High-df shingles carry
+    * near-zero similarity signal, so the ranking is unaffected; the cap
+    * is what keeps candidate generation LINEAR in corpus size. */
+  private val DF_CAP = 50
+
+  /** Shingles with document frequency ≤ [[DF_CAP]]. The hot-shingle
+    * list is produced by a partial-aggregating groupBy (map-side
+    * combine collapses each executor's copies of a hot shingle before
+    * the shuffle — a window count would shuffle every occurrence) and
+    * is tiny by construction (heavy hitters only), so the df filter is
+    * a broadcast anti-join: no extra shuffle of the data side. The
+    * result is persisted — every consumer self-joins or multi-joins it,
+    * and recomputing the scan+explode+distinct lineage per join branch
+    * is the kind of waste that turns hours into days at 100 TB. */
+  private def shinglesCapped(s: SparkSession, d: String): DataFrame = {
+    val shd = shingles(s, d).persist()
+    val hot = shd.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DF_CAP)
+      .select(col("shingle"))
+    shd.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(col("doc_id"), col("shingle"))
+      .persist()
+  }
+
+  private val SHINGLE_CAPPED_SQL =
+    s"""SELECT doc_id, shingle FROM (
+       |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+       |  FROM ($SHINGLE_SQL) s0) capped
+       |WHERE df <= $DF_CAP""".stripMargin
+
   private val NUM_HASHES = 12
 
-  /** MinHash signatures: one row per (doc, hash-function j), the hash
-    * family is md5 with a per-j salt, min taken lexicographically over
-    * hex digests. */
-  private def minhashes(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(NUM_HASHES - 1))).as("j"),
-        col("shingle"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit(":"), col("shingle"))
-          .cast("binary")).as("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("h")).as("mh"))
+  /** Rows per LSH band: candidates must agree on ALL `BAND_ROWS`
+    * minhashes of some band — far fewer, higher-precision candidates
+    * than single-hash (r=1) banding, which makes every shared minhash a
+    * candidate pair. 4 bands × 3 rows ≈ Jaccard threshold 0.63. */
+  private val BAND_ROWS = 3
 
-  private val MINHASH_SQL =
-    s"""SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
-       |FROM ($SHINGLE_SQL) sh
-       |CROSS JOIN unnest(range(0, $NUM_HASHES)) AS v(j)
-       |GROUP BY doc_id, j""".stripMargin
+  /** MinHash signatures in ARRAY form: one row per doc, `sig` = the
+    * NUM_HASHES minhashes in j order. One partial-aggregating groupBy —
+    * no 12× row explosion before the shuffle, no per-(doc, j) rows to
+    * re-join later. The hash family is md5 with a per-j salt, min taken
+    * lexicographically over hex digests. */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val mins = (0 until NUM_HASHES).map { j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")).cast("binary"))).as(s"m$j")
+    }
+    shinglesCapped(s, d)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NUM_HASHES).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  private val MINHASH_SIGS_SQL =
+    s"""SELECT doc_id, [${(0 until NUM_HASHES)
+         .map(j => s"min(md5('$j:' || shingle))").mkString(", ")}] AS sig
+       |FROM ($SHINGLE_CAPPED_SQL) sh GROUP BY doc_id""".stripMargin
+
+  /** Banded signatures: one row per (doc, band), `bsig` = the band's
+    * `BAND_ROWS` minhashes concatenated — a narrow explode of the
+    * signature array, no shuffle. */
+  private def bandSignatures(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until BAND_ROWS)
+          .map(r => get(col("sig"), lit(b * BAND_ROWS + r))): _*).as("bsig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+  }
+
+  private val BANDS_SQL =
+    s"""SELECT doc_id, b AS band,
+       |  ${(0 until BAND_ROWS).map(r => s"sig[$BAND_ROWS * b + ${r + 1}]")
+           .mkString(" || '|' || ")} AS bsig
+       |FROM sigs
+       |CROSS JOIN unnest(range(0, ${NUM_HASHES / BAND_ROWS})) AS u(b)""".stripMargin
 
   /** 16-bit SimHash oracle SQL is mechanical (16 per-bit terms) —
     * generated here so Spark and DuckDB stay in lockstep by construction. */
@@ -98,26 +167,47 @@ object Dedup {
     },
 
     // ----- MinHash + LSH: top candidate pairs by estimated Jaccard ---------
-    // Bands of r=1 row (threshold ~ j per band): candidates = pairs
-    // sharing any of the 12 minhashes, found by a self-join on (j, mh) —
-    // the inverted-index shape that scales. est_j = matching fraction.
+    // Candidate pairs must share an ENTIRE band signature (BAND_ROWS
+    // minhashes), found by a self-join on (band, sig) — an inverted-index
+    // hash join whose buckets only fill with genuine near-duplicates.
+    // est_jaccard is then the matching-minhash fraction over all
+    // NUM_HASHES, computed only for candidates.
     Q("q30_minhash_lsh",
-      s"""WITH mh AS ($MINHASH_SQL)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  count(*) / ${NUM_HASHES}.0 AS est_jaccard
-         |FROM mh a JOIN mh b
-         |  ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
-         |GROUP BY doc_a, doc_b
+      s"""WITH sigs AS ($MINHASH_SIGS_SQL),
+         |bands AS ($BANDS_SQL),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  list_sum(list_transform(range(1, ${NUM_HASHES + 1}),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+         |    / ${NUM_HASHES}.0 AS est_jaccard
+         |FROM cand
+         |JOIN sigs sa ON sa.doc_id = cand.doc_a
+         |JOIN sigs sb ON sb.doc_id = cand.doc_b
          |ORDER BY est_jaccard DESC, doc_a, doc_b
          |LIMIT 20""".stripMargin) { (s, d) =>
-      val mh = minhashes(s, d)
-      val a = mh.select(col("doc_id").as("doc_a"), col("j"), col("mh"))
-      val b = mh.select(col("doc_id").as("doc_b"), col("j").as("j2"),
-        col("mh").as("mh2"))
-      a.join(b, col("j") === col("j2") && col("mh") === col("mh2") &&
-          col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg((count(lit(1)) / NUM_HASHES.toDouble).as("est_jaccard"))
+      // The signature table is read by candidate generation AND both
+      // sides of the verification join: persist it (one small array row
+      // per doc — the standard persisted artifact of MinHash-LSH).
+      val sigs = minhashSigs(s, d).persist()
+      val bands = bandSignatures(sigs)
+      val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bsig"))
+      val bb = bands.select(col("doc_id").as("doc_b"), col("band").as("band2"),
+        col("bsig").as("bsig2"))
+      val cand = ba.join(bb, col("band") === col("band2") &&
+          col("bsig") === col("bsig2") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val matchCnt = size(filter(
+        zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")),
+          "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b2"), col("sig").as("sigb")),
+          col("doc_b") === col("doc_b2"))
+        .select(col("doc_a"), col("doc_b"),
+          (matchCnt / NUM_HASHES.toDouble).as("est_jaccard"))
         .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(20)
     },
@@ -140,9 +230,14 @@ object Dedup {
         .select(col("doc_id"), simhash.cast("long").as("simhash16"))
     },
 
-    // ----- exact n-gram Jaccard via inverted-index join ----------------------
+    // ----- n-gram Jaccard via inverted-index join over df-capped shingles ----
+    // The inverted index is built on the df-capped shingle set: a
+    // stop-shingle ("of the and") shared by k docs would contribute k²
+    // intersection rows, so high-df shingles are excluded from BOTH the
+    // intersection and the set sizes (self-consistent Jaccard over the
+    // capped universe — the discriminative shingles).
     Q("q32_ngram_jaccard",
-      s"""WITH shd AS ($SHINGLE_SQL),
+      s"""WITH shd AS ($SHINGLE_CAPPED_SQL),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
@@ -156,7 +251,7 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |ORDER BY jaccard DESC, doc_a, doc_b
          |LIMIT 20""".stripMargin) { (s, d) =>
-      val shd = shingles(s, d)
+      val shd = shinglesCapped(s, d)
       val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = shd.select(col("doc_id").as("doc_a"), col("shingle"))
       val b = shd.select(col("doc_id").as("doc_b"),
