@@ -13,11 +13,12 @@ import graft.{Q, Tables}
   * and summation orders. A raw float/double dot product would differ in
   * the last ulp between Spark and DuckDB and break the oracle hash.
   *
-  * Scale path: the LSH variant buckets vectors by an 8-bit sign code
-  * (axis-aligned random-hyperplane family) and joins within buckets —
-  * candidate generation is a hash join, never a cross join. Brute force
-  * is the small-query-set baseline: a broadcast of the query rows
-  * against a full scan, one pass, no shuffle.
+  * Scale path: the LSH variants bucket vectors by multiple independent
+  * random-hyperplane sign codes over all dimensions (+ Hamming-1
+  * multiprobe on the query side) and join within buckets — candidate
+  * generation is a hash join, never a cross join. Brute force is the
+  * small-query-set baseline: a broadcast of the query rows against a
+  * full scan, one pass, no shuffle.
   */
 object Similarity {
 
@@ -31,19 +32,55 @@ object Similarity {
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  /** 8-bit sign-pattern LSH code over the first 8 dimensions. */
-  private def signCode(c: Column): Column =
-    (0 until 8).map { i =>
-      when(get(c, lit(i)) > 0, 1L << i).otherwise(0L)
-    }.reduce(_ + _)
-
   private val QUANT_SQL =
     "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
 
-  private def signCodeSql(col: String): String =
-    (1 to 8).map { i =>
-      s"(CASE WHEN $col[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)"
-    }.mkString(" + ")
+  // ---- multi-table random-hyperplane LSH ---------------------------------
+  // NUM_TABLES independent NUM_BITS-bit sign codes, each bit the sign of
+  // a ±1 projection over ALL 64 dimensions (a single-table code over a
+  // few raw dimensions has recall near zero on anything but planted
+  // duplicates). The ±1 matrices are deterministic md5 bits, so the
+  // exact same constants are embedded in the Spark plan and in the
+  // generated DuckDB oracle SQL. Projections are over the QUANTIZED
+  // vectors: integer arithmetic, so the code is bit-identical across
+  // engines — a float sum could flip a sign near zero.
+
+  private val NUM_TABLES = 8
+  private val NUM_BITS = 6
+  private val DIM = 64
+
+  private val signs: Array[Array[Array[Int]]] =
+    Array.tabulate(NUM_TABLES, NUM_BITS, DIM) { (t, b, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$t:$b:$i".getBytes("UTF-8"))
+      if ((d(0) & 1) == 1) 1 else -1
+    }
+
+  /** The t-th table's LSH code of a quantized embedding column. */
+  private def codeT(ev: Column, t: Int): Column =
+    (0 until NUM_BITS).map { b =>
+      val sArr = typedLit(signs(t)(b).toSeq.map(_.toDouble))
+      val proj = aggregate(zip_with(ev, sArr, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** All NUM_TABLES codes as (t, code) structs for one embedding. */
+  private def codeStructs(ev: Column): Seq[Column] =
+    (0 until NUM_TABLES).map { t =>
+      struct(lit(t).as("t"), codeT(ev, t).as("code"))
+    }
+
+  private def codeTSql(t: Int): String =
+    (0 until NUM_BITS).map { b =>
+      val sArr = signs(t)(b).mkString("[", ",", "]")
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${DIM + 1}),
+         |    i -> ev[i] * ($sArr)[i])) > 0 THEN ${1L << b} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  private def codesArraySql: String =
+    (0 until NUM_TABLES).map(t => s"CAST(${codeTSql(t)} AS BIGINT)")
+      .mkString("[", ", ", "]")
 
   val queries: Seq[Q] = Seq(
 
@@ -74,56 +111,86 @@ object Similarity {
         .limit(10)
     },
 
-    // ----- LSH-bucketed ANN: candidates share the query's sign code --------
+    // ----- LSH-bucketed ANN: multi-table codes + Hamming-1 multiprobe ------
+    // Candidate generation is a hash join of the (vec_id, t, code)
+    // inverted index against the query's probe set (its own code plus
+    // all Hamming-distance-1 codes, per table) — linear in data size,
+    // broadcastable probe side, then exact cosine only on candidates.
+    // The oracle expresses the same candidate predicate as a per-row
+    // filter (identical result set; DuckDB needs no scale shape).
     Q("q34_ann_lsh",
       s"""WITH e AS (
-         |  SELECT vec_id, label, $QUANT_SQL AS ev,
-         |    ${signCodeSql("embedding")} AS code
-         |  FROM embeddings),
-         |q AS (SELECT ev AS qv, code AS qcode FROM e WHERE vec_id = 0)
-         |SELECT vec_id, label, code,
-         |  list_sum(list_transform(range(1, 65), i -> ev[i] * qv[i]))
+         |  SELECT vec_id, label, $QUANT_SQL AS ev FROM embeddings),
+         |c AS (SELECT vec_id, label, ev, $codesArraySql AS cs FROM e),
+         |q AS (SELECT ev AS qv, cs AS qcs FROM c WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  list_sum(list_transform(range(1, ${DIM + 1}), i -> ev[i] * qv[i]))
          |    / (sqrt(list_sum(list_transform(ev, x -> x * x)))
          |       * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cos_sim
-         |FROM e JOIN q ON e.code = q.qcode
-         |WHERE vec_id <> 0
+         |FROM c, q
+         |WHERE vec_id <> 0 AND len(list_filter(range(1, ${NUM_TABLES + 1}),
+         |  t -> bit_count(xor(cs[t], qcs[t])) <= 1)) > 0
          |ORDER BY cos_sim DESC, vec_id
-         |LIMIT 5""".stripMargin) { (s, d) =>
+         |LIMIT 10""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          quant(col("embedding")).as("ev"),
-          signCode(col("embedding")).as("code"))
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("ev").as("qv"), col("code").as("qcode"))
-      e.join(broadcast(q), col("code") === col("qcode"))
+        .select(col("vec_id"), col("label"), quant(col("embedding")).as("ev"))
+      val codes = e.select(col("vec_id"),
+          explode(array(codeStructs(col("ev")): _*)).as("tc"))
+        .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+      val qr = e.filter(col("vec_id") === 0)
+      val probes = qr
+        .select(explode(array(codeStructs(col("ev")): _*)).as("tc"))
+        .select(col("tc.t").as("qt"),
+          explode(array(col("tc.code") +: (0 until NUM_BITS)
+            .map(b => col("tc.code").bitwiseXOR(lit(1L << b))): _*)).as("pcode"))
+      val cand = codes
+        .join(broadcast(probes), col("t") === col("qt") &&
+          col("code") === col("pcode"))
         .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("label"), col("code"),
+        .select(col("vec_id")).distinct()
+      cand
+        .join(e, "vec_id")
+        .crossJoin(broadcast(qr.select(col("ev").as("qv"))))
+        .select(col("vec_id"), col("label"),
           (dot(col("ev"), col("qv")) / (norm(col("ev")) * norm(col("qv"))))
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(5)
+        .limit(10)
     },
 
     // ----- embedding near-duplicate pairs within LSH buckets ----------------
+    // Pairs sharing ANY of the NUM_TABLES codes, via a self-join of the
+    // (vec_id, t, code) inverted index — candidate pairs, then exact
+    // cosine. Bucket width scales as n / 2^NUM_BITS per table: at larger
+    // corpus sizes NUM_BITS grows with log n (same construction, more
+    // bits) to keep within-bucket pair counts bounded.
     Q("q35_embedding_neardup",
       s"""WITH e AS (
-         |  SELECT vec_id, $QUANT_SQL AS ev,
-         |    ${signCodeSql("embedding")} AS code
-         |  FROM embeddings)
+         |  SELECT vec_id, $QUANT_SQL AS ev FROM embeddings),
+         |c AS (SELECT vec_id, ev, $codesArraySql AS cs FROM e)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  list_sum(list_transform(range(1, 65), i -> a.ev[i] * b.ev[i]))
+         |  list_sum(list_transform(range(1, ${DIM + 1}), i -> a.ev[i] * b.ev[i]))
          |    / (sqrt(list_sum(list_transform(a.ev, x -> x * x)))
          |       * sqrt(list_sum(list_transform(b.ev, x -> x * x)))) AS cos_sim
-         |FROM e a JOIN e b ON a.code = b.code AND a.vec_id < b.vec_id
+         |FROM c a JOIN c b ON a.vec_id < b.vec_id
+         |WHERE len(list_filter(range(1, ${NUM_TABLES + 1}),
+         |  t -> a.cs[t] = b.cs[t])) > 0
          |ORDER BY cos_sim DESC, vec_a, vec_b
          |LIMIT 20""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), quant(col("embedding")).as("ev"),
-          signCode(col("embedding")).as("code"))
-      val a = e.select(col("vec_id").as("vec_a"), col("ev").as("ea"), col("code"))
-      val b = e.select(col("vec_id").as("vec_b"), col("ev").as("eb"),
+        .select(col("vec_id"), quant(col("embedding")).as("ev"))
+      val codes = e.select(col("vec_id"),
+          explode(array(codeStructs(col("ev")): _*)).as("tc"))
+        .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+      val a = codes.select(col("vec_id").as("vec_a"), col("t"), col("code"))
+      val b = codes.select(col("vec_id").as("vec_b"), col("t").as("t2"),
         col("code").as("code2"))
-      a.join(b, col("code") === col("code2") && col("vec_a") < col("vec_b"))
+      val pairs = a.join(b, col("t") === col("t2") &&
+          col("code") === col("code2") && col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b")).distinct()
+      pairs
+        .join(e.select(col("vec_id").as("vec_a"), col("ev").as("ea")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("ev").as("eb")), "vec_b")
         .select(col("vec_a"), col("vec_b"),
           (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
             .as("cos_sim"))
