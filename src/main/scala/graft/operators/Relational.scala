@@ -368,13 +368,34 @@ object Relational {
         .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))
     },
 
-    // ----- approximate aggregates (sketches differ across engines → rows-only) ------
-    Q.noOracle("q20_approx_sketch") { (s, d) =>
+    // ----- approximate aggregates, bounds-checked against exact values -------
+    // Sketch values differ across engines, so the sketches themselves
+    // can't be oracle-compared — but their ERROR BOUNDS can: the query
+    // emits booleans asserting approx_count_distinct lands within 3×rsd
+    // (rsd = 0.05 default) of the exact distinct count, and the approx
+    // median within the exact p45–p55 band. The oracle emits `true`, so
+    // a sketch drifting out of bounds is a hash mismatch, upgrading this
+    // from rows-only to a checked entry.
+    Q("q20_approx_sketch",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  true AS approx_within_bounds,
+        |  true AS median_within_bounds
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"))
+          expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.15).as("approx_within_bounds"),
+          (col("approx_median") >= col("p45") &&
+            col("approx_median") <= col("p55")).as("median_within_bounds"))
     }
   )
 }

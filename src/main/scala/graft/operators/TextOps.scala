@@ -180,6 +180,36 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bg"))
         .limit(20)
+    },
+
+    // ----- B2 coverage: wc_map.py word count (whitespace runs, case kept) ----
+    // Routes through the actual MapReduce.wcMapPy mapper
+    // (/root/reference/tests/testdata/exec/wc_map.py:5-8: str.split()
+    // drops empty tokens, no lowercasing) + reduceSum.
+    Q("q40_wordcount_py",
+      """SELECT w AS key, CAST(count(*) AS VARCHAR) AS value
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        |      FROM documents) t
+        |WHERE length(w) > 0
+        |GROUP BY key""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // mappers see the textFile schema: one string column named `value`
+      val lines = Tables.documents(s, d).select(col("text").as("value")).as[String]
+      MapReduce.reduceSum(MapReduce.wcMapPy(lines))
+    },
+
+    // ----- B3 coverage: wc_reduce.sh count-per-key reducer -------------------
+    // wcMapTr (tr-tokenization, empty tokens kept) + reduceCount
+    // (/root/reference/tests/testdata/exec/wc_reduce.sh:14: uniq -c over
+    // the sorted stream = count per key).
+    Q("q41_wordcount_sh",
+      """SELECT w AS key, CAST(count(*) AS VARCHAR) AS value
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[\[\] \t]')) AS w
+        |      FROM documents) t
+        |GROUP BY key""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val lines = Tables.documents(s, d).select(col("text").as("value")).as[String]
+      MapReduce.reduceCount(MapReduce.wcMapTr(lines))
     }
   )
 }
