@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.Multimodal.queries ++
-    operators.Eventing.queries
+    operators.Eventing.queries ++
+    sources.FileFormats.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
