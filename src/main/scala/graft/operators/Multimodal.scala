@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -8,40 +12,88 @@ import graft.{Q, Tables}
   * columns with typed metadata, processed batch-wise via
   * `mapPartitions` (the Scala analog of `mapInPandas` batches).
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic fake ([[MediaCodec.decodeStub]]) — the
-  * Spark-side plumbing that matters at 100 TB (schema, binary payload
-  * handling, partition-wise batching, typed Encoders, no
-  * driver-side collection) is real and oracle-/spec-tested.
+  * The decode step is a REAL image codec — `javax.imageio`'s pure-JVM
+  * PNG reader — running inside the partition iterator: payload bytes
+  * in, decoded dimensions + pixel checksum out, no driver-side
+  * collection anywhere. Payloads are synthesized PNGs (deterministic
+  * pixels from doc_id) because the fixture tables carry no real media;
+  * swapping ingestion to real files changes only the source select.
   */
 object Multimodal {
 
   /** An ingested media row: opaque payload + source metadata. */
   final case class MediaRow(doc_id: Long, fmt: String, payload: Array[Byte])
 
-  /** Extracted features (what a real decoder would emit). */
+  /** Extracted features from a decoded payload. */
   final case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Long,
       width: Int, height: Int, checksum: Long)
 
   object MediaCodec {
-    /** STUB decoder — stands in for libjpeg/ffmpeg, which this
-      * container lacks. Deterministic function of the payload bytes so
-      * specs can assert exact values; a real deployment swaps only this
-      * function, the surrounding pipeline is production-shaped
-      * (iterator-in/iterator-out, zero driver state, one codec init per
-      * partition — the expensive-resource pattern of mapPartitions). */
-    def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
-      // simulate per-partition codec initialization cost amortization
-      val codecInitialized = true
-      require(codecInitialized)
-      rows.map { r =>
-        val sum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
-        MediaFeatures(r.doc_id, r.fmt, r.payload.length.toLong,
-          width = 16 + (sum % 624).toInt,
-          height = 16 + (r.payload.length % 464),
-          checksum = sum)
+    // in-memory streams only — keep ImageIO off its disk scratch cache
+    ImageIO.setUseCache(false)
+
+    /** Deterministic synthetic RGB PNG for a doc id: dimensions and
+      * every pixel are pure functions of the id, so specs can assert
+      * exact decoded values. */
+    def synthPng(docId: Long): Array[Byte] = {
+      val w = 16 + (docId % 17).toInt
+      val h = 16 + (docId % 13).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (docId * 1315423911L + y * 2654435761L + x * 97531L) & 0xffffffL
+          img.setRGB(x, y, v.toInt)
+          x += 1
+        }
+        y += 1
       }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
+
+    /** Expected features for a doc id WITHOUT round-tripping through
+      * the codec — the independent oracle the spec checks decode
+      * against. */
+    def expectedFeatures(docId: Long): MediaFeatures = {
+      val w = 16 + (docId % 17).toInt
+      val h = 16 + (docId % 13).toInt
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sum += (docId * 1315423911L + y * 2654435761L + x * 97531L) & 0xffffffL
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(docId, "png", synthPng(docId).length.toLong, w, h, sum)
+    }
+
+    /** Partition-wise PNG decode via javax.imageio: iterator in,
+      * iterator out, zero driver state. The reader instance is the
+      * per-partition "expensive resource"; pixels are checksummed so a
+      * single corrupted byte is observable. */
+    def decodePng(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for doc ${r.doc_id}")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += img.getRGB(x, y) & 0xffffff
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(r.doc_id, r.fmt, r.payload.length.toLong,
+          img.getWidth, img.getHeight, sum)
+      }
   }
 
   val queries: Seq[Q] = Seq(
@@ -65,20 +117,19 @@ object Multimodal {
           .as("n_chunks"))
     },
 
-    // ----- partition-wise decode via mapPartitions (stubbed codec) ---------
-    // Not SQL-expressible (imperative batch decode) → rows-only check;
-    // exact values are asserted in MultimodalSpec instead.
+    // ----- partition-wise real PNG encode + decode via mapPartitions -------
+    // Synthesize a PNG payload per doc (the ingest stand-in), then
+    // decode it with javax.imageio inside the partition. Not
+    // SQL-expressible (binary codec) → rows-only driver check; exact
+    // decoded values are asserted in MultimodalSpec against an
+    // independent pixel-formula oracle.
     Q.noOracle("q37_media_decode") { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          when(col("doc_id") % 3 === 0, "image")
-            .when(col("doc_id") % 3 === 1, "audio")
-            .otherwise("video").as("fmt"),
-          col("text").cast("binary").as("payload"))
-        .as[MediaRow]
-        .mapPartitions(MediaCodec.decodeStub _)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          MediaRow(id, "png", MediaCodec.synthPng(id))))
+        .mapPartitions(MediaCodec.decodePng _)
         .toDF()
     }
   )

@@ -5,34 +5,43 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 import graft.operators.Multimodal.{MediaCodec, MediaRow}
 
-/** The decode stub is deterministic — assert exact feature values and
-  * that the Dataset pipeline preserves them distributed. */
+/** Real-codec multimodal pipeline: encode a deterministic PNG per doc,
+  * decode it with javax.imageio inside partitions, and check the
+  * decoded values against an independent pixel-formula oracle (not the
+  * codec itself). */
 class MultimodalSpec extends AnyFunSuite {
 
   lazy val spark = Spec.spark
 
-  test("decode stub computes exact features from payload bytes") {
-    val row = MediaRow(7, "image", "abc".getBytes("UTF-8")) // 97+98+99 = 294
-    val f = MediaCodec.decodeStub(Iterator(row)).next()
-    assert(f.checksum == 294)
-    assert(f.n_bytes == 3)
-    assert(f.width == 16 + (294 % 624))
-    assert(f.height == 16 + (3 % 464))
+  test("synthesized PNGs really decode via ImageIO with exact pixels") {
+    Seq(0L, 7L, 123L).foreach { id =>
+      val png = MediaCodec.synthPng(id)
+      // PNG magic bytes — this is an actual PNG stream, not a fake
+      assert(png.take(8).map(_ & 0xff).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+      val f = MediaCodec.decodePng(Iterator(MediaRow(id, "png", png))).next()
+      val exp = MediaCodec.expectedFeatures(id)
+      assert(f == exp, s"doc $id")
+    }
   }
 
-  test("q37_media_decode runs distributed and matches the stub per row") {
+  test("decodePng rejects non-image payloads") {
+    val bad = MediaRow(1, "png", "not a png".getBytes("UTF-8"))
+    assertThrows[IllegalArgumentException] {
+      MediaCodec.decodePng(Iterator(bad)).next()
+    }
+  }
+
+  test("q37_media_decode runs distributed and matches the pixel oracle") {
     import spark.implicits._
     val out = SparkEntry.queries("q37_media_decode")(spark, Spec.sfDir)
     assert(out.columns.toSeq ==
       Seq("doc_id", "fmt", "n_bytes", "width", "height", "checksum"))
-    val docs = Tables.documents(spark, Spec.sfDir)
-      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
     val rows = out.as[Multimodal.MediaFeatures].collect()
-    assert(rows.length == docs.size)
-    rows.take(20).foreach { f =>
-      val expected = MediaCodec.decodeStub(Iterator(MediaRow(
-        f.doc_id, f.fmt, docs(f.doc_id).getBytes("UTF-8")))).next()
-      assert(f == expected, s"doc ${f.doc_id}")
+    assert(rows.length ==
+      Tables.documents(spark, Spec.sfDir).count())
+    rows.foreach { f =>
+      assert(f == MediaCodec.expectedFeatures(f.doc_id), s"doc ${f.doc_id}")
     }
   }
 
