@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Similarity.queries ++
     operators.Multimodal.queries ++
     operators.Eventing.queries ++
+    operators.Skew.queries ++
     sources.FileFormats.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

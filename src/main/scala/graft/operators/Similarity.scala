@@ -49,6 +49,10 @@ object Similarity {
   private val NUM_BITS = 6
   private val DIM = 64
 
+  // IVF coarse-quantizer parameters: K inverted lists, nprobe searched
+  private val IVF_K = 16
+  private val IVF_NPROBE = 6
+
   private val signs: Array[Array[Array[Int]]] =
     Array.tabulate(NUM_TABLES, NUM_BITS, DIM) { (t, b, i) =>
       val d = java.security.MessageDigest.getInstance("MD5")
@@ -151,6 +155,67 @@ object Similarity {
       cand
         .join(e, "vec_id")
         .crossJoin(broadcast(qr.select(col("ev").as("qv"))))
+        .select(col("vec_id"), col("label"),
+          (dot(col("ev"), col("qv")) / (norm(col("ev")) * norm(col("qv"))))
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ----- IVF (inverted-file) ANN: coarse quantizer + nprobe search -------
+    // The other classic ANN scale path: assign every vector to its
+    // nearest of K centroids (one broadcast of K rows + a max_by
+    // partial aggregation — no window shuffle), search only the
+    // query's top-nprobe centroid buckets, rank candidates by exact
+    // cosine. Centroid assignment and probe selection use pure integer
+    // dot products (quantized vectors), so bucket contents are
+    // bit-identical across engines. Centroids here are K fixed seed
+    // vectors; a production build would k-means them — the query plan
+    // (broadcast-assign, bucket hash join, candidate re-rank) is
+    // unchanged by better centroids.
+    Q("q44_ann_ivf",
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $QUANT_SQL AS ev FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cid, ev AS cv FROM e
+         |  WHERE vec_id BETWEEN 1 AND $IVF_K),
+         |assign AS (
+         |  SELECT vec_id, label, ev, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      list_sum(list_transform(range(1, ${DIM + 1}),
+         |        i -> ev[i] * cv[i])) DESC, cid) AS rn
+         |  FROM e CROSS JOIN cents),
+         |buckets AS (SELECT vec_id, label, ev, cid FROM assign WHERE rn = 1),
+         |probes AS (SELECT cid FROM assign WHERE vec_id = 0 AND rn <= $IVF_NPROBE),
+         |q AS (SELECT ev AS qv FROM e WHERE vec_id = 0)
+         |SELECT b.vec_id, b.label,
+         |  list_sum(list_transform(range(1, ${DIM + 1}), i -> b.ev[i] * qv[i]))
+         |    / (sqrt(list_sum(list_transform(b.ev, x -> x * x)))
+         |       * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cos_sim
+         |FROM buckets b JOIN probes p ON b.cid = p.cid CROSS JOIN q
+         |WHERE b.vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), quant(col("embedding")).as("ev"))
+      val cents = e.filter(col("vec_id").between(1, IVF_K))
+        .select(col("vec_id").as("cid"), col("ev").as("cv"))
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), dot(col("ev"), col("cv")).as("dp"))
+      // argmax by (dp desc, cid asc) as a partial-aggregating max_by —
+      // no per-vector window sort
+      val buckets = assign.groupBy(col("vec_id"))
+        .agg(expr("max_by(cid, struct(dp, -cid))").as("cid"))
+      val probes = assign.filter(col("vec_id") === 0)
+        .orderBy(col("dp").desc, col("cid"))
+        .limit(IVF_NPROBE)
+        .select(col("cid"))
+      val qv = e.filter(col("vec_id") === 0).select(col("ev").as("qv"))
+      buckets
+        .join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= 0)
+        .join(e, "vec_id")
+        .crossJoin(broadcast(qv))
         .select(col("vec_id"), col("label"),
           (dot(col("ev"), col("qv")) / (norm(col("ev")) * norm(col("qv"))))
             .as("cos_sim"))

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these queries hold up
+  * at 100 TB are asserted here so a refactor that silently loses
+  * pushdown, pruning, broadcast, or codegen fails the suite — not just
+  * the bench.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Spec.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("selective filter reaches the parquet scan (PushedFilters non-empty)") {
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan("q02_selective_filter"))
+      .isDefined)
+  }
+
+  test("projection prunes the scan schema to referenced columns") {
+    // q24 touches doc_id/text only; a scan reading `lang` means column
+    // pruning broke
+    val p = plan("q24_token_stats")
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(!_.contains("lang")))
+  }
+
+  test("small-dimension joins broadcast instead of shuffling both sides") {
+    assert(plan("q04_broadcast_geo").contains("BroadcastHashJoin"))
+    assert(plan("q34_ann_lsh").contains("BroadcastHashJoin"))
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    // codegen stages only appear in the FINAL adaptive plan, so run the
+    // query first
+    Seq("q01_pricing_summary", "q21_wordcount").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, Spec.sfDir)
+      df.collect() // count() would execute a DIFFERENT queryExecution
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      // codegen'd operators print with a `*(n)` stage marker
+      assert(finalPlan.contains("*("), name)
+    }
+  }
+
+  test("no accidental cartesian products in join queries") {
+    // the deliberate 1-row broadcasts (query vector) are BroadcastNLJ,
+    // never CartesianProduct
+    Seq("q03_join3_topk", "q45_skew_salted_join", "q30_minhash_lsh",
+      "q35_embedding_neardup").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+  }
+
+  test("salted join shuffles on (key, salt), not key alone") {
+    val p = plan("q45_skew_salted_join")
+    assert(p.contains("__salt") || p.contains("BroadcastHashJoin"))
+  }
+}
