@@ -242,11 +242,16 @@ object Similarity {
          |  t -> a.cs[t] = b.cs[t])) > 0
          |ORDER BY cos_sim DESC, vec_a, vec_b
          |LIMIT 20""".stripMargin) { (s, d) =>
+      // both the code table (both sides of the self-join) and the
+      // vector table (both ev lookups) are read twice — persist so the
+      // 48-projection code computation runs once per vector
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("ev"))
+        .persist()
       val codes = e.select(col("vec_id"),
           explode(array(codeStructs(col("ev")): _*)).as("tc"))
         .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+        .persist()
       val a = codes.select(col("vec_id").as("vec_a"), col("t"), col("code"))
       val b = codes.select(col("vec_id").as("vec_b"), col("t").as("t2"),
         col("code").as("code2"))
