@@ -69,6 +69,22 @@ object Eventing {
         .groupBy(col("user_id"), col("sid"))
         .agg(count(lit(1)).as("n_events"),
           (max(col("t")) - min(col("t"))).as("dur_us"))
+    },
+
+    // ----- streaming-safe exact dedup (batch mirror, injected dups) --------
+    // Every 100th event is injected as an exact duplicate, then removed
+    // by the shared dedup transform (watermark-scoped state on a stream,
+    // plain dropDuplicates in batch) — the oracle is the ORIGINAL
+    // per-type count, so any surviving or over-removed row mismatches.
+    Q("q46_stream_dedup",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val withDups = ev.unionAll(ev.filter(col("event_id") % 100 === 0))
+      Streams.dedupEvents(withDups)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
     }
   )
 }

@@ -43,6 +43,18 @@ object Streams {
   def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
 
+  /** Exact dedup by event id, stream-safe: on an unbounded input the
+    * dedup state is scoped to the watermark (`dropDuplicatesWithin
+    * Watermark` — state for ids older than the watermark is dropped, so
+    * state stays bounded by the lateness window instead of growing with
+    * the stream); on a bounded input the same logical operation is a
+    * plain `dropDuplicates`. Duplicates are exact row copies, so which
+    * copy survives is unobservable. */
+  def dedupEvents(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Read the events table as a file stream (schema must be supplied —
     * streaming sources don't infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

@@ -70,6 +70,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(!emitted.contains(("2024-01-01 00:00:00", 2L)))
   }
 
+  test("streaming dedup drops duplicate ids across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = Streams.dedupEvents(input.toDF(), "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    input.addData(
+      Event(1, ts(0, 0), 1, "click", 1.0),
+      Event(1, ts(0, 0), 1, "click", 1.0), // same-batch duplicate
+      Event(2, ts(1, 0), 2, "view", 2.0))
+    q.processAllAvailable()
+    // cross-batch duplicate within the watermark window → still dropped
+    input.addData(Event(2, ts(1, 0), 2, "view", 2.0),
+      Event(3, ts(2, 0), 1, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
