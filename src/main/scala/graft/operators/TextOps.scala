@@ -169,12 +169,16 @@ object TextOps {
         |GROUP BY bg
         |ORDER BY n DESC, bg
         |LIMIT 20""".stripMargin) { (s, d) =>
-      val toks = tokens
+      // materialize the token array once — referenced 4× below (two
+      // slices + two sizes), and expressions inside array lambdas are
+      // re-evaluated per reference
+      val t = col("toks")
       val bigrams = zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
         (a, b) => concat(a, lit(" "), b))
       Tables.documents(s, d)
+        .select(tokens.as("toks"))
         .select(explode(bigrams).as("bg"))
         .groupBy(col("bg"))
         .agg(count(lit(1)).as("n"))
