@@ -28,6 +28,10 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Long,
       width: Int, height: Int, checksum: Long)
 
+  /** A fixed-size thumbnail row (the resize / frame-sample transform). */
+  final case class Thumb(doc_id: Long, src_w: Int, src_h: Int,
+      thumb_w: Int, thumb_h: Int, thumb_checksum: Long)
+
   object MediaCodec {
     // in-memory streams only — keep ImageIO off its disk scratch cache
     ImageIO.setUseCache(false)
@@ -94,6 +98,49 @@ object Multimodal {
         MediaFeatures(r.doc_id, r.fmt, r.payload.length.toLong,
           img.getWidth, img.getHeight, sum)
       }
+
+    val THUMB = 8
+
+    /** Decode + nearest-neighbor downsample to THUMB×THUMB. Sampling is
+      * explicit pixel indexing (`x * srcW / THUMB`), not an AWT scaling
+      * pipeline, so the thumbnail is bit-deterministic across JVMs —
+      * the property a content-addressed media pipeline needs. */
+    def thumbnail(rows: Iterator[MediaRow]): Iterator[Thumb] =
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for doc ${r.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < THUMB) {
+          var x = 0
+          while (x < THUMB) {
+            sum += img.getRGB(x * w / THUMB, y * h / THUMB) & 0xffffff
+            x += 1
+          }
+          y += 1
+        }
+        Thumb(r.doc_id, w, h, THUMB, THUMB, sum)
+      }
+
+    /** Formula-side expectation for [[thumbnail]] (independent of the
+      * codec), for spec use. */
+    def expectedThumb(docId: Long): Thumb = {
+      val w = 16 + (docId % 17).toInt
+      val h = 16 + (docId % 13).toInt
+      var sum = 0L
+      var y = 0
+      while (y < THUMB) {
+        var x = 0
+        while (x < THUMB) {
+          val (sx, sy) = (x * w / THUMB, y * h / THUMB)
+          sum += (docId * 1315423911L + sy * 2654435761L + sx * 97531L) & 0xffffffL
+          x += 1
+        }
+        y += 1
+      }
+      Thumb(docId, w, h, THUMB, THUMB, sum)
+    }
   }
 
   val queries: Seq[Q] = Seq(
@@ -131,6 +178,26 @@ object Multimodal {
           MediaRow(id, "png", MediaCodec.synthPng(id))))
         .mapPartitions(MediaCodec.decodePng _)
         .toDF()
+    },
+
+    // ----- resize / frame-sample: deterministic 8×8 thumbnails -------------
+    // Dimensions ARE oracle-checkable (pure functions of doc_id); the
+    // pixel checksum is spec-asserted against the formula oracle.
+    Q("q47_media_thumbnail",
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 17 AS INTEGER) AS src_w,
+        |  CAST(16 + doc_id % 13 AS INTEGER) AS src_h,
+        |  CAST(8 AS INTEGER) AS thumb_w, CAST(8 AS INTEGER) AS thumb_h
+        |FROM documents""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          MediaRow(id, "png", MediaCodec.synthPng(id))))
+        .mapPartitions(MediaCodec.thumbnail _)
+        .toDF()
+        .select(col("doc_id"), col("src_w"), col("src_h"),
+          col("thumb_w"), col("thumb_h"))
     }
   )
 }

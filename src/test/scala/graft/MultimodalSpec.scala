@@ -45,6 +45,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("thumbnails sample the decoded image deterministically") {
+    Seq(0L, 5L, 42L).foreach { id =>
+      val t = MediaCodec.thumbnail(
+        Iterator(MediaRow(id, "png", MediaCodec.synthPng(id)))).next()
+      assert(t == MediaCodec.expectedThumb(id), s"doc $id")
+    }
+  }
+
+  test("q47_media_thumbnail emits formula-exact dimensions distributed") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q47_media_thumbnail")(spark, Spec.sfDir)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    rows.foreach { case (id, sw, sh, tw, th) =>
+      assert((sw, sh, tw, th) ==
+        (16 + (id % 17).toInt, 16 + (id % 13).toInt, 8, 8), s"doc $id")
+    }
+  }
+
   test("fmt assignment partitions doc_ids mod 3") {
     import spark.implicits._
     val out = SparkEntry.queries("q36_media_meta")(spark, Spec.sfDir)
