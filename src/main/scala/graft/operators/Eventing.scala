@@ -71,6 +71,19 @@ object Eventing {
           (max(col("t")) - min(col("t"))).as("dur_us"))
     },
 
+    // ----- hopping 10-min/5-min windows (each event in 2 windows) ----------
+    // Oracle replicates Spark's epoch-aligned window starts: an event at
+    // t belongs to starts floor(t/slide)*slide and that minus one slide.
+    Q("q48_hopping_window",
+      """SELECT strftime(make_timestamp(
+        |    (CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) - k) * 300000000),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n
+        |FROM events CROSS JOIN unnest([0, 1]) AS u(k)
+        |GROUP BY wstart, event_type""".stripMargin) { (s, d) =>
+      Streams.hoppingCounts(Tables.events(s, d), "10 minutes", "5 minutes")
+    },
+
     // ----- streaming-safe exact dedup (batch mirror, injected dups) --------
     // Every 100th event is injected as an exact duplicate, then removed
     // by the shared dedup transform (watermark-scoped state on a stream,

@@ -40,6 +40,18 @@ object Streams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) windows: length > slide, so each event lands in
+    * length/slide overlapping windows. Same batch/stream duality as
+    * [[tumblingCounts]]. */
+  def hoppingCounts(events: DataFrame, windowLen: String,
+                    slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"))
+
   def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
 
