@@ -131,6 +131,25 @@ object Dedup {
        |FROM sigs
        |CROSS JOIN unnest(range(0, ${NUM_HASHES / BAND_ROWS})) AS u(b)""".stripMargin
 
+  /** 16-bit SimHash per doc: md5-nibble token hashes, per-bit ±1 sums,
+    * sign → bit. One explode + one aggregate, no joins. */
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    val v = conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
+      .cast("long")
+    val perBit = (0 until 16).map { b =>
+      sum(shiftright(col("v"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b")
+    }
+    val simhash = (0 until 16).map { b =>
+      when(col(s"s_$b") > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), v.as("v"))
+      .groupBy(col("doc_id"))
+      .agg(perBit.head, perBit.tail: _*)
+      .select(col("doc_id"), simhash.cast("long").as("simhash16"))
+  }
+
   /** 16-bit SimHash oracle SQL is mechanical (16 per-bit terms) —
     * generated here so Spark and DuckDB stay in lockstep by construction. */
   private def simhashOracle: String = {
@@ -213,21 +232,57 @@ object Dedup {
     },
 
     // ----- SimHash: 16-bit frequency-weighted token fingerprint ------------
-    Q("q31_simhash", simhashOracle) { (s, d) =>
-      val v = conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
-        .cast("long")
-      val perBit = (0 until 16).map { b =>
-        sum(shiftright(col("v"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b")
+    Q("q31_simhash", simhashOracle) { (s, d) => simhashes(s, d) },
+
+    // ----- SimHash near-dup pairs via pigeonhole banding -------------------
+    // 16 bits split into 4 nibbles: any pair with Hamming distance ≤ 3
+    // MUST agree on at least one whole nibble (pigeonhole), so the
+    // (band, nibble) inverted-index join finds every such pair with NO
+    // recall loss — the classic scalable simhash dedup. The Hamming
+    // cutoff is applied inside the join condition, before any shuffle
+    // of candidates. (Bucket width scales as n/16 per band; a larger
+    // corpus uses a wider fingerprint — 64 bits, 4×16-bit bands — the
+    // same construction.)
+    Q("q49_simhash_neardup",
+      s"""WITH sh AS ($simhashOracle),
+         |bands AS (
+         |  SELECT doc_id, simhash16,
+         |    b, CAST((simhash16 >> (4 * b)) & 15 AS INTEGER) AS nib
+         |  FROM sh CROSS JOIN unnest([0, 1, 2, 3]) AS u(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |    a.simhash16 AS sa, c.simhash16 AS sb
+         |  FROM bands a JOIN bands c
+         |    ON a.b = c.b AND a.nib = c.nib AND a.doc_id < c.doc_id
+         |      AND bit_count(xor(a.simhash16, c.simhash16)) <= 3)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand
+         |ORDER BY hamming, doc_a, doc_b
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val sh = simhashes(s, d)
+      val bandCols = (0 until 4).map { b =>
+        struct(lit(b).as("b"),
+          shiftright(col("simhash16"), 4 * b).bitwiseAND(15).cast("int")
+            .as("nib"))
       }
-      val simhash = (0 until 16).map { b =>
-        when(col(s"s_$b") > 0, 1L << b).otherwise(0L)
-      }.reduce(_ + _)
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .select(col("doc_id"), v.as("v"))
-        .groupBy(col("doc_id"))
-        .agg(perBit.head, perBit.tail: _*)
-        .select(col("doc_id"), simhash.cast("long").as("simhash16"))
+      val bands = sh
+        .select(col("doc_id"), col("simhash16"),
+          explode(array(bandCols: _*)).as("bn"))
+        .select(col("doc_id"), col("simhash16"),
+          col("bn.b").as("b"), col("bn.nib").as("nib"))
+      val a = bands.select(col("doc_id").as("doc_a"),
+        col("simhash16").as("sa"), col("b"), col("nib"))
+      val c = bands.select(col("doc_id").as("doc_b"),
+        col("simhash16").as("sb"), col("b").as("b2"), col("nib").as("nib2"))
+      a.join(c, col("b") === col("b2") && col("nib") === col("nib2") &&
+          col("doc_a") < col("doc_b") &&
+          expr("bit_count(sa ^ sb)") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(sa ^ sb)").cast("int").as("hamming"))
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(20)
     },
 
     // ----- n-gram Jaccard via inverted-index join over df-capped shingles ----

@@ -63,4 +63,28 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q45_skew_salted_join")
     assert(p.contains("__salt") || p.contains("BroadcastHashJoin"))
   }
+
+  test("date-partitioned layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-part").toString + "/events_byday"
+    Tables.events(spark, Spec.sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("day").parquet(dir)
+    val all = spark.read.parquet(dir)
+    val days = all.select("day").distinct().count()
+    assert(days > 1, "fixture spans one day; pruning test needs several")
+    // partition-column type is inferred (DATE here) — take the value as-is
+    val oneDay = all.filter(col("day") ===
+      lit(all.select(min(col("day"))).head().get(0)))
+    assert(oneDay.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(day"))
+    // partition pruning = the executed scan READ a strict subset of files
+    // (inputFiles is pre-pruning, so check the scan's numFiles metric)
+    oneDay.collect()
+    val numFiles = oneDay.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    assert(numFiles > 0 && numFiles < all.inputFiles.length,
+      s"scan read $numFiles of ${all.inputFiles.length} files")
+  }
 }
