@@ -30,6 +30,15 @@ object Bench {
     // e.g. SPARK_GRAFT_ONLY=q30_minhash_lsh,q32_ngram_jaccard
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo'd name must not silently bench zero queries and exit 0
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
@@ -38,6 +47,9 @@ object Bench {
         case e: Throwable =>
           Some(e.toString.linesIterator.next().take(200))
       }
+      // release per-query persisted artifacts (signature/shingle/code
+      // tables) — a long session must not accumulate dead cache
+      spark.catalog.clearCache()
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
 

@@ -30,11 +30,18 @@ object Tables {
     * Spark's reader rejects outright. Sessions built via [[Session.build]]
     * set `spark.sql.legacy.parquet.nanosAsLong` so it reads as raw nanos;
     * here we convert to a microsecond timestamp — same truncation DuckDB
-    * applies, so oracle comparisons agree. (The conf lives in session
-    * construction, not here: a loader must not mutate shared session
-    * state under a concurrent reader.)
+    * applies, so oracle comparisons agree. (The conf belongs in session
+    * construction; for a caller-built session it is set here ONLY if
+    * absent — idempotent, and never flips an explicit setting under a
+    * concurrent reader.)
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Fallback for caller-built sessions (the queries map is a public
+    // contract taking any SparkSession): without this conf the read
+    // throws PARQUET_TYPE_ILLEGAL. Idempotent — a no-op on sessions
+    // from graft.Session.build, and never re-set once true.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(nanosKey).contains("true")) s.conf.set(nanosKey, "true")
     // integer `div`, not `/`: double division can round UP by 1 µs on
     // epoch-nanos magnitudes, diverging from DuckDB's truncation
     apply(s, d, "events")

@@ -23,12 +23,15 @@ import graft.{Q, Tables}
   */
 object FileFormats {
 
-  /** Write `table` out in `fmt`, read it back with the original schema. */
+  /** Write `table` out in `fmt`, read it back with the original schema.
+    * The directory is per-invocation (fresh temp dir) — a fixed path
+    * would race between concurrent processes overwriting and reading
+    * the same files. */
   private def roundTrip(s: SparkSession, d: String, table: String,
                         fmt: String): DataFrame = {
     val src = Tables(s, d, table)
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-sources-" +
-      s"${Integer.toHexString(d.hashCode)}/$table.$fmt"
+    val dir = java.nio.file.Files.createTempDirectory("graft-sources-")
+      .toString + s"/$table.$fmt"
     fmt match {
       case "csv" =>
         src.write.mode("overwrite").option("header", "true").csv(dir)

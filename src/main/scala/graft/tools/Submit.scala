@@ -30,6 +30,12 @@ object Submit {
       numReducers: Int = 2)
 
   def parse(args: Array[String]): Job = {
+    def intArg(v: String, flag: String): Int =
+      try v.toInt catch {
+        case _: NumberFormatException =>
+          System.err.println(s"invalid integer for $flag: $v\n$usage")
+          sys.exit(2)
+      }
     var job = Job()
     var i = 0
     while (i < args.length) {
@@ -42,8 +48,10 @@ object Submit {
         case "--output" | "-o"  => job = job.copy(output = args(i + 1))
         case "--mapper" | "-m"  => job = job.copy(mapper = args(i + 1))
         case "--reducer" | "-r" => job = job.copy(reducer = args(i + 1))
-        case "--nmappers"       => job = job.copy(numMappers = args(i + 1).toInt)
-        case "--nreducers"      => job = job.copy(numReducers = args(i + 1).toInt)
+        case "--nmappers"       =>
+          job = job.copy(numMappers = intArg(args(i + 1), "--nmappers"))
+        case "--nreducers"      =>
+          job = job.copy(numReducers = intArg(args(i + 1), "--nreducers"))
         case a =>
           System.err.println(s"unknown argument: $a\n$usage")
           sys.exit(2)

@@ -41,6 +41,8 @@ class BucketingSpec extends AnyFunSuite {
       // the aggregate may still shuffle (different key); the JOIN must not:
       // no hash-partitioning exchange below the SortMergeJoin means the
       // bucketed layout was used
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a sort-merge join over bucketed tables:\n$plan")
       val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
       val exchanges = "Exchange hashpartitioning\\(([a-z_]+)#".r
         .findAllMatchIn(joinSection).map(_.group(1)).toSeq
