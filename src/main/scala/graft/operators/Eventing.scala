@@ -84,6 +84,20 @@ object Eventing {
       Streams.hoppingCounts(Tables.events(s, d), "10 minutes", "5 minutes")
     },
 
+    // ----- event-time interval join (stream-stream join's batch mirror) ----
+    Q("q50_interval_join",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events)
+        |SELECT c.event_id AS click_id, v.event_id AS view_id
+        |FROM e c JOIN e v ON c.user_id = v.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.t BETWEEN c.t - 300000000 AND c.t""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      Streams.intervalPairs(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+    },
+
     // ----- streaming-safe exact dedup (batch mirror, injected dups) --------
     // Every 100th event is injected as an exact duplicate, then removed
     // by the shared dedup transform (watermark-scoped state on a stream,

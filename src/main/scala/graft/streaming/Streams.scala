@@ -55,6 +55,25 @@ object Streams {
   def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
 
+  /** Event-time interval join: pair each click with the same user's
+    * views in the preceding `gap`. On bounded inputs this is a plain
+    * range-condition join; on two watermarked streams the SAME plan is
+    * a stream-stream join whose state Spark bounds by the time range +
+    * watermark (old rows are evicted — the property that keeps a
+    * stream-stream join's state finite). Callers watermark the inputs
+    * for the streaming case. */
+  def intervalPairs(clicks: DataFrame, views: DataFrame,
+                    gap: String = "5 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_id"))
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id"))
+    c.join(v, col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $gap") &&
+        col("v_ts") <= col("c_ts"))
+      .select(col("click_id"), col("view_id"))
+  }
+
   /** Exact dedup by event id, stream-safe: on an unbounded input the
     * dedup state is scoped to the watermark (`dropDuplicatesWithin
     * Watermark` — state for ids older than the watermark is dropped, so

@@ -91,6 +91,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join pairs views with clicks in the bound") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = Streams.intervalPairs(
+      clicks.toDF().withWatermark("ts", "1 minute"),
+      views.toDF().withWatermark("ts", "1 minute"), gap = "1 minute")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    views.addData(Event(10, ts(0, 30), 1, "view", 1.0))
+    clicks.addData(
+      Event(20, ts(1, 0), 1, "click", 1.0),  // view 30 s before → match
+      Event(21, ts(5, 0), 3, "click", 1.0))  // user 3 has no view
+    views.addData(Event(11, ts(5, 0), 2, "view", 1.0)) // other user
+    // advance both watermarks so matched pairs are finalized
+    clicks.addData(Event(22, ts(30, 0), 9, "click", 1.0))
+    views.addData(Event(12, ts(30, 0), 9, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ij_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((20L, 10L)))
+    assert(!pairs.exists { case (c, v) => c == 21L || v == 11L })
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
