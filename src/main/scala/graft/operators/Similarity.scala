@@ -242,25 +242,34 @@ object Similarity {
          |  t -> a.cs[t] = b.cs[t])) > 0
          |ORDER BY cos_sim DESC, vec_a, vec_b
          |LIMIT 20""".stripMargin) { (s, d) =>
-      // both the code table (both sides of the self-join) and the
-      // vector table (both ev lookups) are read twice — persist so the
-      // 48-projection code computation runs once per vector
+      // Canonical-table pairing: each row carries its full code array
+      // and vector, and a pair is emitted ONLY from the first table
+      // where both codes collide (no earlier-table match) — so every
+      // candidate pair is produced exactly once and the whole query is
+      // ONE shuffle: no distinct, no vector re-join. Carrying the
+      // 64-dim quantized vector 8× through the bucket join trades
+      // shuffle bytes for two join stages — the right trade while
+      // vector payloads stay ~0.5 KB.
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("ev"))
-        .persist()
-      val codes = e.select(col("vec_id"),
-          explode(array(codeStructs(col("ev")): _*)).as("tc"))
-        .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
-        .persist()
-      val a = codes.select(col("vec_id").as("vec_a"), col("t"), col("code"))
-      val b = codes.select(col("vec_id").as("vec_b"), col("t").as("t2"),
-        col("code").as("code2"))
-      val pairs = a.join(b, col("t") === col("t2") &&
-          col("code") === col("code2") && col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b")).distinct()
-      pairs
-        .join(e.select(col("vec_id").as("vec_a"), col("ev").as("ea")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("ev").as("eb")), "vec_b")
+      val withCs = e.select(col("vec_id"), col("ev"),
+        array((0 until NUM_TABLES).map(t => codeT(col("ev"), t)): _*).as("cs"))
+      val codes = withCs
+        .select(col("vec_id"), col("ev"), col("cs"),
+          explode(sequence(lit(0), lit(NUM_TABLES - 1))).as("t"))
+        .select(col("vec_id"), col("ev"), col("cs"), col("t"),
+          element_at(col("cs"), col("t") + 1).as("code"))
+      val a = codes.select(col("vec_id").as("vec_a"), col("ev").as("ea"),
+        col("cs").as("csa"), col("t"), col("code"))
+      val b = codes.select(col("vec_id").as("vec_b"), col("ev").as("eb"),
+        col("cs").as("csb"), col("t").as("t2"), col("code").as("code2"))
+      // tables before t must NOT also collide — t is the canonical table
+      val earlierMatch = size(filter(
+        zip_with(slice(col("csa"), lit(1), col("t")),
+          slice(col("csb"), lit(1), col("t")), (x, y) => x === y), m => m))
+      a.join(b, col("t") === col("t2") && col("code") === col("code2") &&
+          col("vec_a") < col("vec_b"))
+        .filter(earlierMatch === 0)
         .select(col("vec_a"), col("vec_b"),
           (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
             .as("cos_sim"))
