@@ -396,6 +396,85 @@ object Relational {
             <= col("exact_parts") * 0.15).as("approx_within_bounds"),
           (col("approx_median") >= col("p45") &&
             col("approx_median") <= col("p55")).as("median_within_bounds"))
+    },
+
+    // ----- PIVOT: long→wide with an explicit column list -------------------
+    // The pivot values are declared (not discovered) so the plan needs
+    // no extra distinct pass; absent combinations are 0, not null, to
+    // match the oracle's conditional counts.
+    Q("q51_pivot",
+      """SELECT o_orderpriority,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_cnt,
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_cnt,
+        |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_cnt
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+    },
+
+    // ----- UNPIVOT: wide→long (melt) ---------------------------------------
+    Q("q52_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+    },
+
+    // ----- exact percentiles (power-of-two quantiles only) -----------------
+    // Interpolation positions (n-1)*q are exact doubles only for
+    // dyadic q (0.25/0.5/0.75); a 0.9 quantile's position is already
+    // inexact and the two engines' algebraically-equal interpolation
+    // formulas round differently.
+    Q("q53_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.50) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25D)").as("p25"),
+          expr("percentile(l_quantity, 0.50D)").as("p50"),
+          expr("percentile(l_quantity, 0.75D)").as("p75"))
+    },
+
+    // ----- correlated-subquery semantics (orders above customer average) ---
+    // Expressed as a window aggregate (one shuffle on the correlation
+    // key — the scale shape for correlated scalar subqueries); the
+    // oracle uses the literal correlated subquery. The average goes
+    // through DECIMAL so it is partial-aggregation-order independent.
+    Q("q54_above_avg",
+      """SELECT o_orderkey, o_custkey
+        |FROM orders o
+        |WHERE o_totalprice >
+        |  (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |     / count(*)
+        |   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, d)
+        .withColumn("avg_p",
+          (sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double") / count(lit(1)).over(w)))
+        .filter(col("o_totalprice") > col("avg_p"))
+        .select(col("o_orderkey"), col("o_custkey"))
     }
   )
 }
