@@ -285,6 +285,59 @@ object Dedup {
         .limit(20)
     },
 
+    // ----- transitive dup clusters: connected components over LSH edges ----
+    // Near-duplication is transitive in practice (A~B, B~C → one
+    // cluster), so dedup needs COMPONENTS, not pairs. Edges are the
+    // banded-LSH candidate pairs; labels = min-doc-id propagation to
+    // fixpoint — each iteration is one join + one aggregate, with
+    // lineage truncated per round (localCheckpoint), the DataFrame
+    // form of iterative graph algorithms. The min-label fixpoint is
+    // the min reachable id: deterministic regardless of iteration
+    // order, which is what lets a recursive-CTE oracle check it. (At
+    // larger graphs the same join primitive runs the large-star/
+    // small-star variant for O(log n) rounds.)
+    Q("q57_dup_clusters",
+      s"""WITH RECURSIVE sigs AS ($MINHASH_SIGS_SQL),
+         |bands AS ($BANDS_SQL),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id <> b.doc_id),
+         |r(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.eb, r.lbl FROM r JOIN edges e ON e.ea = r.node)
+         |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |FROM r GROUP BY node""".stripMargin) { (s, d) =>
+      val bands = bandSignatures(minhashSigs(s, d))
+      val ba = bands.select(col("doc_id").as("ea"), col("band"), col("bsig"))
+      val bb = bands.select(col("doc_id").as("eb"), col("band").as("band2"),
+        col("bsig").as("bsig2"))
+      val edges = ba.join(bb, col("band") === col("band2") &&
+          col("bsig") === col("bsig2") && col("ea") =!= col("eb"))
+        .select(col("ea"), col("eb")).distinct().persist()
+      var labels = Tables.documents(s, d)
+        .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+        .localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 50) {
+        val nbr = edges.join(labels, col("ea") === col("node"))
+          .groupBy(col("eb")).agg(min(col("lbl")).as("nbr_lbl"))
+        val next = labels
+          .join(nbr, col("node") === col("eb"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        changed = next
+          .join(labels.withColumnRenamed("lbl", "old"), "node")
+          .filter(col("lbl") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    },
+
     // ----- n-gram Jaccard via inverted-index join over df-capped shingles ----
     // The inverted index is built on the df-capped shingle set: a
     // stop-shingle ("of the and") shared by k docs would contribute k²

@@ -84,6 +84,27 @@ object Eventing {
       Streams.hoppingCounts(Tables.events(s, d), "10 minutes", "5 minutes")
     },
 
+    // ----- time-RANGE window frame: per-user trailing 10-minute sum --------
+    // RANGE frames bound by event-time distance, not row counts — the
+    // frame is over integer microseconds so both engines agree exactly.
+    Q("q55_range_frame",
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_sum
+        |FROM events""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"))
+        .rangeBetween(-600000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"), col("value"))
+        .withColumn("trailing_sum",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("trailing_sum"))
+    },
+
     // ----- event-time interval join (stream-stream join's batch mirror) ----
     Q("q50_interval_join",
       """WITH e AS (

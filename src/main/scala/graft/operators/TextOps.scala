@@ -186,6 +186,22 @@ object TextOps {
         .limit(20)
     },
 
+    // ----- generator/UDTF surface: tokens with positions (posexplode) -------
+    // Spark positions are 0-based; DuckDB's WITH ORDINALITY is 1-based,
+    // aligned with an explicit -1.
+    Q("q56_posexplode",
+      """SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, l[i] AS tok
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+        |      FROM documents) t
+        |CROSS JOIN unnest(range(1, len(l) + 1)) AS u(i)
+        |WHERE length(l[i]) > 3""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("tok"))
+        .filter(length(col("tok")) > 3)
+    },
+
     // ----- B2 coverage: wc_map.py word count (whitespace runs, case kept) ----
     // Routes through the actual MapReduce.wcMapPy mapper
     // (/root/reference/tests/testdata/exec/wc_map.py:5-8: str.split()
