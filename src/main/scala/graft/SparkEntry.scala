@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Multimodal.queries ++
     operators.Eventing.queries ++
     operators.Skew.queries ++
-    sources.FileFormats.queries
+    sources.FileFormats.queries ++
+    functions.Aggregators.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -456,6 +456,25 @@ object Relational {
           expr("percentile(l_quantity, 0.75D)").as("p75"))
     },
 
+    // ----- the literal-SQL entry path (spark.sql over temp views) ----------
+    // Same engine, different front door: the SQL text is the shared
+    // ANSI subset, so the identical string runs in DuckDB as the
+    // oracle.
+    Q("q58_spark_sql",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_big
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_big
+          |FROM orders
+          |GROUP BY o_orderpriority""".stripMargin)
+    },
+
     // ----- correlated-subquery semantics (orders above customer average) ---
     // Expressed as a window aggregate (one shuffle on the correlation
     // key — the scale shape for correlated scalar subqueries); the
