@@ -124,6 +124,19 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
   }
 
+  /** Candidate pairs from a band-signature table: the inverted-index
+    * self-join shared by the pair query (id `<`) and the cluster
+    * query's edge set (id `<>`). */
+  private def bandPairs(bands: DataFrame,
+      idCond: (Column, Column) => Column): DataFrame = {
+    val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bsig"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("band").as("band2"),
+      col("bsig").as("bsig2"))
+    ba.join(bb, col("band") === col("band2") &&
+        col("bsig") === col("bsig2") && idCond(col("doc_a"), col("doc_b")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   private val BANDS_SQL =
     s"""SELECT doc_id, b AS band,
        |  ${(0 until BAND_ROWS).map(r => s"sig[$BAND_ROWS * b + ${r + 1}]")
@@ -211,13 +224,7 @@ object Dedup {
       // sides of the verification join: persist it (one small array row
       // per doc — the standard persisted artifact of MinHash-LSH).
       val sigs = minhashSigs(s, d).persist()
-      val bands = bandSignatures(sigs)
-      val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bsig"))
-      val bb = bands.select(col("doc_id").as("doc_b"), col("band").as("band2"),
-        col("bsig").as("bsig2"))
-      val cand = ba.join(bb, col("band") === col("band2") &&
-          col("bsig") === col("bsig2") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      val cand = bandPairs(bandSignatures(sigs), _ < _)
       val matchCnt = size(filter(
         zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
       cand
@@ -309,32 +316,45 @@ object Dedup {
          |  SELECT e.eb, r.lbl FROM r JOIN edges e ON e.ea = r.node)
          |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          |FROM r GROUP BY node""".stripMargin) { (s, d) =>
-      val bands = bandSignatures(minhashSigs(s, d))
-      val ba = bands.select(col("doc_id").as("ea"), col("band"), col("bsig"))
-      val bb = bands.select(col("doc_id").as("eb"), col("band").as("band2"),
-        col("bsig").as("bsig2"))
-      val edges = ba.join(bb, col("band") === col("band2") &&
-          col("bsig") === col("bsig2") && col("ea") =!= col("eb"))
-        .select(col("ea"), col("eb")).distinct().persist()
+      val edges = bandPairs(bandSignatures(minhashSigs(s, d)), _ =!= _)
+        .select(col("doc_a").as("ea"), col("doc_b").as("eb")).persist()
+      val sc = s.sparkContext
+      // localCheckpoint blocks live at the RDD level (outside the
+      // catalog cache manager), so track each round's newly-persisted
+      // RDD ids and free the superseded round explicitly.
+      def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+      var before = persistedIds
       var labels = Tables.documents(s, d)
         .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
         .localCheckpoint()
+      var labelIds = persistedIds -- before
       var changed = 1L
+      val maxIters = 50
       var iter = 0
-      while (changed > 0 && iter < 50) {
+      while (changed > 0 && iter < maxIters) {
         val nbr = edges.join(labels, col("ea") === col("node"))
           .groupBy(col("eb")).agg(min(col("lbl")).as("nbr_lbl"))
+        before = persistedIds
         val next = labels
           .join(nbr, col("node") === col("eb"), "left")
           .select(col("node"),
             least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
           .localCheckpoint()
+        val nextIds = persistedIds -- before
         changed = next
           .join(labels.withColumnRenamed("lbl", "old"), "node")
           .filter(col("lbl") =!= col("old")).count()
+        labelIds.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
         labels = next
+        labelIds = nextIds
         iter += 1
       }
+      // a silent cap would return stale labels that LOOK like clusters;
+      // components deeper than maxIters hops must fail loudly (and at
+      // that graph scale the star-variant rounds are the answer anyway)
+      if (changed > 0) throw new IllegalStateException(
+        s"connected components did not converge within $maxIters rounds")
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
     },
 

@@ -35,6 +35,14 @@ object Relational {
 
   private def day(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** q58's single source of truth: runs verbatim in BOTH engines. */
+  private val SHARED_SQL_Q58 =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_big
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ----- scan + filter + multi-aggregate (TPC-H Q1 shape) ------------
@@ -457,22 +465,12 @@ object Relational {
     },
 
     // ----- the literal-SQL entry path (spark.sql over temp views) ----------
-    // Same engine, different front door: the SQL text is the shared
-    // ANSI subset, so the identical string runs in DuckDB as the
-    // oracle.
-    Q("q58_spark_sql",
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_big
-        |FROM orders
-        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    // Same engine, different front door: ONE string in the shared ANSI
+    // subset is both the Spark query and the DuckDB oracle — a single
+    // val, so the two can never drift.
+    Q("q58_spark_sql", SHARED_SQL_Q58) { (s, d) =>
       Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql(
-        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-          |  CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
-          |    AS BIGINT) AS n_big
-          |FROM orders
-          |GROUP BY o_orderpriority""".stripMargin)
+      s.sql(SHARED_SQL_Q58)
     },
 
     // ----- correlated-subquery semantics (orders above customer average) ---

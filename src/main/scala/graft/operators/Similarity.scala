@@ -252,8 +252,11 @@ object Similarity {
       // vector payloads stay ~0.5 KB.
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("ev"))
+      // persist the coded rows: both self-join sides read them, and the
+      // 48-projection code computation must run once per vector
       val withCs = e.select(col("vec_id"), col("ev"),
         array((0 until NUM_TABLES).map(t => codeT(col("ev"), t)): _*).as("cs"))
+        .persist()
       val codes = withCs
         .select(col("vec_id"), col("ev"), col("cs"),
           explode(sequence(lit(0), lit(NUM_TABLES - 1))).as("t"))
