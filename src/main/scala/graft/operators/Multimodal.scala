@@ -32,6 +32,10 @@ object Multimodal {
   final case class Thumb(doc_id: Long, src_w: Int, src_h: Int,
       thumb_w: Int, thumb_h: Int, thumb_checksum: Long)
 
+  /** Decoded audio features (WAV/PCM). */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      n_channels: Int, n_samples: Long, n_bytes: Long, abs_sum: Long)
+
   object MediaCodec {
     // in-memory streams only — keep ImageIO off its disk scratch cache
     ImageIO.setUseCache(false)
@@ -75,6 +79,69 @@ object Multimodal {
         y += 1
       }
       MediaFeatures(docId, "png", synthPng(docId).length.toLong, w, h, sum)
+    }
+
+    val WAV_RATE = 8000
+
+    private def wavSample(docId: Long, i: Int): Int =
+      ((i * (20 + docId % 50)) % 2000 - 1000).toInt
+
+    private def wavSampleCount(docId: Long): Int = 256 + (docId % 256).toInt
+
+    /** Deterministic 16-bit mono PCM WAV (RIFF container, 44-byte
+      * canonical header) — an integer sawtooth, so every byte is a pure
+      * function of the doc id. */
+    def synthWav(docId: Long): Array[Byte] = {
+      val n = wavSampleCount(docId)
+      val dataLen = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)            // PCM
+        .putShort(1)            // mono
+        .putInt(WAV_RATE)
+        .putInt(WAV_RATE * 2)   // byte rate
+        .putShort(2)            // block align
+        .putShort(16)           // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      (0 until n).foreach(i => buf.putShort(wavSample(docId, i).toShort))
+      buf.array()
+    }
+
+    /** Real RIFF/WAV parse: validates the container tags, reads the
+      * format chunk, and folds the PCM samples — a corrupted byte in
+      * header or data is observable. */
+    def decodeWav(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
+      rows.map { r =>
+        val buf = java.nio.ByteBuffer.wrap(r.payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(): String = {
+          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+        }
+        require(tag() == "RIFF", s"not a RIFF stream for doc ${r.doc_id}")
+        buf.getInt()
+        require(tag() == "WAVE", s"not a WAVE stream for doc ${r.doc_id}")
+        require(tag() == "fmt ", s"missing fmt chunk for doc ${r.doc_id}")
+        require(buf.getInt() == 16 && buf.getShort() == 1, "not canonical PCM")
+        val channels = buf.getShort().toInt
+        val rate = buf.getInt()
+        buf.getInt(); buf.getShort(); buf.getShort()
+        require(tag() == "data", s"missing data chunk for doc ${r.doc_id}")
+        val dataLen = buf.getInt()
+        val n = dataLen / 2
+        var absSum = 0L
+        (0 until n).foreach(_ => absSum += math.abs(buf.getShort().toLong))
+        AudioFeatures(r.doc_id, rate, channels, n.toLong,
+          r.payload.length.toLong, absSum)
+      }
+
+    /** Formula-side expectation for [[decodeWav]] over [[synthWav]]. */
+    def expectedAudio(docId: Long): AudioFeatures = {
+      val n = wavSampleCount(docId)
+      val absSum = (0 until n).map(i => math.abs(wavSample(docId, i).toLong)).sum
+      AudioFeatures(docId, WAV_RATE, 1, n.toLong, 44L + n * 2, absSum)
     }
 
     /** Partition-wise PNG decode via javax.imageio: iterator in,
@@ -183,6 +250,28 @@ object Multimodal {
     // ----- resize / frame-sample: deterministic 8×8 thumbnails -------------
     // Dimensions ARE oracle-checkable (pure functions of doc_id); the
     // pixel checksum is spec-asserted against the formula oracle.
+    // ----- real WAV/PCM audio decode in partitions -------------------------
+    // RIFF header fields are pure functions of the doc id → oracle-
+    // checkable; the sample fold (abs_sum) is spec-asserted against the
+    // waveform formula.
+    Q("q60_audio_decode",
+      """SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(256 + doc_id % 256 AS BIGINT) AS n_samples,
+        |  CAST(44 + (256 + doc_id % 256) * 2 AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          MediaRow(id, "wav", MediaCodec.synthWav(id))))
+        .mapPartitions(MediaCodec.decodeWav _)
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+          col("n_samples"), col("n_bytes"))
+    },
+
     Q("q47_media_thumbnail",
       """SELECT doc_id,
         |  CAST(16 + doc_id % 17 AS INTEGER) AS src_w,

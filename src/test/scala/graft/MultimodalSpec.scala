@@ -63,6 +63,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("synthesized WAVs parse as real RIFF/PCM with exact sample folds") {
+    Seq(0L, 9L, 300L).foreach { id =>
+      val wav = MediaCodec.synthWav(id)
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+      val f = MediaCodec.decodeWav(Iterator(MediaRow(id, "wav", wav))).next()
+      assert(f == MediaCodec.expectedAudio(id), s"doc $id")
+    }
+  }
+
+  test("decodeWav rejects non-RIFF payloads") {
+    assertThrows[IllegalArgumentException] {
+      MediaCodec.decodeWav(Iterator(
+        MediaRow(1, "wav", Array.fill[Byte](64)(7)))).next()
+    }
+  }
+
+  test("q60_audio_decode matches the waveform oracle distributed") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q60_audio_decode")(spark, Spec.sfDir)
+      .as[(Long, Int, Int, Long, Long)].collect()
+    rows.foreach { case (id, rate, ch, n, bytes) =>
+      val e = MediaCodec.expectedAudio(id)
+      assert((rate, ch, n, bytes) ==
+        (e.sample_rate, e.n_channels, e.n_samples, e.n_bytes), s"doc $id")
+    }
+  }
+
   test("fmt assignment partitions doc_ids mod 3") {
     import spark.implicits._
     val out = SparkEntry.queries("q36_media_meta")(spark, Spec.sfDir)
