@@ -71,9 +71,16 @@ object Dedup {
     val hot = shd.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > DF_CAP)
       .select(col("shingle"))
-    shd.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val capped = shd.join(broadcast(hot), Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
       .persist()
+    // Materialize the capped cache now (one action; the broadcast side
+    // fills the shd cache, the probe side reads it) so the inner persist
+    // can be released immediately — library callers embedding this
+    // transform must not accumulate a hidden cached RDD per invocation.
+    capped.count()
+    shd.unpersist(blocking = false)
+    capped
   }
 
   private val SHINGLE_CAPPED_SQL =
@@ -84,11 +91,26 @@ object Dedup {
 
   private val NUM_HASHES = 12
 
-  /** Rows per LSH band: candidates must agree on ALL `BAND_ROWS`
-    * minhashes of some band — far fewer, higher-precision candidates
-    * than single-hash (r=1) banding, which makes every shared minhash a
-    * candidate pair. 4 bands × 3 rows ≈ Jaccard threshold 0.63. */
-  private val BAND_ROWS = 3
+  /** Rows per LSH band GROW WITH CORPUS SIZE: candidates must agree on
+    * all `r` minhashes of some band, so a non-duplicate pair with
+    * typical Jaccard p collides on a band with probability p^r — the
+    * expected random-collision volume is ~n²·(bands)·p^r, and keeping it
+    * linear in n needs r ∝ log n. The rule is integer-exact (no float
+    * log), so Spark and the DuckDB oracle derive the identical layout
+    * from the identical corpus count: the smallest divisor r of
+    * NUM_HASHES with n ≤ 50·8^r (each extra row thins buckets ~8× on
+    * this hash family), capped at 6 rows (2 bands).
+    * n ≤ 3 200 → r=2 · n ≤ 25 600 → r=3 · n ≤ 204 800 → r=4 · else r=6. */
+  private val BAND_ROW_CHOICES = Seq(2, 3, 4, 6)
+  private def bandRows(n: Long): Int =
+    BAND_ROW_CHOICES.find(r => n <= 50L * (1L << (3 * r))).getOrElse(6)
+
+  /** The same derivation as [[bandRows]] in DuckDB SQL (a `nr` CTE each
+    * banded query includes): integer shifts and comparisons only, so the
+    * two engines cannot disagree on the chosen layout. */
+  private val NR_SQL =
+    """SELECT coalesce(min(r), 6) AS r FROM unnest([2, 3, 4, 6]) AS u(r)
+      |WHERE (SELECT count(*) FROM documents) <= 50 * (1::BIGINT << (3 * r))""".stripMargin
 
   /** MinHash signatures in ARRAY form: one row per doc, `sig` = the
     * NUM_HASHES minhashes in j order. One partial-aggregating groupBy —
@@ -112,13 +134,14 @@ object Dedup {
        |FROM ($SHINGLE_CAPPED_SQL) sh GROUP BY doc_id""".stripMargin
 
   /** Banded signatures: one row per (doc, band), `bsig` = the band's
-    * `BAND_ROWS` minhashes concatenated — a narrow explode of the
-    * signature array, no shuffle. */
-  private def bandSignatures(sigs: DataFrame): DataFrame = {
-    val bandStructs = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+    * `rows` minhashes concatenated — a narrow explode of the signature
+    * array, no shuffle. `rows` comes from [[bandRows]] at plan-build
+    * time (one metadata-cheap count of `documents`). */
+  private def bandSignatures(sigs: DataFrame, rows: Int): DataFrame = {
+    val bandStructs = (0 until NUM_HASHES / rows).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("|", (0 until BAND_ROWS)
-          .map(r => get(col("sig"), lit(b * BAND_ROWS + r))): _*).as("bsig"))
+        concat_ws("|", (0 until rows)
+          .map(r => get(col("sig"), lit(b * rows + r))): _*).as("bsig"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
@@ -137,12 +160,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Band table with the row count taken from the `nr` CTE at runtime
+    * (list-slice + join against the derived r), so the oracle stays
+    * valid at every scale factor without regeneration. */
   private val BANDS_SQL =
     s"""SELECT doc_id, b AS band,
-       |  ${(0 until BAND_ROWS).map(r => s"sig[$BAND_ROWS * b + ${r + 1}]")
-           .mkString(" || '|' || ")} AS bsig
-       |FROM sigs
-       |CROSS JOIN unnest(range(0, ${NUM_HASHES / BAND_ROWS})) AS u(b)""".stripMargin
+       |  array_to_string(sig[CAST(r * b + 1 AS INT):CAST(r * b + r AS INT)], '|') AS bsig
+       |FROM sigs, nr
+       |CROSS JOIN unnest(range(0, CAST($NUM_HASHES // r AS INT))) AS u(b)""".stripMargin
 
   /** 16-bit SimHash per doc: md5-nibble token hashes, per-bit ±1 sums,
     * sign → bit. One explode + one aggregate, no joins. */
@@ -199,13 +224,15 @@ object Dedup {
     },
 
     // ----- MinHash + LSH: top candidate pairs by estimated Jaccard ---------
-    // Candidate pairs must share an ENTIRE band signature (BAND_ROWS
-    // minhashes), found by a self-join on (band, sig) — an inverted-index
+    // Candidate pairs must share an ENTIRE band signature (all r of the
+    // band's minhashes, r derived from the corpus count by [[bandRows]]),
+    // found by a self-join on (band, sig) — an inverted-index
     // hash join whose buckets only fill with genuine near-duplicates.
     // est_jaccard is then the matching-minhash fraction over all
     // NUM_HASHES, computed only for candidates.
     Q("q30_minhash_lsh",
       s"""WITH sigs AS ($MINHASH_SIGS_SQL),
+         |nr AS ($NR_SQL),
          |bands AS ($BANDS_SQL),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -223,8 +250,9 @@ object Dedup {
       // The signature table is read by candidate generation AND both
       // sides of the verification join: persist it (one small array row
       // per doc — the standard persisted artifact of MinHash-LSH).
+      val rows = bandRows(Tables.documents(s, d).count())
       val sigs = minhashSigs(s, d).persist()
-      val cand = bandPairs(bandSignatures(sigs), _ < _)
+      val cand = bandPairs(bandSignatures(sigs, rows), _ < _)
       val matchCnt = size(filter(
         zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
       cand
@@ -295,16 +323,22 @@ object Dedup {
     // ----- transitive dup clusters: connected components over LSH edges ----
     // Near-duplication is transitive in practice (A~B, B~C → one
     // cluster), so dedup needs COMPONENTS, not pairs. Edges are the
-    // banded-LSH candidate pairs; labels = min-doc-id propagation to
-    // fixpoint — each iteration is one join + one aggregate, with
-    // lineage truncated per round (localCheckpoint), the DataFrame
-    // form of iterative graph algorithms. The min-label fixpoint is
-    // the min reachable id: deterministic regardless of iteration
-    // order, which is what lets a recursive-CTE oracle check it. (At
-    // larger graphs the same join primitive runs the large-star/
-    // small-star variant for O(log n) rounds.)
+    // banded-LSH candidate pairs; components come from alternating
+    // LARGE-STAR / SMALL-STAR contraction (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond"), which converges in O(log n)
+    // rounds regardless of graph diameter — the scale-shaped form of
+    // the problem. Per round: large-star hangs every
+    // bigger-than-center neighbor directly off each node's minimum
+    // (halving long chains), small-star re-points every smaller
+    // neighbor at the group minimum; both are one groupBy + one join
+    // on a shrinking, lineage-truncated (localCheckpoint) edge set. At
+    // the fixpoint the edges form a star forest whose centers are the
+    // component minima — the same min-reachable-id labeling a
+    // recursive-CTE oracle computes, deterministic regardless of
+    // iteration order.
     Q("q57_dup_clusters",
       s"""WITH RECURSIVE sigs AS ($MINHASH_SIGS_SQL),
+         |nr AS ($NR_SQL),
          |bands AS ($BANDS_SQL),
          |edges AS (
          |  SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
@@ -316,46 +350,73 @@ object Dedup {
          |  SELECT e.eb, r.lbl FROM r JOIN edges e ON e.ea = r.node)
          |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          |FROM r GROUP BY node""".stripMargin) { (s, d) =>
-      val edges = bandPairs(bandSignatures(minhashSigs(s, d)), _ =!= _)
-        .select(col("doc_a").as("ea"), col("doc_b").as("eb")).persist()
+      val rows = bandRows(Tables.documents(s, d).count())
+      // undirected candidate edges, one row per pair, big > small
+      val edges0 = bandPairs(bandSignatures(minhashSigs(s, d), rows), _ < _)
+        .select(col("doc_b").as("big"), col("doc_a").as("small"))
       val sc = s.sparkContext
       // localCheckpoint blocks live at the RDD level (outside the
       // catalog cache manager), so track each round's newly-persisted
       // RDD ids and free the superseded round explicitly.
       def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
       var before = persistedIds
-      var labels = Tables.documents(s, d)
-        .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
-        .localCheckpoint()
-      var labelIds = persistedIds -- before
-      var changed = 1L
-      val maxIters = 50
+      var edges = edges0.localCheckpoint()
+      var edgeIds = persistedIds -- before
+      // Converged ⟺ the edge set is a star forest: every source has
+      // exactly one target and no target is itself a source. Checked on
+      // the just-materialized checkpoint, so the probe is a cheap scan,
+      // not a lineage recompute. (big > small invariantly, so a star's
+      // center is its component minimum by construction.)
+      def isStarForest(e: DataFrame): Boolean = {
+        val par = e.groupBy(col("big"))
+          .agg(min(col("small")).as("mn"), max(col("small")).as("mx"))
+        par.filter(col("mn") =!= col("mx")).select(col("big"))
+          .union(par.select(col("big"))
+            .join(e.select(col("small").as("big")), Seq("big"), "left_semi"))
+          .isEmpty
+      }
+      var converged = isStarForest(edges)
+      val maxIters = 30 // ≫ the proven O(log n) bound for any real corpus
       var iter = 0
-      while (changed > 0 && iter < maxIters) {
-        val nbr = edges.join(labels, col("ea") === col("node"))
-          .groupBy(col("eb")).agg(min(col("lbl")).as("nbr_lbl"))
+      while (!converged && iter < maxIters) {
+        // large-star: for each node u with neighborhood Γ(u), attach
+        // every neighbor v > u to m = min(Γ(u) ∪ {u})
+        val sym = edges.select(col("big").as("u"), col("small").as("v"))
+          .union(edges.select(col("small").as("u"), col("big").as("v")))
+        val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        val large = sym.join(mins, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("big"), least(col("mn"), col("u")).as("small"))
+        // small-star: for each source u re-point every (smaller)
+        // neighbor, and u itself, at m = min of the group
+        val smins = large.groupBy(col("big")).agg(min(col("small")).as("m"))
+        val viaSmalls = large.join(smins, "big")
+          .filter(col("small") =!= col("m"))
+          .select(col("small").as("b2"), col("m").as("s2"))
+        val viaBig = smins.select(col("big").as("b2"), col("m").as("s2"))
         before = persistedIds
-        val next = labels
-          .join(nbr, col("node") === col("eb"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        val next = viaSmalls.union(viaBig).distinct()
+          .select(col("b2").as("big"), col("s2").as("small"))
           .localCheckpoint()
         val nextIds = persistedIds -- before
-        changed = next
-          .join(labels.withColumnRenamed("lbl", "old"), "node")
-          .filter(col("lbl") =!= col("old")).count()
-        labelIds.foreach(id =>
+        converged = isStarForest(next)
+        edgeIds.foreach(id =>
           sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-        labels = next
-        labelIds = nextIds
+        edges = next
+        edgeIds = nextIds
         iter += 1
       }
-      // a silent cap would return stale labels that LOOK like clusters;
-      // components deeper than maxIters hops must fail loudly (and at
-      // that graph scale the star-variant rounds are the answer anyway)
-      if (changed > 0) throw new IllegalStateException(
-        s"connected components did not converge within $maxIters rounds")
-      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      // a silent cap would return stale edges that LOOK like clusters;
+      // non-convergence must fail loudly
+      if (!converged) throw new IllegalStateException(
+        s"star contraction did not converge within $maxIters rounds")
+      // star forest → labels: leaves point at their center; centers and
+      // edgeless singletons label themselves
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(edges.select(col("big").as("doc_id"), col("small").as("cl")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cl"), col("doc_id")).as("cluster_id"))
     },
 
     // ----- n-gram Jaccard via inverted-index join over df-capped shingles ----
