@@ -36,33 +36,57 @@ object Similarity {
     "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
 
   // ---- multi-table random-hyperplane LSH ---------------------------------
-  // NUM_TABLES independent NUM_BITS-bit sign codes, each bit the sign of
-  // a ±1 projection over ALL 64 dimensions (a single-table code over a
-  // few raw dimensions has recall near zero on anything but planted
+  // NUM_TABLES independent sign codes, each bit the sign of a ±1
+  // projection over ALL 64 dimensions (a single-table code over a few
+  // raw dimensions has recall near zero on anything but planted
   // duplicates). The ±1 matrices are deterministic md5 bits, so the
   // exact same constants are embedded in the Spark plan and in the
   // generated DuckDB oracle SQL. Projections are over the QUANTIZED
   // vectors: integer arithmetic, so the code is bit-identical across
   // engines — a float sum could flip a sign near zero.
+  //
+  // The code WIDTH GROWS WITH THE CORPUS: bucket width is ~n/2^bits per
+  // table, so candidate volume is ~n²/2^bits — fixed bits is
+  // semi-quadratic. [[numBits]] picks the smallest width with expected
+  // bucket population ≤ TARGET_BUCKET, by an integer-exact rule the
+  // DuckDB oracle re-derives verbatim ([[NB_SQL]]): the Spark plan
+  // computes exactly that many bit projections, the oracle computes the
+  // full MAX_BITS code and masks to the same low bits — identical codes
+  // by construction.
 
   private val NUM_TABLES = 8
-  private val NUM_BITS = 6
+  private val MAX_BITS = 16
+  private val TARGET_BUCKET = 8
   private val DIM = 64
+
+  /** Smallest code width b with n ≤ TARGET_BUCKET·2^b (integer-exact;
+    * monotone in n). n ≤ 512 → 6 bits · n ≤ 2 048 → 8 · n ≤ 65 536 → 13. */
+  private def numBits(n: Long): Int =
+    (1 to MAX_BITS).find(b => n <= (TARGET_BUCKET.toLong << b)).getOrElse(MAX_BITS)
+
+  /** [[numBits]] as SQL: the derived width `nb` and the low-bits mask
+    * `msk` every code comparison applies. */
+  private val NB_SQL =
+    s"""SELECT coalesce(min(b), $MAX_BITS) AS nb,
+       |  (1::BIGINT << coalesce(min(b), $MAX_BITS)) - 1 AS msk
+       |FROM range(1, ${MAX_BITS + 1}) AS t(b)
+       |WHERE (SELECT count(*) FROM embeddings) <= $TARGET_BUCKET * (1::BIGINT << b)""".stripMargin
 
   // IVF coarse-quantizer parameters: K inverted lists, nprobe searched
   private val IVF_K = 16
   private val IVF_NPROBE = 6
 
   private val signs: Array[Array[Array[Int]]] =
-    Array.tabulate(NUM_TABLES, NUM_BITS, DIM) { (t, b, i) =>
+    Array.tabulate(NUM_TABLES, MAX_BITS, DIM) { (t, b, i) =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$t:$b:$i".getBytes("UTF-8"))
       if ((d(0) & 1) == 1) 1 else -1
     }
 
-  /** The t-th table's LSH code of a quantized embedding column. */
-  private def codeT(ev: Column, t: Int): Column =
-    (0 until NUM_BITS).map { b =>
+  /** The t-th table's `nbits`-wide LSH code of a quantized embedding
+    * column — only the derived number of projections is computed. */
+  private def codeT(ev: Column, t: Int, nbits: Int): Column =
+    (0 until nbits).map { b =>
       val sArr = typedLit(signs(t)(b).toSeq.map(_.toDouble))
       val proj = aggregate(zip_with(ev, sArr, (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v)
@@ -70,13 +94,16 @@ object Similarity {
     }.reduce(_ + _)
 
   /** All NUM_TABLES codes as (t, code) structs for one embedding. */
-  private def codeStructs(ev: Column): Seq[Column] =
+  private def codeStructs(ev: Column, nbits: Int): Seq[Column] =
     (0 until NUM_TABLES).map { t =>
-      struct(lit(t).as("t"), codeT(ev, t).as("code"))
+      struct(lit(t).as("t"), codeT(ev, t, nbits).as("code"))
     }
 
+  /** Full MAX_BITS-wide code in SQL; consumers mask with `msk` from the
+    * `nb` CTE, which equals the Spark side's nbits-wide code exactly
+    * (bit b's contribution is independent of every other bit). */
   private def codeTSql(t: Int): String =
-    (0 until NUM_BITS).map { b =>
+    (0 until MAX_BITS).map { b =>
       val sArr = signs(t)(b).mkString("[", ",", "]")
       s"""(CASE WHEN list_sum(list_transform(range(1, ${DIM + 1}),
          |    i -> ev[i] * ($sArr)[i])) > 0 THEN ${1L << b} ELSE 0 END)""".stripMargin
@@ -125,27 +152,29 @@ object Similarity {
     Q("q34_ann_lsh",
       s"""WITH e AS (
          |  SELECT vec_id, label, $QUANT_SQL AS ev FROM embeddings),
+         |nb AS ($NB_SQL),
          |c AS (SELECT vec_id, label, ev, $codesArraySql AS cs FROM e),
          |q AS (SELECT ev AS qv, cs AS qcs FROM c WHERE vec_id = 0)
          |SELECT vec_id, label,
          |  list_sum(list_transform(range(1, ${DIM + 1}), i -> ev[i] * qv[i]))
          |    / (sqrt(list_sum(list_transform(ev, x -> x * x)))
          |       * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cos_sim
-         |FROM c, q
+         |FROM c, q, nb
          |WHERE vec_id <> 0 AND len(list_filter(range(1, ${NUM_TABLES + 1}),
-         |  t -> bit_count(xor(cs[t], qcs[t])) <= 1)) > 0
+         |  t -> bit_count(xor(cs[t] & msk, qcs[t] & msk)) <= 1)) > 0
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin) { (s, d) =>
+      val nbits = numBits(Tables.embeddings(s, d).count())
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), quant(col("embedding")).as("ev"))
       val codes = e.select(col("vec_id"),
-          explode(array(codeStructs(col("ev")): _*)).as("tc"))
+          explode(array(codeStructs(col("ev"), nbits): _*)).as("tc"))
         .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
       val qr = e.filter(col("vec_id") === 0)
       val probes = qr
-        .select(explode(array(codeStructs(col("ev")): _*)).as("tc"))
+        .select(explode(array(codeStructs(col("ev"), nbits): _*)).as("tc"))
         .select(col("tc.t").as("qt"),
-          explode(array(col("tc.code") +: (0 until NUM_BITS)
+          explode(array(col("tc.code") +: (0 until nbits)
             .map(b => col("tc.code").bitwiseXOR(lit(1L << b))): _*)).as("pcode"))
       val cand = codes
         .join(broadcast(probes), col("t") === col("qt") &&
@@ -226,20 +255,21 @@ object Similarity {
     // ----- embedding near-duplicate pairs within LSH buckets ----------------
     // Pairs sharing ANY of the NUM_TABLES codes, via a self-join of the
     // (vec_id, t, code) inverted index — candidate pairs, then exact
-    // cosine. Bucket width scales as n / 2^NUM_BITS per table: at larger
-    // corpus sizes NUM_BITS grows with log n (same construction, more
-    // bits) to keep within-bucket pair counts bounded.
+    // cosine. Bucket width scales as n / 2^bits per table, so the code
+    // width grows with log n ([[numBits]] — derived from the corpus
+    // count in both engines) to keep within-bucket pair counts bounded.
     Q("q35_embedding_neardup",
       s"""WITH e AS (
          |  SELECT vec_id, $QUANT_SQL AS ev FROM embeddings),
+         |nb AS ($NB_SQL),
          |c AS (SELECT vec_id, ev, $codesArraySql AS cs FROM e)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  list_sum(list_transform(range(1, ${DIM + 1}), i -> a.ev[i] * b.ev[i]))
          |    / (sqrt(list_sum(list_transform(a.ev, x -> x * x)))
          |       * sqrt(list_sum(list_transform(b.ev, x -> x * x)))) AS cos_sim
-         |FROM c a JOIN c b ON a.vec_id < b.vec_id
+         |FROM c a JOIN c b ON a.vec_id < b.vec_id CROSS JOIN nb
          |WHERE len(list_filter(range(1, ${NUM_TABLES + 1}),
-         |  t -> a.cs[t] = b.cs[t])) > 0
+         |  t -> (a.cs[t] & msk) = (b.cs[t] & msk))) > 0
          |ORDER BY cos_sim DESC, vec_a, vec_b
          |LIMIT 20""".stripMargin) { (s, d) =>
       // Canonical-table pairing: each row carries its full code array
@@ -250,12 +280,14 @@ object Similarity {
       // 64-dim quantized vector 8× through the bucket join trades
       // shuffle bytes for two join stages — the right trade while
       // vector payloads stay ~0.5 KB.
+      val nbits = numBits(Tables.embeddings(s, d).count())
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("ev"))
       // persist the coded rows: both self-join sides read them, and the
-      // 48-projection code computation must run once per vector
+      // (NUM_TABLES × nbits)-projection code computation must run once
+      // per vector
       val withCs = e.select(col("vec_id"), col("ev"),
-        array((0 until NUM_TABLES).map(t => codeT(col("ev"), t)): _*).as("cs"))
+        array((0 until NUM_TABLES).map(t => codeT(col("ev"), t, nbits)): _*).as("cs"))
         .persist()
       val codes = withCs
         .select(col("vec_id"), col("ev"), col("cs"),
