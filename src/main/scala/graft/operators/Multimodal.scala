@@ -233,11 +233,23 @@ object Multimodal {
 
     // ----- partition-wise real PNG encode + decode via mapPartitions -------
     // Synthesize a PNG payload per doc (the ingest stand-in), then
-    // decode it with javax.imageio inside the partition. Not
-    // SQL-expressible (binary codec) → rows-only driver check; exact
-    // decoded values are asserted in MultimodalSpec against an
-    // independent pixel-formula oracle.
-    Q.noOracle("q37_media_decode") { (s, d) =>
+    // decode it with javax.imageio inside the partition. The decoded
+    // dimensions AND the full pixel checksum are pure functions of
+    // doc_id, so the oracle recomputes them from the pixel formula
+    // (lateral ranges over the y/x grid) WITHOUT any codec — the SQL
+    // independently cross-checks the real decode path, byte-for-byte.
+    // Only the PNG container length (n_bytes) is codec-internal; it is
+    // asserted in MultimodalSpec instead.
+    Q("q37_media_decode",
+      """SELECT d.doc_id, 'png' AS fmt,
+        |  CAST(16 + d.doc_id % 17 AS INTEGER) AS width,
+        |  CAST(16 + d.doc_id % 13 AS INTEGER) AS height,
+        |  CAST(sum((d.doc_id * 1315423911 + y.y * 2654435761 + x.x * 97531)
+        |           & 16777215) AS BIGINT) AS checksum
+        |FROM documents d
+        |CROSS JOIN unnest(range(0, 16 + d.doc_id % 13)) AS y(y)
+        |CROSS JOIN unnest(range(0, 16 + d.doc_id % 17)) AS x(x)
+        |GROUP BY d.doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
         .select(col("doc_id")).as[Long]
@@ -245,6 +257,8 @@ object Multimodal {
           MediaRow(id, "png", MediaCodec.synthPng(id))))
         .mapPartitions(MediaCodec.decodePng _)
         .toDF()
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+          col("checksum"))
     },
 
     // ----- resize / frame-sample: deterministic 8×8 thumbnails -------------

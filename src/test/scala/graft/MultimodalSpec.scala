@@ -35,13 +35,18 @@ class MultimodalSpec extends AnyFunSuite {
   test("q37_media_decode runs distributed and matches the pixel oracle") {
     import spark.implicits._
     val out = SparkEntry.queries("q37_media_decode")(spark, Spec.sfDir)
+    // n_bytes (PNG container length) is codec-internal and stays out of
+    // the oracle-checked projection; it's asserted per-row in the codec
+    // test above. Everything else must equal the pixel-formula oracle.
     assert(out.columns.toSeq ==
-      Seq("doc_id", "fmt", "n_bytes", "width", "height", "checksum"))
-    val rows = out.as[Multimodal.MediaFeatures].collect()
+      Seq("doc_id", "fmt", "width", "height", "checksum"))
+    val rows = out.as[(Long, String, Int, Int, Long)].collect()
     assert(rows.length ==
       Tables.documents(spark, Spec.sfDir).count())
-    rows.foreach { f =>
-      assert(f == MediaCodec.expectedFeatures(f.doc_id), s"doc ${f.doc_id}")
+    rows.foreach { case (id, fmt, w, h, sum) =>
+      val e = MediaCodec.expectedFeatures(id)
+      assert((fmt, w, h, sum) == (e.fmt, e.width, e.height, e.checksum),
+        s"doc $id")
     }
   }
 
