@@ -10,24 +10,57 @@ import graft.{Q, Tables}
   * is the deterministic fallback for the pathological case — one join
   * key so hot a single shuffle partition cannot hold it.
   *
-  * `saltedJoin` spreads each key of the big (probe) side over
-  * `numSalts` sub-partitions via a deterministic row-content salt, and
-  * replicates the small (build) side once per salt value, joining on
-  * (key, salt). Result set is IDENTICAL to the plain join — the q45
-  * oracle is the plain SQL join — the only change is that no shuffle
-  * partition ever holds more than 1/numSalts of a hot key.
+  * `saltedJoin` salts HOT KEYS ONLY: a cheap frequency pre-pass (one
+  * partial-aggregating count over the probe side) finds keys at or
+  * above `hotThreshold`; those rows spread over `numSalts`
+  * sub-partitions via a deterministic row-content salt, with the dim
+  * side replicated `numSalts`× for exactly those keys. Every other key
+  * takes salt 0 on both sides — the plain join, zero replication — so
+  * the dim-side shuffle does NOT inflate `numSalts`× for the cold
+  * majority the way salt-everything does. Result set is IDENTICAL to
+  * the plain join — the q45 oracle is the plain SQL join — the only
+  * change is that no shuffle partition ever holds more than
+  * 1/numSalts of a hot key.
   */
 object Skew {
 
-  /** Join `big` with `dim` on equal `key` columns, salting `big`'s rows
-    * by a hash of `saltBy` (any expression varying within a key group;
-    * row-content hashes work) and replicating `dim` `numSalts` times. */
+  /** Keys of `big` occurring at least `hotThreshold` times. A
+    * partial-aggregating groupBy (map-side combine collapses each
+    * executor's copies before the shuffle); heavy hitters only, so the
+    * result is tiny by construction and broadcastable. */
+  private[graft] def hotKeys(big: DataFrame, key: String,
+                             hotThreshold: Long): DataFrame =
+    big.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= hotThreshold)
+      .select(col(key))
+
+  /** Dim side with hot keys replicated once per salt value and cold
+    * keys kept single at salt 0 (exposed for the spec's
+    * no-replication-of-cold-keys assertion). */
+  private[graft] def saltDim(dim: DataFrame, hot: DataFrame, key: String,
+                             numSalts: Int): DataFrame =
+    dim.join(broadcast(hot.withColumn("__hot", lit(true))), Seq(key), "left")
+      .withColumn("__salt", explode(
+        when(col("__hot"), sequence(lit(0), lit(numSalts - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+
+  /** Join `big` with `dim` on equal `key` columns, salting rows of
+    * keys with ≥ `hotThreshold` occurrences in `big` by a hash of
+    * `saltBy` (any expression varying within a key group; row-content
+    * hashes work). Both sides read the hot-key set as the same tiny
+    * broadcast (Catalyst's ReuseExchange computes it once). */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
-                 saltBy: Column, numSalts: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt", pmod(hash(saltBy), lit(numSalts)))
-    val repDim = dim.withColumn("__salt",
-      explode(sequence(lit(0), lit(numSalts - 1))))
-    saltedBig.join(repDim, Seq(key, "__salt")).drop("__salt")
+                 saltBy: Column, numSalts: Int,
+                 hotThreshold: Long): DataFrame = {
+    val hot = hotKeys(big, key, hotThreshold)
+    val saltedBig = big
+      .join(broadcast(hot.withColumn("__hot", lit(true))), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot"), pmod(hash(saltBy), lit(numSalts))).otherwise(lit(0)))
+      .drop("__hot")
+    saltedBig.join(saltDim(dim, hot, key, numSalts), Seq(key, "__salt"))
+      .drop("__salt")
   }
 
   private def sumMoney(c: Column, scale: Int = 2): Column =
@@ -36,9 +69,11 @@ object Skew {
   val queries: Seq[Q] = Seq(
 
     // ----- salted join, oracle = the equivalent PLAIN join -----------------
-    // Revenue by order priority over lineitem ⋈ orders, with lineitem
-    // salted 8 ways. Hash-matching the plain-join oracle proves the
-    // salting transform is result-invariant.
+    // Revenue by order priority over lineitem ⋈ orders. Orders carry
+    // 1–7 lineitems, so hotThreshold=5 routes some orders through the
+    // salted path and the rest through the plain path — and the result
+    // still hash-matches the plain-join oracle, proving the whole
+    // hot/cold routing is result-invariant.
     Q("q45_skew_salted_join",
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_items,
@@ -52,7 +87,8 @@ object Skew {
       val ord = Tables.orders(s, d)
         .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
       saltedJoin(li, ord, "okey",
-          saltBy = struct(col("okey"), col("l_linenumber")), numSalts = 8)
+          saltBy = struct(col("okey"), col("l_linenumber")), numSalts = 8,
+          hotThreshold = 5)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)

@@ -55,9 +55,11 @@ class PropertySpec extends AnyFunSuite {
       val big = rows.toDF("k", "v")
       val dim = Seq((0, "zero"), (1, "one"), (2, "two"), (3, "three"))
         .toDF("k", "name")
+      // threshold 8 on 40 rows over 5 keys → typically a mix of hot and
+      // cold keys, so both routing paths are exercised per sample
       val salted = graft.operators.Skew
         .saltedJoin(big, dim, "k", saltBy = struct(col("k"), col("v")),
-          numSalts = 4)
+          numSalts = 4, hotThreshold = 8)
         .select("k", "v", "name").collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted.toSeq
       val plain = big.join(dim, Seq("k"))
@@ -65,5 +67,31 @@ class PropertySpec extends AnyFunSuite {
         .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted.toSeq
       salted == plain
     }, n = 3)
+  }
+
+  test("salting replicates the dim side for hot keys ONLY") {
+    import Spec.spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key 1 is pathologically hot (12 rows), keys 2 and 3 are cold
+    val big = (Seq.fill(12)(1) ++ Seq(2, 2, 3)).map((_, 0)).toDF("k", "v")
+    val dim = Seq((1, "hot"), (2, "cold"), (3, "cold"), (4, "unseen"))
+      .toDF("k", "name")
+    val hot = graft.operators.Skew.hotKeys(big, "k", hotThreshold = 10)
+    assert(hot.collect().map(_.getInt(0)).toSeq == Seq(1),
+      "only the >=threshold key is salted")
+    // hot dim rows appear numSalts times, cold rows exactly once — the
+    // cold majority must NOT pay the numSalts× shuffle inflation
+    val rep = graft.operators.Skew.saltDim(dim, hot, "k", numSalts = 4)
+      .groupBy("k").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rep == Map(1 -> 4L, 2 -> 1L, 3 -> 1L, 4 -> 1L))
+    val salted = graft.operators.Skew
+      .saltedJoin(big, dim, "k", saltBy = struct(col("k"), col("v")),
+        numSalts = 4, hotThreshold = 10)
+      .select("k", "name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    val plain = big.join(dim, Seq("k")).select("k", "name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(salted == plain)
   }
 }
