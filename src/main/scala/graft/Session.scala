@@ -8,9 +8,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Session {
 
+  /** `extra` lets fault-injection harnesses (FaultDemo) tighten the
+    * speculation knobs or point executors at the right classpath while
+    * still running THIS config — the point is to exercise the session
+    * as shipped, not a parallel hand-built one. */
   def build(master: String, shufflePartitions: Int,
-            appName: String = "graft"): SparkSession =
-    SparkSession.builder()
+            appName: String = "graft",
+            extra: Map[String, String] = Map.empty): SparkSession = {
+    val base = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -33,5 +38,7 @@ object Session {
       // AQE re-plans at runtime: skew-join splitting and partition
       // coalescing are the 100 TB safety nets for every shuffle here.
       .config("spark.sql.adaptive.enabled", "true")
+    extra.foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
+  }
 }

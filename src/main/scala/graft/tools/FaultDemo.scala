@@ -1,0 +1,182 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.TaskContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd,
+  SparkListenerTaskStart}
+
+/** Fault-tolerance demonstrations for SURVEY §2.A A13, mirroring the
+  * reference's two failure drills: a worker that dies mid-task and is
+  * re-queued (`/root/reference/tests/test_manager_08.py` crash
+  * scenarios) and a straggling worker whose task is re-launched
+  * elsewhere (`wc_map_slow.sh`,
+  * `/root/reference/tests/test_manager_05.py:75-95`).
+  *
+  * On Spark both behaviors are session CONFIG
+  * ([[graft.Session.build]]: `spark.task.maxFailures`,
+  * `spark.speculation`), so this main exercises that exact session
+  * construction rather than a hand-built one:
+  *
+  *  - `retry`: master `local[4,2]` (second slot = task retry budget in
+  *    local mode), one partition's first attempt throws; the job must
+  *    still produce the exact sum, with ≥1 failed attempt observed by
+  *    a listener.
+  *  - `speculation`: master `local-cluster[2,1,1024]` — real executor
+  *    JVMs, because Spark's speculation thread is disabled on purely
+  *    local masters — one partition's first attempt stalls; the
+  *    speculative re-launch (fresh attempt number) returns instantly
+  *    and must win, observed as ≥1 speculative task start.
+  *
+  * Run as a separate JVM (FaultToleranceSpec spawns it) since a JVM
+  * holds at most one SparkContext and the shared test session is
+  * plain `local[4]`.
+  */
+object FaultDemo {
+
+  private def retryDemo(): Int = {
+    val spark = graft.Session.build("local[4,2]", 4, "graft-fault-retry")
+    spark.sparkContext.setLogLevel("ERROR")
+    val failedAttempts = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskInfo.failed) failedAttempts.incrementAndGet()
+    })
+    // partition 3's first attempt dies mid-task; the retried attempt
+    // (attemptNumber 1) processes the same pristine partition
+    val sum = spark.sparkContext.parallelize(1 to 800, 8)
+      .map { i =>
+        val ctx = TaskContext.get()
+        if (ctx.partitionId() == 3 && ctx.attemptNumber() == 0)
+          throw new RuntimeException("planted task failure (attempt 0)")
+        i.toLong
+      }
+      .sum()
+    // listener delivery is async; bounded wait, no flaky fixed sleep
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (failedAttempts.get() < 1 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    spark.stop()
+    val ok = sum == (1 to 800).map(_.toLong).sum && failedAttempts.get() >= 1
+    println(s"RETRY result=${if (ok) "OK" else "BAD"} sum=$sum " +
+      s"failedAttempts=${failedAttempts.get()}")
+    if (ok) 0 else 1
+  }
+
+  private def jvmOpens: Seq[String] = {
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    jvmArgs.zipWithIndex.flatMap {
+      case (a, i) if a == "--add-opens" => Seq(a, jvmArgs(i + 1))
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      case _ => Nil
+    }
+  }
+
+  /** Spawn a Spark deploy daemon (Master/Worker main) as a child JVM
+    * with this JVM's classpath and module opens. `hostname` becomes the
+    * daemon's SPARK_LOCAL_HOSTNAME (see [[specDemo]] for why). */
+  private def spawnDaemon(cls: String, args: Seq[String],
+                          hostname: Option[String]): Process = {
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cmd = Seq(javaBin) ++ jvmOpens ++ Seq("-Xmx640m",
+      "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"), cls) ++ args
+    val pb = new ProcessBuilder(cmd.asJava)
+    hostname.foreach(pb.environment().put("SPARK_LOCAL_HOSTNAME", _))
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(java.io.File.createTempFile(
+      s"graft-fault-${cls.split('.').last}-", ".log"))
+    pb.start()
+  }
+
+  private def waitForPort(port: Int, secs: Int): Boolean = {
+    val deadline = System.nanoTime() + secs * 1e9.toLong
+    while (System.nanoTime() < deadline) {
+      try {
+        new java.net.Socket("127.0.0.1", port).close()
+        return true
+      } catch { case _: java.io.IOException => Thread.sleep(200) }
+    }
+    false
+  }
+
+  private def specDemo(): Int = {
+    // Spark only places a speculative copy on a DIFFERENT host than the
+    // running attempt (re-running a straggler beside itself would
+    // inherit the same slow machine — the same reason the reference
+    // hands wc_map_slow re-runs to another worker). local-cluster's
+    // in-process workers all share one hostname, so the drill builds a
+    // real two-worker standalone cluster whose workers register under
+    // distinct host strings (localhost vs 127.0.0.1).
+    val cp = sys.props("java.class.path")
+    val port = 7900 + (ProcessHandle.current().pid() % 97).toInt
+    val masterUrl = s"spark://127.0.0.1:$port"
+    val daemons = scala.collection.mutable.ListBuffer[Process]()
+    try {
+      daemons += spawnDaemon("org.apache.spark.deploy.master.Master",
+        Seq("--host", "127.0.0.1", "--port", port.toString,
+          "--webui-port", "0"), hostname = Some("127.0.0.1"))
+      if (!waitForPort(port, 30)) {
+        System.err.println("master did not come up"); return 1
+      }
+      daemons += spawnDaemon("org.apache.spark.deploy.worker.Worker",
+        Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
+          masterUrl), hostname = Some("localhost"))
+      daemons += spawnDaemon("org.apache.spark.deploy.worker.Worker",
+        Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
+          masterUrl), hostname = Some("127.0.0.1"))
+      val spark = graft.Session.build(masterUrl, 4,
+        "graft-fault-speculation", Map(
+          // tight knobs so the drill finishes in seconds; production
+          // keeps the Session defaults
+          "spark.speculation.interval" -> "100ms",
+          "spark.speculation.multiplier" -> "1.5",
+          "spark.speculation.quantile" -> "0.5",
+          "spark.locality.wait" -> "0s",
+          "spark.driver.host" -> "127.0.0.1",
+          "spark.executor.memory" -> "768m",
+          "spark.cores.max" -> "2",
+          "spark.executor.extraClassPath" -> cp,
+          "spark.executor.extraJavaOptions" -> jvmOpens.mkString(" "),
+        ))
+      spark.sparkContext.setLogLevel("WARN")
+      val speculative = new AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskStart(e: SparkListenerTaskStart): Unit =
+          if (e.taskInfo.speculative) speculative.incrementAndGet()
+      })
+      val t0 = System.nanoTime()
+      // partition 7's FIRST attempt stalls 60 s (wc_map_slow.sh's
+      // sleep; ONE sleep per task attempt, not per element); the
+      // speculative attempt has a fresh attempt number and is instant,
+      // so a working straggler re-launch finishes the job in seconds
+      val sum = spark.sparkContext.parallelize(1 to 800, 8)
+        .mapPartitionsWithIndex { (pid, it) =>
+          if (pid == 7 && TaskContext.get().attemptNumber() == 0)
+            Thread.sleep(60000)
+          it.map(_.toLong)
+        }
+        .sum()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (speculative.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      spark.stop()
+      val ok = sum == (1 to 800).map(_.toLong).sum &&
+        speculative.get() >= 1 && secs < 55
+      println(f"SPECULATION result=${if (ok) "OK" else "BAD"} sum=$sum " +
+        f"speculativeStarts=${speculative.get()} secs=$secs%.1f")
+      if (ok) 0 else 1
+    } finally daemons.foreach(_.destroyForcibly())
+  }
+
+  def main(args: Array[String]): Unit =
+    sys.exit(args.headOption.getOrElse("retry") match {
+      case "retry"       => retryDemo()
+      case "speculation" => specDemo()
+      case other => System.err.println(s"unknown mode: $other"); 2
+    })
+}
