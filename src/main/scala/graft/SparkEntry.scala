@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Eventing.queries ++
     operators.Skew.queries ++
     sources.FileFormats.queries ++
+    sources.Jdbc.queries ++
     functions.Aggregators.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
