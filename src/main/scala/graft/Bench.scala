@@ -20,12 +20,6 @@ object Bench {
     val spark = Session.build(s"local[$cpus]", cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up action outside the timed loop: JVM/codegen/parquet-footer
-    // warm-up otherwise lands on whichever query happens to run first
-    // (q06 absorbed ~6 s of it in round 1).
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: $e") }
-
     // Optional comma-separated subset for local iteration,
     // e.g. SPARK_GRAFT_ONLY=q30_minhash_lsh,q32_ngram_jaccard
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -41,6 +35,16 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // Warm-up action outside the timed loop: JVM/codegen/parquet-footer
+    // warm-up otherwise lands on whichever query happens to run first
+    // (q06 absorbed ~6 s of it in round 1). Warm up with the FIRST
+    // SELECTED query so subset runs touch the tables they'll time.
+    selected.headOption.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count(); spark.catalog.clearCache() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up ($name) failed: $e") }
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {

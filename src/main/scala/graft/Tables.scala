@@ -41,7 +41,7 @@ object Tables {
     // throws PARQUET_TYPE_ILLEGAL. Idempotent — a no-op on sessions
     // from graft.Session.build, and never re-set once true.
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!s.conf.getOption(nanosKey).contains("true")) s.conf.set(nanosKey, "true")
+    if (s.conf.getOption(nanosKey).isEmpty) s.conf.set(nanosKey, "true")
     // integer `div`, not `/`: double division can round UP by 1 µs on
     // epoch-nanos magnitudes, diverging from DuckDB's truncation
     apply(s, d, "events")

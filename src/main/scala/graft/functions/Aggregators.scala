@@ -20,8 +20,11 @@ object Aggregators {
   object WeightedAvgPrice
       extends Aggregator[(Double, Double), (Long, Long), Double] {
     def zero: (Long, Long) = (0L, 0L)
+    // math.round (not toLong truncation) for the quantity so the
+    // double→long conversion matches the oracle's CAST(... AS BIGINT)
+    // rounding on non-integral quantities, not only TPC-H integers
     def reduce(b: (Long, Long), a: (Double, Double)): (Long, Long) =
-      (b._1 + math.round(a._1 * 100) * a._2.toLong, b._2 + a._2.toLong)
+      (b._1 + math.round(a._1 * 100) * math.round(a._2), b._2 + math.round(a._2))
     def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
       (x._1 + y._1, x._2 + y._2)
     def finish(b: (Long, Long)): Double = (b._1 / 100.0) / b._2

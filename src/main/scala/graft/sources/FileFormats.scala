@@ -23,14 +23,30 @@ import graft.{Q, Tables}
   */
 object FileFormats {
 
+  /** JVM-scoped scratch root, recursively deleted at exit — repeated
+    * bench/verify loops must not accumulate a written table copy per
+    * invocation in /tmp. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sources-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val stream = Files.walk(root)
+      try stream.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally stream.close()
+    }))
+    root
+  }
+
   /** Write `table` out in `fmt`, read it back with the original schema.
-    * The directory is per-invocation (fresh temp dir) — a fixed path
-    * would race between concurrent processes overwriting and reading
-    * the same files. */
+    * The directory is per-invocation (fresh subdir of the scratch
+    * root) — a fixed path would race between concurrent suites
+    * overwriting and reading the same files. */
   private def roundTrip(s: SparkSession, d: String, table: String,
                         fmt: String): DataFrame = {
     val src = Tables(s, d, table)
-    val dir = java.nio.file.Files.createTempDirectory("graft-sources-")
+    val dir = java.nio.file.Files.createTempDirectory(scratchRoot, table)
       .toString + s"/$table.$fmt"
     fmt match {
       case "csv" =>
