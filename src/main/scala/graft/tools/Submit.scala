@@ -18,7 +18,9 @@ object Submit {
 
   private val usage =
     """usage: graft.tools.Submit [--input|-i DIR] [--output|-o DIR]
-      |  [--mapper|-m EXEC] [--reducer|-r EXEC] [--nmappers N] [--nreducers N]""".stripMargin
+      |  [--mapper|-m EXEC] [--reducer|-r EXEC] [--nmappers N] [--nreducers N]
+      |  [--job <next job's flags> ...]
+      |`--job` separates job specs; jobs run FIFO in submission order.""".stripMargin
 
   /** A parsed job spec, defaults matching submit.py's. */
   final case class Job(
@@ -28,6 +30,20 @@ object Submit {
       reducer: String = "tests/testdata/exec/wc_reduce.sh",
       numMappers: Int = 2,
       numReducers: Int = 2)
+
+  /** Split argv into job specs on `--job` separators (each group gets
+    * its own defaults) — the CLI form of the reference manager's FIFO
+    * job queue (`/root/reference/mapreduce/manager/__main__.py:29,
+    * 51-57`): jobs run strictly in submission order, each reading its
+    * own input and writing its own output directory. */
+  def parseJobs(args: Array[String]): Seq[Job] = {
+    val groups = args.foldLeft(List(Vector.empty[String])) {
+      case (acc, "--job")  => Vector.empty[String] :: acc
+      case (h :: t, a)     => (h :+ a) :: t
+      case (Nil, a)        => List(Vector(a))
+    }.reverse
+    groups.map(g => parse(g.toArray))
+  }
 
   def parse(args: Array[String]): Job = {
     def intArg(v: String, flag: String): Int =
@@ -70,13 +86,18 @@ object Submit {
       numReducers = job.numReducers, numMappers = Some(job.numMappers))
 
   def main(args: Array[String]): Unit = {
-    val job = parse(args)
+    val jobs = parseJobs(args)
     val spark = graft.Session.build("local[*]",
-      math.max(job.numReducers, 4), "graft-submit")
+      math.max(jobs.map(_.numReducers).max, 4), "graft-submit")
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, job)
-    println(s"[submit] job done: ${job.input} -> ${job.output} " +
-      s"(M=${job.numMappers}, R=${job.numReducers})")
+    // FIFO: strictly sequential Spark actions, job i+1 starts only
+    // after job i's sink is fully written (the manager's queue, A11)
+    jobs.zipWithIndex.foreach { case (job, i) =>
+      run(spark, job)
+      println(s"[submit] job ${i + 1}/${jobs.length} done: " +
+        s"${job.input} -> ${job.output} " +
+        s"(M=${job.numMappers}, R=${job.numReducers})")
+    }
     spark.stop()
   }
 }
