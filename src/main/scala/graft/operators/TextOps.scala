@@ -202,6 +202,117 @@ object TextOps {
         .filter(length(col("tok")) > 3)
     },
 
+    // ----- end-to-end corpus curation: dedup ∘ quality ∘ langid ∘ length ----
+    // The composition a training-data pipeline actually runs, as ONE
+    // declarative plan Catalyst can globally optimize (no materialized
+    // intermediate per stage): exact-dedup survivors (min doc_id per
+    // normalized-content hash), language agreement between the declared
+    // label and the n-gram heuristic, and quality/length gates. All
+    // components reuse the single-operator queries' exact expressions,
+    // so this also pins their composability.
+    Q("q62_corpus_curation",
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS tok_chars,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM t GROUP BY fp),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    0.5 * (CAST(len(list_filter(toks,
+        |          x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(toks))
+        |      + 0.3 * (CAST(tok_chars AS DOUBLE) / len(toks) / 10.0)
+        |      + 0.2 * (CAST(punct_cnt AS DOUBLE) / len(toks)) AS quality,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS BIGINT) AS en_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS BIGINT) AS de_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS BIGINT) AS fr_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','los','y','las'))) AS BIGINT) AS es_cnt
+        |  FROM t)
+        |SELECT s.doc_id, s.n_tokens, s.quality
+        |FROM scored s JOIN keep k ON s.doc_id = k.doc_id
+        |WHERE s.lang = 'en'
+        |  AND s.en_cnt >= s.de_cnt AND s.en_cnt >= s.fr_cnt AND s.en_cnt >= s.es_cnt
+        |  AND s.n_tokens BETWEEN 20 AND 80
+        |  AND s.quality >= 0.15""".stripMargin) { (s, d) =>
+      val toks = tokens
+      val nTokens = size(toks).cast("long")
+      val stopCnt = stopCount(toks, Seq("the", "a", "of", "and", "to"))
+      val punctCnt = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
+      val tokChars = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val quality = lit(0.5) * (stopCnt.cast("double") / nTokens) +
+        lit(0.3) * (tokChars.cast("double") / nTokens / lit(10.0)) +
+        lit(0.2) * (punctCnt.cast("double") / nTokens)
+      val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        .cast("binary"))
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), fp.as("fp"),
+        nTokens.as("n_tokens"), quality.as("quality"),
+        stopCount(toks, Seq("the", "a", "and", "of")).as("en_cnt"),
+        stopCount(toks, Seq("der", "die", "und", "das")).as("de_cnt"),
+        stopCount(toks, Seq("le", "la", "et", "les")).as("fr_cnt"),
+        stopCount(toks, Seq("el", "los", "y", "las")).as("es_cnt"))
+      val keep = scored.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      scored
+        .join(keep, Seq("doc_id"), "left_semi")
+        .filter(col("lang") === "en" &&
+          col("en_cnt") >= col("de_cnt") && col("en_cnt") >= col("fr_cnt") &&
+          col("en_cnt") >= col("es_cnt") &&
+          col("n_tokens").between(20, 80) && col("quality") >= 0.15)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+    },
+
+    // ----- TF-IDF: top-3 terms per document ---------------------------------
+    // Classic corpus statistics as two partial-aggregating groupBys (tf
+    // over (doc, tok), df over tok) joined back, then a per-doc top-k
+    // window. The idf uses NO transcendental function: the score is the
+    // exact rational tf·(N+1)/(df+1) evaluated as one IEEE division of
+    // two exact integers — correctly rounded, hence bit-identical in
+    // both engines (an ln() could differ in the last ulp between libms
+    // and flip a rank).
+    Q("q63_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, l[i] AS tok
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+        |        FROM documents) t
+        |  CROSS JOIN unnest(range(1, len(l) + 1)) AS u(i)
+        |  WHERE length(l[i]) > 3),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        |scored AS (
+        |  SELECT doc_id, tok, tf, df,
+        |    CAST(tf * (n_docs + 1) AS DOUBLE) / (df + 1) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  score, CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, tok) AS rk FROM scored) r
+        |WHERE rk <= 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val nDocs = Tables.documents(s, d).count()
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .filter(length(col("tok")) > 3)
+      val tf = tok.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok")
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          ((col("tf") * (nDocs + 1)).cast("double") / (col("df") + 1))
+            .as("score"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          col("score"), col("rk"))
+    },
+
     // ----- B2 coverage: wc_map.py word count (whitespace runs, case kept) ----
     // Routes through the actual MapReduce.wcMapPy mapper
     // (/root/reference/tests/testdata/exec/wc_map.py:5-8: str.split()

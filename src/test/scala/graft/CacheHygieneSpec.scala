@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted-artifact hygiene: a library caller embedding these
+  * transforms (no harness-level clearCache) must not accumulate hidden
+  * cached RDDs per invocation. The documented query-level artifacts
+  * (signature/capped-shingle tables) are catalog-managed — one
+  * clearCache releases them; inner intermediates must already be gone. */
+class CacheHygieneSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+  private def persisted = spark.sparkContext.getPersistentRDDs
+
+  private def reset(): Unit = {
+    spark.catalog.clearCache()
+    // stray localCheckpoint blocks from other suites sharing the session
+    persisted.values.foreach(_.unpersist(blocking = true))
+  }
+
+  test("the shingle transform releases its pre-cap cache itself") {
+    reset()
+    SparkEntry.queries("q32_ngram_jaccard")(spark, Spec.sfDir).count()
+    // WITHOUT any clearCache: exactly the documented artifact (the
+    // df-capped shingle table) is cached; the inner pre-cap frame was
+    // unpersisted inside the transform
+    assert(persisted.size == 1,
+      s"net persisted RDDs after q32: ${persisted.size}")
+    spark.catalog.clearCache()
+    assert(persisted.isEmpty)
+  }
+
+  test("q57 frees every superseded contraction round in-loop") {
+    reset()
+    SparkEntry.queries("q57_dup_clusters")(spark, Spec.sfDir).count()
+    spark.catalog.clearCache()
+    // single RDD-level residual: the converged edge checkpoint backing
+    // the returned labels (ContextCleaner reclaims it once the result
+    // is unreachable); all superseded rounds were freed as they lost
+    assert(persisted.size <= 1,
+      s"net persisted RDDs after q57: ${persisted.size}")
+    persisted.values.foreach(_.unpersist(blocking = false))
+  }
+}
