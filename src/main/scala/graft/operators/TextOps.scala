@@ -253,12 +253,16 @@ object TextOps {
         stopCount(toks, Seq("der", "die", "und", "das")).as("de_cnt"),
         stopCount(toks, Seq("le", "la", "et", "les")).as("fr_cnt"),
         stopCount(toks, Seq("el", "los", "y", "las")).as("es_cnt"))
-      val keep = scored.groupBy(col("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
+      // dedup survivor = min doc_id within the fp group, as a window
+      // min: ONE scan of documents and ONE shuffle (on fp) — a
+      // groupBy + semi-join back would recompute the scored lineage
+      // per branch and shuffle the full data a second time for the join
+      val keepW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"))
       scored
-        .join(keep, Seq("doc_id"), "left_semi")
-        .filter(col("lang") === "en" &&
+        .withColumn("keep_id", min(col("doc_id")).over(keepW))
+        .filter(col("doc_id") === col("keep_id") &&
+          col("lang") === "en" &&
           col("en_cnt") >= col("de_cnt") && col("en_cnt") >= col("fr_cnt") &&
           col("en_cnt") >= col("es_cnt") &&
           col("n_tokens").between(20, 80) && col("quality") >= 0.15)

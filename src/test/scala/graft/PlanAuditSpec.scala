@@ -64,6 +64,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("__salt") || p.contains("BroadcastHashJoin"))
   }
 
+  test("JDBC scan pushes the filter into the remote query and splits reads") {
+    val p = plan("q61_jdbc_source")
+    // the n_nationkey >= 5 predicate must reach the JDBC relation, not
+    // run as a post-scan Spark filter over a full-table pull
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual".r.findFirstIn(p)
+      .isDefined, p.linesIterator.find(_.contains("JDBCRelation"))
+        .getOrElse("no JDBC scan in plan"))
+    // partitioned read: one bounded remote query per task, not a single
+    // connection streaming the whole table
+    assert(p.contains("numPartitions=4"))
+  }
+
+  test("corpus curation is one documents scan (window dedup, no re-scan)") {
+    val p = plan("q62_corpus_curation")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      "dedup must not rebuild the scored lineage per branch")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files
