@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Engine extension installer (`SparkSessionExtensions`) — the
+  * mechanism the brief's custom-operator ladder names for registering
+  * native expressions/rules/strategies. Currently installs the
+  * codegen'd vector ops ([[graft.functions.VecOps]]); applied to every
+  * session built by [[Session.build]], and usable by library consumers
+  * via `spark.sql.extensions=graft.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(functions.VecOps.descriptor)
+}

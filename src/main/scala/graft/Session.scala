@@ -16,6 +16,7 @@ object Session {
             appName: String = "graft",
             extra: Map[String, String] = Map.empty): SparkSession = {
     val base = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -22,15 +22,27 @@ import graft.{Q, Tables}
   */
 object Similarity {
 
+  /** Embeddings table load that also guarantees `vec_dot` resolves on
+    * caller-built sessions (sessions from [[graft.Session.build]] get
+    * it via GraftExtensions; the registration is idempotent). */
+  private def embTable(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecOps.ensureRegistered(s)
+    Tables.embeddings(s, d)
+  }
+
   /** Quantized copy of an embedding column. */
   private def quant(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000))
 
+  /** Dot product via the native codegen'd expression
+    * ([[graft.functions.VecOps.DotProduct]]) — same index-order IEEE
+    * summation as the `aggregate(zip_with(...))` form it replaces (so
+    * every oracle hash is unchanged), minus the per-element interpreted
+    * closure dispatch of CodegenFallback higher-order functions. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecOps.vecDot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private val QUANT_SQL =
     "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
@@ -88,8 +100,7 @@ object Similarity {
   private def codeT(ev: Column, t: Int, nbits: Int): Column =
     (0 until nbits).map { b =>
       val sArr = typedLit(signs(t)(b).toSeq.map(_.toDouble))
-      val proj = aggregate(zip_with(ev, sArr, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(ev, sArr)
       when(proj > 0, 1L << b).otherwise(0L)
     }.reduce(_ + _)
 
@@ -129,7 +140,7 @@ object Similarity {
          |FROM e CROSS JOIN q
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
+      val emb = embTable(s, d)
       val q = emb.filter(col("vec_id") === 0)
         .select(quant(col("embedding")).as("qv"))
       emb.filter(col("vec_id") =!= 0)
@@ -164,8 +175,8 @@ object Similarity {
          |  t -> bit_count(xor(cs[t] & msk, qcs[t] & msk)) <= 1)) > 0
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin) { (s, d) =>
-      val nbits = numBits(Tables.embeddings(s, d).count())
-      val e = Tables.embeddings(s, d)
+      val nbits = numBits(embTable(s, d).count())
+      val e = embTable(s, d)
         .select(col("vec_id"), col("label"), quant(col("embedding")).as("ev"))
       val codes = e.select(col("vec_id"),
           explode(array(codeStructs(col("ev"), nbits): _*)).as("tc"))
@@ -225,7 +236,7 @@ object Similarity {
          |WHERE b.vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      val e = embTable(s, d)
         .select(col("vec_id"), col("label"), quant(col("embedding")).as("ev"))
       val cents = e.filter(col("vec_id").between(1, IVF_K))
         .select(col("vec_id").as("cid"), col("ev").as("cv"))
@@ -280,8 +291,8 @@ object Similarity {
       // 64-dim quantized vector 8× through the bucket join trades
       // shuffle bytes for two join stages — the right trade while
       // vector payloads stay ~0.5 KB.
-      val nbits = numBits(Tables.embeddings(s, d).count())
-      val e = Tables.embeddings(s, d)
+      val nbits = numBits(embTable(s, d).count())
+      val e = embTable(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("ev"))
       // persist the coded rows: both self-join sides read them, and the
       // (NUM_TABLES × nbits)-projection code computation must run once

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VecOps
+
+/** The native dot-product expression must be a drop-in for the
+  * higher-order-function form: identical values (same index-order IEEE
+  * summation), working codegen path, sane null/type behavior. */
+class VecOpsSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+  import spark.implicits._
+
+  test("vec_dot equals the aggregate(zip_with) form on real vectors") {
+    val e = Tables.embeddings(spark, Spec.sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ev"))
+    val both = e.select(
+      VecOps.vecDot(col("ev"), col("ev")).as("native"),
+      aggregate(zip_with(col("ev"), col("ev"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("vec_dot generates real code (not CodegenFallback) and null-propagates") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val expr = VecOps.DotProduct(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      BoundReference(1, ArrayType(DoubleType), nullable = true))
+    // doGenCode must produce the fused loop, not an interpreted call
+    val code = expr.genCode(new CodegenContext).code.toString
+    assert(code.contains("numElements") && code.contains("getDouble"))
+    // null array → null result (BinaryExpression contract)
+    val r = Seq((Seq(1.0, 2.0), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+      .select(VecOps.vecDot(col("a"), col("b")))
+      .collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("vec_dot rejects non-double-array arguments at analysis time") {
+    val bad = Seq((Seq("x"), Seq(1.0))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      bad.select(VecOps.vecDot(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("mismatched lengths fold over the common prefix") {
+    val r = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0)))
+      .toDF("a", "b")
+      .select(VecOps.vecDot(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(r == 50.0)
+  }
+}
