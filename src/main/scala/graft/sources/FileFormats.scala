@@ -69,6 +69,51 @@ object FileFormats {
         .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
     },
 
+    // ----- corrupt-tolerant JSON ingestion ---------------------------------
+    // Web-scale scraped data always contains malformed records; an
+    // ingest that dies on the first bad byte (or silently drops rows)
+    // is unusable at 100 TB. `from_json` in its default PERMISSIVE mode
+    // yields null fields for unparsable payloads, so validity is a
+    // per-row predicate and the query accounts for every input row:
+    // n_valid + n_corrupt = n_total is auditable per group. The corpus
+    // is synthesized in-plan (JSON built per doc, deliberately
+    // truncated for doc_id % 7 = 0) so the oracle constructs the
+    // byte-identical input and judges validity with json_valid.
+    Q("q64_corrupt_json",
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    '{"id": ' || doc_id || ', "lang": "' || lang || '"}' AS payload
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN substr(payload, 1, length(payload) - 1)
+        |         ELSE payload END AS payload FROM p),
+        |j AS (SELECT lang,
+        |    CASE WHEN json_valid(payload)
+        |         THEN CAST(json_extract(payload, '$.id') AS BIGINT) END AS pid
+        |  FROM c)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(pid) AS BIGINT) AS n_valid,
+        |  CAST(count(*) - count(pid) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(pid) AS BIGINT) AS sum_valid_ids
+        |FROM j GROUP BY lang""".stripMargin) { (s, d) =>
+      val payload = concat(lit("{\"id\": "), col("doc_id").cast("string"),
+        lit(", \"lang\": \""), col("lang"), lit("\"}"))
+      val corrupted = when(col("doc_id") % 7 === 0,
+        expr("substring(payload, 1, length(payload) - 1)"))
+        .otherwise(col("payload"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), payload.as("payload"))
+        .select(col("lang"), corrupted.as("payload"))
+        .select(col("lang"),
+          from_json(col("payload"), org.apache.spark.sql.types.StructType
+            .fromDDL("id BIGINT, lang STRING")).as("parsed"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("parsed.id")).as("n_valid"),
+          (count(lit(1)) - count(col("parsed.id"))).as("n_corrupt"),
+          sum(col("parsed.id")).as("sum_valid_ids"))
+    },
+
     Q("q43_json_source",
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
         |  min(s_name) AS first_name,
