@@ -295,7 +295,9 @@ object Dedup {
          |FROM cand
          |ORDER BY hamming, doc_a, doc_b
          |LIMIT 20""".stripMargin) { (s, d) =>
-      val sh = simhashes(s, d)
+      // both self-join sides read the fingerprint table; without the
+      // persist the full explode+aggregate lineage runs once per branch
+      val sh = simhashes(s, d).persist()
       val bandCols = (0 until 4).map { b =>
         struct(lit(b).as("b"),
           shiftright(col("simhash16"), 4 * b).bitwiseAND(15).cast("int")
@@ -351,8 +353,12 @@ object Dedup {
          |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          |FROM r GROUP BY node""".stripMargin) { (s, d) =>
       val rows = bandRows(Tables.documents(s, d).count())
+      // the signature table feeds BOTH sides of the band self-join;
+      // persist for the edge build, release right after the checkpoint
+      // (which cuts the lineage) so nothing outlives the query
+      val sigs = minhashSigs(s, d).persist()
       // undirected candidate edges, one row per pair, big > small
-      val edges0 = bandPairs(bandSignatures(minhashSigs(s, d), rows), _ < _)
+      val edges0 = bandPairs(bandSignatures(sigs, rows), _ < _)
         .select(col("doc_b").as("big"), col("doc_a").as("small"))
       val sc = s.sparkContext
       // localCheckpoint blocks live at the RDD level (outside the
@@ -361,6 +367,7 @@ object Dedup {
       def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
       var before = persistedIds
       var edges = edges0.localCheckpoint()
+      sigs.unpersist(blocking = false)
       var edgeIds = persistedIds -- before
       // Converged ⟺ the edge set is a star forest: every source has
       // exactly one target and no target is itself a source. Checked on

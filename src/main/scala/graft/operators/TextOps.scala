@@ -301,10 +301,14 @@ object TextOps {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens).as("tok"))
         .filter(length(col("tok")) > 3)
+      // tf is unique on (doc, tok), so df is a plain count over tf — no
+      // second explode pass and no count-distinct; persisted because the
+      // join reads tf for both its own rows and the df build
       val tf = tok.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy(col("tok"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .persist()
+      val df = tf.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok"))
       tf.join(df, "tok")
