@@ -102,7 +102,7 @@ object Dedup {
     * this hash family), capped at 6 rows (2 bands).
     * n ≤ 3 200 → r=2 · n ≤ 25 600 → r=3 · n ≤ 204 800 → r=4 · else r=6. */
   private val BAND_ROW_CHOICES = Seq(2, 3, 4, 6)
-  private def bandRows(n: Long): Int =
+  private[graft] def bandRows(n: Long): Int =
     BAND_ROW_CHOICES.find(r => n <= 50L * (1L << (3 * r))).getOrElse(6)
 
   /** The same derivation as [[bandRows]] in DuckDB SQL (a `nr` CTE each

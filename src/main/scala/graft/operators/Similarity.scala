@@ -73,7 +73,7 @@ object Similarity {
 
   /** Smallest code width b with n ≤ TARGET_BUCKET·2^b (integer-exact;
     * monotone in n). n ≤ 512 → 6 bits · n ≤ 2 048 → 8 · n ≤ 65 536 → 13. */
-  private def numBits(n: Long): Int =
+  private[graft] def numBits(n: Long): Int =
     (1 to MAX_BITS).find(b => n <= (TARGET_BUCKET.toLong << b)).getOrElse(MAX_BITS)
 
   /** [[numBits]] as SQL: the derived width `nb` and the low-bits mask

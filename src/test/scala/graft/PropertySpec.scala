@@ -69,6 +69,25 @@ class PropertySpec extends AnyFunSuite {
     }, n = 3)
   }
 
+  test("LSH parameter derivations are monotone with exact boundaries") {
+    import graft.operators.{Dedup, Similarity}
+    // band rows: n ≤ 50·8^r picks the smallest divisor r of 12
+    assert(Dedup.bandRows(1) == 2)
+    assert(Dedup.bandRows(3200) == 2 && Dedup.bandRows(3201) == 3)
+    assert(Dedup.bandRows(25600) == 3 && Dedup.bandRows(25601) == 4)
+    assert(Dedup.bandRows(204800) == 4 && Dedup.bandRows(204801) == 6)
+    assert(Dedup.bandRows(Long.MaxValue) == 6)
+    // code width: smallest b with n ≤ 8·2^b
+    assert(Similarity.numBits(1) == 1)
+    assert(Similarity.numBits(512) == 6 && Similarity.numBits(513) == 7)
+    assert(Similarity.numBits(2048) == 8 && Similarity.numBits(2049) == 9)
+    assert(Similarity.numBits(Long.MaxValue) == 16)
+    // monotone: more data never means a WIDER bucket
+    val ns = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+    assert(ns.map(Dedup.bandRows) == ns.map(Dedup.bandRows).sorted)
+    assert(ns.map(Similarity.numBits) == ns.map(Similarity.numBits).sorted)
+  }
+
   test("salting replicates the dim side for hot keys ONLY") {
     import Spec.spark.implicits._
     import org.apache.spark.sql.functions._
