@@ -321,6 +321,38 @@ object TextOps {
           col("score"), col("rk"))
     },
 
+    // ----- deterministic stratified train/val/test split ---------------------
+    // Dataset releases need splits that are STABLE across reruns,
+    // partitionings, and engines — sampling by rand() gives none of
+    // that. Assignment hashes the doc id (md5 hex → integer in [0,100):
+    // both engines compute the identical bucket) into 80/10/10, and the
+    // query reports the per-language composition so stratification skew
+    // is auditable. Adding documents never reassigns existing ones —
+    // the property that keeps eval sets uncontaminated over time.
+    Q("q65_stratified_split",
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    CASE WHEN b % 100 < 80 THEN 'train'
+        |         WHEN b % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM h)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY lang, split""".stripMargin) { (s, d) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 2), 16, 10).cast("long") % 100
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ----- B2 coverage: wc_map.py word count (whitespace runs, case kept) ----
     // Routes through the actual MapReduce.wcMapPy mapper
     // (/root/reference/tests/testdata/exec/wc_map.py:5-8: str.split()
