@@ -251,8 +251,15 @@ object Multimodal {
         |CROSS JOIN unnest(range(0, 16 + d.doc_id % 17)) AS x(x)
         |GROUP BY d.doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
+      // codec work is CPU-bound per row, and a small parquet input is
+      // one split → one task → one core doing every decode. Repartition
+      // the (tiny) id rows to the session's parallelism BEFORE the
+      // codec stages: the shuffle moves longs, the decode uses every
+      // core — the partition count of a codec stage must track cores,
+      // not input bytes.
       Tables.documents(s, d)
         .select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map(id =>
           MediaRow(id, "png", MediaCodec.synthPng(id))))
         .mapPartitions(MediaCodec.decodePng _)
@@ -276,8 +283,10 @@ object Multimodal {
         |  CAST(44 + (256 + doc_id % 256) * 2 AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin) { (s, d) =>
       import s.implicits._
+      // same core-matched repartition as q37 — see the comment there
       Tables.documents(s, d)
         .select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map(id =>
           MediaRow(id, "wav", MediaCodec.synthWav(id))))
         .mapPartitions(MediaCodec.decodeWav _)
@@ -293,8 +302,10 @@ object Multimodal {
         |  CAST(8 AS INTEGER) AS thumb_w, CAST(8 AS INTEGER) AS thumb_h
         |FROM documents""".stripMargin) { (s, d) =>
       import s.implicits._
+      // same core-matched repartition as q37 — see the comment there
       Tables.documents(s, d)
         .select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map(id =>
           MediaRow(id, "png", MediaCodec.synthPng(id))))
         .mapPartitions(MediaCodec.thumbnail _)
