@@ -35,12 +35,15 @@ object Dedup {
     val n = size(t)
     val idx = when(n >= 3, sequence(lit(0), n - 3))
       .otherwise(array().cast("array<int>"))
+    // per-doc dedup happens in the ARRAY (array_distinct) before the
+    // explode — the distinct set is identical to a global
+    // DISTINCT (doc_id, shingle) but costs zero shuffle: dedup is
+    // within-row, so no row ever needs to meet another
     Tables.documents(s, d)
       .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), explode(transform(idx, i =>
-        concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2))))
+      .select(col("doc_id"), explode(array_distinct(transform(idx, i =>
+        concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2)))))
         .as("shingle"))
-      .distinct()
   }
 
   private val SHINGLE_SQL =
