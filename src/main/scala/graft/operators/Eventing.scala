@@ -33,6 +33,31 @@ object Eventing {
       Streams.tumblingCounts(Tables.events(s, d), "5 minutes")
     },
 
+    // ----- navigation analytics: lag / lead / ntile over user timelines ----
+    // Inter-event gaps and time-to-next per user plus quartile position
+    // within each timeline — all integer-microsecond arithmetic, with
+    // the window order made unique by (t, event_id) so ntile bucket
+    // assignment cannot differ between engines on ties.
+    Q("q66_lead_lag",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(t - lag(t) OVER w AS BIGINT) AS gap_us,
+        |  CAST(lead(t) OVER w - t AS BIGINT) AS next_us,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t"))
+          .select(col("user_id"), col("event_id"),
+            (col("t") - lag(col("t"), 1).over(w)).as("gap_us"),
+            (lead(col("t"), 1).over(w) - col("t")).as("next_us"),
+            ntile(4).over(w).as("quartile"))
+    },
+
     // ----- gap-based sessionization (batch mirror of the stateful op) ------
     Q("q39_sessionize",
       """WITH x AS (

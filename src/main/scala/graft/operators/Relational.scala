@@ -406,6 +406,58 @@ object Relational {
             col("approx_median") <= col("p55")).as("median_within_bounds"))
     },
 
+    // ----- statistical aggregates from exact integer sums ------------------
+    // Variance/correlation via built-in corr()/stddev() would hash-
+    // mismatch across engines: their streaming (Welford) updates
+    // accumulate doubles in partition order. Instead the five raw sums
+    // are EXACT BIGINTs over integer-quantized inputs (every product
+    // bounded well under 2^63), and the textbook formulas then run in
+    // doubles with the identical expression tree in both engines —
+    // correctly-rounded IEEE ops on identical inputs, so results match
+    // bit-for-bit while the aggregation itself stays one
+    // partial-aggregating pass, merge-order independent.
+    Q("q67_exact_stats",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    sum(CAST(round(l_extendedprice) AS BIGINT)
+        |      * CAST(round(l_extendedprice) AS BIGINT)) AS syy,
+        |    sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS stddev_qty,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+        |FROM s""".stripMargin) { (s, d) =>
+      val qi = col("l_quantity").cast("bigint")
+      val pi = round(col("l_extendedprice")).cast("bigint")
+      val stats = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(qi).as("sx"), sum(pi).as("sy"),
+          sum(qi * qi).as("sxx"), sum(pi * pi).as("syy"),
+          sum(qi * pi).as("sxy"))
+      val nD = col("n").cast("double")
+      val d2 = (c: Column) => c.cast("double")
+      stats.select(col("l_returnflag"), col("n"),
+        sqrt((nD * d2(col("sxx")) - d2(col("sx")) * d2(col("sx")))
+          / (nD * d2(col("n") - 1))).as("stddev_qty"),
+        ((nD * d2(col("sxy")) - d2(col("sx")) * d2(col("sy")))
+          / (sqrt(nD * d2(col("sxx")) - d2(col("sx")) * d2(col("sx")))
+            * sqrt(nD * d2(col("syy")) - d2(col("sy")) * d2(col("sy")))))
+          .as("corr_qty_price"))
+    },
+
     // ----- PIVOT: long→wide with an explicit column list -------------------
     // The pivot values are declared (not discovered) so the plan needs
     // no extra distinct pass; absent combinations are 0, not null, to

@@ -55,6 +55,9 @@ object FileFormats {
       case "json" =>
         src.write.mode("overwrite").json(dir)
         s.read.schema(src.schema).json(dir)
+      case "orc" =>
+        src.write.mode("overwrite").orc(dir)
+        s.read.schema(src.schema).orc(dir)
     }
   }
 
@@ -67,6 +70,20 @@ object FileFormats {
       roundTrip(s, d, "nation", "csv")
         .groupBy(col("n_regionkey"))
         .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+    },
+
+    // ----- ORC: the second columnar format ---------------------------------
+    // Binary/columnar like parquet, so doubles are bit-exact carriers
+    // (unlike the text formats, whose checked aggregates stick to
+    // int/string): min/max over c_acctbal is safe here.
+    Q("q68_orc_source",
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  min(c_name) AS first_name, max(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      roundTrip(s, d, "customer", "orc")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), min(col("c_name")).as("first_name"),
+          max(col("c_acctbal")).as("max_bal"))
     },
 
     // ----- corrupt-tolerant JSON ingestion ---------------------------------
