@@ -429,6 +429,83 @@ object Dedup {
           coalesce(col("cl"), col("doc_id")).as("cluster_id"))
     },
 
+    // ----- PageRank over the near-dup graph (fixed-point integer) ----------
+    // Graph analytics beyond components: importance within the LSH
+    // similarity graph (documents central to big near-dup families
+    // are prime dedup-review candidates). All arithmetic is integer
+    // micro-units with floor division — Σ floor(rank/deg) then
+    // damping as (850·m) div 1000 — so a fixed number of iterations
+    // is bit-identical in both engines (float PageRank would differ
+    // by summation order). The oracle UNROLLS the iterations as
+    // generated CTEs: recursive CTEs cannot aggregate in the
+    // recursive member, and unrolling keeps the SQL static. Each
+    // Spark round is one join + one partial aggregate on a
+    // lineage-truncated frame — the q57 iteration machinery.
+    Q("q69_pagerank", {
+      val iters = 5
+      val step = (k: Int) =>
+        s"""r$k AS (
+           |  SELECT n.node,
+           |    CAST(150000 + (850 * coalesce(s.m, 0)) // 1000 AS BIGINT) AS rank
+           |  FROM r${k - 1} n LEFT JOIN (
+           |    SELECT e.eb AS node, sum(r.rank // d.deg) AS m
+           |    FROM edges e
+           |    JOIN r${k - 1} r ON r.node = e.ea
+           |    JOIN deg d ON d.ea = e.ea
+           |    GROUP BY e.eb) s ON s.node = n.node)"""
+      s"""WITH sigs AS ($MINHASH_SIGS_SQL),
+         |nr AS ($NR_SQL),
+         |bands AS ($BANDS_SQL),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id <> b.doc_id),
+         |deg AS (SELECT ea, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY ea),
+         |r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS rank
+         |       FROM documents),
+         |${(1 to iters).map(step).mkString(",\n")}
+         |SELECT node AS doc_id, rank AS pagerank_micro FROM r$iters""".stripMargin
+    }) { (s, d) =>
+      val iters = 5
+      val rows = bandRows(Tables.documents(s, d).count())
+      val sigs = minhashSigs(s, d).persist()
+      val sc = s.sparkContext
+      def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+      var before = persistedIds
+      // symmetric directed edges with the source's out-degree attached
+      // once (the join constant of every iteration)
+      val edgesRaw = bandPairs(bandSignatures(sigs, rows), _ =!= _)
+        .select(col("doc_a").as("ea"), col("doc_b").as("eb"))
+      val edges = edgesRaw
+        .join(edgesRaw.groupBy(col("ea")).agg(count(lit(1)).as("deg")), "ea")
+        .localCheckpoint()
+      sigs.unpersist(blocking = false)
+      var edgeIds = persistedIds -- before
+      var ranks = Tables.documents(s, d)
+        .select(col("doc_id").as("node"), lit(1000000L).as("rank"))
+        .localCheckpoint()
+      var rankIds = persistedIds -- before -- edgeIds
+      (1 to iters).foreach { _ =>
+        val contrib = edges.join(ranks, col("ea") === col("node"))
+          .select(col("eb"), expr("rank div deg").as("c"))
+          .groupBy(col("eb")).agg(sum(col("c")).as("m"))
+        before = persistedIds
+        val next = Tables.documents(s, d).select(col("doc_id").as("node"))
+          .join(contrib, col("node") === col("eb"), "left")
+          .select(col("node"),
+            (lit(150000L) + expr("(850 * coalesce(m, 0)) div 1000")).as("rank"))
+          .localCheckpoint()
+        val nextIds = persistedIds -- before
+        rankIds.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        ranks = next
+        rankIds = nextIds
+      }
+      edgeIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      ranks.select(col("node").as("doc_id"), col("rank").as("pagerank_micro"))
+    },
+
     // ----- n-gram Jaccard via inverted-index join over df-capped shingles ----
     // The inverted index is built on the df-capped shingle set: a
     // stop-shingle ("of the and") shared by k docs would contribute k²
