@@ -234,9 +234,9 @@ object Dedup {
     // est_jaccard is then the matching-minhash fraction over all
     // NUM_HASHES, computed only for candidates.
     Q("q30_minhash_lsh",
-      s"""WITH sigs AS ($MINHASH_SIGS_SQL),
+      s"""WITH sigs AS MATERIALIZED ($MINHASH_SIGS_SQL),
          |nr AS ($NR_SQL),
-         |bands AS ($BANDS_SQL),
+         |bands AS MATERIALIZED ($BANDS_SQL),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
@@ -342,9 +342,9 @@ object Dedup {
     // recursive-CTE oracle computes, deterministic regardless of
     // iteration order.
     Q("q57_dup_clusters",
-      s"""WITH RECURSIVE sigs AS ($MINHASH_SIGS_SQL),
+      s"""WITH RECURSIVE sigs AS MATERIALIZED ($MINHASH_SIGS_SQL),
          |nr AS ($NR_SQL),
-         |bands AS ($BANDS_SQL),
+         |bands AS MATERIALIZED ($BANDS_SQL),
          |edges AS (
          |  SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
          |  FROM bands a JOIN bands b
@@ -453,9 +453,9 @@ object Dedup {
            |    JOIN r${k - 1} r ON r.node = e.ea
            |    JOIN deg d ON d.ea = e.ea
            |    GROUP BY e.eb) s ON s.node = n.node)"""
-      s"""WITH sigs AS ($MINHASH_SIGS_SQL),
+      s"""WITH sigs AS MATERIALIZED ($MINHASH_SIGS_SQL),
          |nr AS ($NR_SQL),
-         |bands AS ($BANDS_SQL),
+         |bands AS MATERIALIZED ($BANDS_SQL),
          |edges AS (
          |  SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
          |  FROM bands a JOIN bands b

@@ -164,7 +164,7 @@ object Similarity {
       s"""WITH e AS (
          |  SELECT vec_id, label, $QUANT_SQL AS ev FROM embeddings),
          |nb AS ($NB_SQL),
-         |c AS (SELECT vec_id, label, ev, $codesArraySql AS cs FROM e),
+         |c AS MATERIALIZED (SELECT vec_id, label, ev, $codesArraySql AS cs FROM e),
          |q AS (SELECT ev AS qv, cs AS qcs FROM c WHERE vec_id = 0)
          |SELECT vec_id, label,
          |  list_sum(list_transform(range(1, ${DIM + 1}), i -> ev[i] * qv[i]))
@@ -273,14 +273,19 @@ object Similarity {
       s"""WITH e AS (
          |  SELECT vec_id, $QUANT_SQL AS ev FROM embeddings),
          |nb AS ($NB_SQL),
-         |c AS (SELECT vec_id, ev, $codesArraySql AS cs FROM e)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |c AS MATERIALIZED (SELECT vec_id, ev, $codesArraySql AS cs FROM e),
+         |u AS MATERIALIZED (
+         |  SELECT vec_id, t, cs[t] & msk AS code
+         |  FROM c, nb CROSS JOIN unnest(range(1, ${NUM_TABLES + 1})) AS tt(t)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM u a JOIN u b
+         |    ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id)
+         |SELECT va AS vec_a, vb AS vec_b,
          |  list_sum(list_transform(range(1, ${DIM + 1}), i -> a.ev[i] * b.ev[i]))
          |    / (sqrt(list_sum(list_transform(a.ev, x -> x * x)))
          |       * sqrt(list_sum(list_transform(b.ev, x -> x * x)))) AS cos_sim
-         |FROM c a JOIN c b ON a.vec_id < b.vec_id CROSS JOIN nb
-         |WHERE len(list_filter(range(1, ${NUM_TABLES + 1}),
-         |  t -> (a.cs[t] & msk) = (b.cs[t] & msk))) > 0
+         |FROM cand JOIN c a ON a.vec_id = va JOIN c b ON b.vec_id = vb
          |ORDER BY cos_sim DESC, vec_a, vec_b
          |LIMIT 20""".stripMargin) { (s, d) =>
       // Canonical-table pairing: each row carries its full code array
