@@ -321,6 +321,42 @@ object TextOps {
           col("score"), col("rk"))
     },
 
+    // ----- context-window chunking (fixed token windows with overlap) --------
+    // Long documents become training examples as overlapping token
+    // windows: starts every STRIDE tokens, each chunk up to CHUNK
+    // tokens (the tail keeps its natural shorter length). Emitted as
+    // (doc, chunk_idx, token count, md5 fingerprint) — the fingerprint
+    // proves byte-identical chunk CONTENT across engines without
+    // hashing megabytes of text through the driver compare. Pure
+    // per-row array arithmetic: explode of in-row window starts, zero
+    // shuffles before the sink.
+    Q("q70_chunking", {
+      val (chunk, stride) = (32, 24)
+      s"""SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_idx,
+         |  CAST(len(l[s + 1 : s + $chunk]) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(l[s + 1 : s + $chunk], ' ')) AS chunk_fp
+         |FROM (
+         |  SELECT doc_id, l, u.i,
+         |    CAST((u.i - 1) * $stride AS INTEGER) AS s
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+         |        FROM documents) t
+         |  CROSS JOIN unnest(range(1, CAST(ceil(CAST(len(l) AS DOUBLE) / $stride)
+         |    AS BIGINT) + 1)) AS u(i))
+         |WHERE s < len(l)""".stripMargin
+    }) { (s, d) =>
+      val (chunk, stride) = (32, 24)
+      val t = col("toks")
+      val starts = sequence(lit(0), size(t) - 1, lit(stride))
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"), col("toks"), posexplode(starts))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          slice(t, col("col") + 1, lit(chunk)).as("c"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("c")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("c")).cast("binary")).as("chunk_fp"))
+    },
+
     // ----- deterministic stratified train/val/test split ---------------------
     // Dataset releases need splits that are STABLE across reruns,
     // partitionings, and engines — sampling by rand() gives none of
