@@ -506,6 +506,37 @@ object Dedup {
       ranks.select(col("node").as("doc_id"), col("rank").as("pagerank_micro"))
     },
 
+    // ----- benchmark decontamination (n-gram overlap vs an eval set) -------
+    // Training corpora must not contain evaluation data; the standard
+    // check flags any document sharing ≥ K shingles with the benchmark
+    // set. The benchmark here is a deterministic stand-in (every 97th
+    // doc); its shingle set is SMALL BY NATURE (eval sets are), so the
+    // probe is a broadcast hash join against the corpus shingles — one
+    // pass over the data, no shuffle of the corpus side, the right
+    // plan at any corpus size.
+    Q("q71_decontamination",
+      s"""WITH sh AS ($SHINGLE_SQL),
+         |bench AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |hits AS (
+         |  SELECT s.doc_id, count(*) AS n_overlap
+         |  FROM sh s JOIN bench b ON s.shingle = b.shingle
+         |  WHERE s.doc_id % 97 <> 0
+         |  GROUP BY s.doc_id)
+         |SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+         |  n_overlap >= 5 AS contaminated
+         |FROM hits""".stripMargin) { (s, d) =>
+      val sh = shingles(s, d)
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("shingle")).distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("doc_id"), col("n_overlap"),
+          (col("n_overlap") >= 5).as("contaminated"))
+    },
+
     // ----- n-gram Jaccard via inverted-index join over df-capped shingles ----
     // The inverted index is built on the df-capped shingle set: a
     // stop-shingle ("of the and") shared by k docs would contribute k²

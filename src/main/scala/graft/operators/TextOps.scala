@@ -357,6 +357,38 @@ object TextOps {
           md5(concat_ws(" ", col("c")).cast("binary")).as("chunk_fp"))
     },
 
+    // ----- repetition score (duplicate-bigram ratio) -------------------------
+    // Degenerate/templated text repeats itself; the duplicate-bigram
+    // fraction is the classic cheap signal. Ratio is one IEEE division
+    // of two exact integers → bit-identical across engines. All
+    // per-row array arithmetic, no shuffle before the final projection.
+    Q("q72_repetition",
+      """SELECT doc_id,
+        |  CAST(len(bgs) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bgs)) AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) AS rep_ratio
+        |FROM (
+        |  SELECT doc_id, list_transform(range(1, len(l)),
+        |    i -> l[i] || ' ' || l[i + 1]) AS bgs
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+        |        FROM documents) t)
+        |WHERE len(bgs) > 0""".stripMargin) { (s, d) =>
+      val t = col("toks")
+      val bigrams = zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"), bigrams.as("bgs"))
+        .filter(size(col("bgs")) > 0)
+        .select(col("doc_id"),
+          size(col("bgs")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bgs"))).cast("long").as("n_distinct"),
+          (lit(1.0) - size(array_distinct(col("bgs"))).cast("double")
+            / size(col("bgs"))).as("rep_ratio"))
+    },
+
     // ----- deterministic stratified train/val/test split ---------------------
     // Dataset releases need splits that are STABLE across reruns,
     // partitionings, and engines — sampling by rand() gives none of
