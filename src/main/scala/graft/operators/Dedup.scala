@@ -490,7 +490,10 @@ object Dedup {
           .select(col("eb"), expr("rank div deg").as("c"))
           .groupBy(col("eb")).agg(sum(col("c")).as("m"))
         before = persistedIds
-        val next = Tables.documents(s, d).select(col("doc_id").as("node"))
+        // the checkpointed rank frame IS the node set — joining against
+        // it instead of re-reading the corpus saves one full scan per
+        // iteration
+        val next = ranks.select(col("node"))
           .join(contrib, col("node") === col("eb"), "left")
           .select(col("node"),
             (lit(150000L) + expr("(850 * coalesce(m, 0)) div 1000")).as("rank"))
