@@ -20,21 +20,9 @@ object Bench {
     val spark = Session.build(s"local[$cpus]", cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    // Optional comma-separated subset for local iteration,
-    // e.g. SPARK_GRAFT_ONLY=q30_minhash_lsh,q32_ngram_jaccard
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    // a typo'd name must not silently bench zero queries and exit 0
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty) {
-        System.err.println(
-          s"[bench] unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(", ")}")
-        sys.exit(2)
-      }
-    }
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Optional comma-separated subset for local iteration (shared
+    // contract), e.g. SPARK_GRAFT_ONLY=q30_minhash_lsh,q32_ngram_jaccard
+    val selected = QuerySubset.select("bench")
 
     // Warm-up action outside the timed loop: JVM/codegen/parquet-footer
     // warm-up otherwise lands on whichever query happens to run first

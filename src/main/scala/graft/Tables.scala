@@ -38,10 +38,14 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     // Fallback for caller-built sessions (the queries map is a public
     // contract taking any SparkSession): without this conf the read
-    // throws PARQUET_TYPE_ILLEGAL. Idempotent — a no-op on sessions
-    // from graft.Session.build, and never re-set once true.
+    // throws PARQUET_TYPE_ILLEGAL. NOTE an `isEmpty` guard would be
+    // dead code — `conf.getOption` returns the REGISTERED DEFAULT
+    // Some("false") even when nothing was set — so the guard checks the
+    // effective value; a caller's explicit "false" is overridden
+    // because the read cannot succeed without it. Idempotent and a
+    // no-op on sessions from graft.Session.build.
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    if (s.conf.getOption(nanosKey).isEmpty) s.conf.set(nanosKey, "true")
+    if (!s.conf.getOption(nanosKey).contains("true")) s.conf.set(nanosKey, "true")
     // integer `div`, not `/`: double division can round UP by 1 µs on
     // epoch-nanos magnitudes, diverging from DuckDB's truncation
     apply(s, d, "events")

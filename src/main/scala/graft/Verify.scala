@@ -10,21 +10,9 @@ object Verify {
     val spark = Session.build(s"local[$cpus]", cpus.toInt, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional comma-separated subset for local iteration (same contract
-    // as Bench): unknown names must fail, not silently verify nothing.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty) {
-        System.err.println(
-          s"[verify] unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(", ")}")
-        sys.exit(2)
-      }
-    }
-    val selected = SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    selected.foreach { case (name, fn) =>
+    // Optional comma-separated subset for local iteration (shared
+    // contract with Bench)
+    QuerySubset.select("verify").foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

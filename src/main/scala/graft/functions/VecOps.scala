@@ -33,8 +33,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType,
 object VecOps {
 
   /** dot(a, b) = Σ a(i)·b(i) over the common prefix, summed in index
-    * order. Null elements are not expected (quantized vectors); a null
-    * array yields null via the BinaryExpression null contract. */
+    * order. A null ARRAY yields null via the BinaryExpression null
+    * contract, and a null ELEMENT in the folded prefix yields null
+    * too — matching the `aggregate(zip_with(...))` form this replaces
+    * (ArrayData.getDouble would otherwise silently read a zeroed
+    * slot). */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
 
@@ -53,13 +56,19 @@ object VecOps {
           s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
     }
 
+    override def nullable: Boolean = true
+
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = math.min(x.numElements(), y.numElements())
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       s
     }
 
@@ -73,6 +82,10 @@ object VecOps {
            |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
+           |    ${ev.isNull} = true;
+           |    break;
+           |  }
            |  $s += $x.getDouble($i) * $y.getDouble($i);
            |}
            |${ev.value} = $s;

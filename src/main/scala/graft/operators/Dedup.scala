@@ -529,7 +529,9 @@ object Dedup {
          |SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
          |  n_overlap >= 5 AS contaminated
          |FROM hits""".stripMargin) { (s, d) =>
-      val sh = shingles(s, d)
+      // bench side and probe side both read the shingle frame —
+      // persist it (catalog-managed, like every shared dedup artifact)
+      val sh = shingles(s, d).persist()
       val bench = sh.filter(col("doc_id") % 97 === 0)
         .select(col("shingle")).distinct()
       sh.filter(col("doc_id") % 97 =!= 0)

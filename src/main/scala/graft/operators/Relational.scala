@@ -420,12 +420,13 @@ object Relational {
       """WITH s AS (
         |  SELECT l_returnflag,
         |    CAST(count(*) AS BIGINT) AS n,
-        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
         |    sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
-        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    sum(CAST(round(l_quantity) AS BIGINT)
+        |      * CAST(round(l_quantity) AS BIGINT)) AS sxx,
         |    sum(CAST(round(l_extendedprice) AS BIGINT)
         |      * CAST(round(l_extendedprice) AS BIGINT)) AS syy,
-        |    sum(CAST(l_quantity AS BIGINT)
+        |    sum(CAST(round(l_quantity) AS BIGINT)
         |      * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
@@ -439,7 +440,10 @@ object Relational {
         |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
         |FROM s""".stripMargin) { (s, d) =>
-      val qi = col("l_quantity").cast("bigint")
+      // round() on BOTH quantity and price (not a truncating cast) so
+      // the double→long conversion matches the oracle on non-integral
+      // values — the q59 lesson applied consistently
+      val qi = round(col("l_quantity")).cast("bigint")
       val pi = round(col("l_extendedprice")).cast("bigint")
       val stats = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))

@@ -65,7 +65,7 @@ object FaultDemo {
     if (ok) 0 else 1
   }
 
-  private def jvmOpens: Seq[String] = {
+  private[graft] def jvmOpens: Seq[String] = {
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
     jvmArgs.zipWithIndex.flatMap {

@@ -42,6 +42,13 @@ object Submit {
       case (h :: t, a)     => (h :+ a) :: t
       case (Nil, a)        => List(Vector(a))
     }.reverse
+    // a trailing/doubled --job would otherwise expand to a silent
+    // all-defaults job; zero args (one empty group) keeps meaning the
+    // default job, matching submit.py
+    if (args.nonEmpty && groups.exists(_.isEmpty)) {
+      System.err.println(s"empty job spec around a --job separator\n$usage")
+      sys.exit(2)
+    }
     groups.map(g => parse(g.toArray))
   }
 

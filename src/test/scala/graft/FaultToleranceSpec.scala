@@ -17,15 +17,9 @@ class FaultToleranceSpec extends AnyFunSuite {
 
   private def runDemo(mode: String, timeoutSec: Long): (Int, String) = {
     val javaBin = sys.props("java.home") + "/bin/java"
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
-    val addOpens = jvmArgs.zipWithIndex.flatMap {
-      case (a, i) if a == "--add-opens" => Seq(a, jvmArgs(i + 1))
-      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
-      case _ => Nil
-    }
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp",
-      sys.props("java.class.path"), "graft.tools.FaultDemo", mode)
+    val cmd = Seq(javaBin) ++ graft.tools.FaultDemo.jvmOpens ++
+      Seq("-Xmx2g", "-cp",
+        sys.props("java.class.path"), "graft.tools.FaultDemo", mode)
     val pb = new ProcessBuilder(cmd.asJava)
     // what bin/load-spark-env.sh would set for a worker: where the
     // distribution lives, and its scala suffix (the in-process Worker

@@ -28,4 +28,13 @@ class QueriesSpec extends AnyFunSuite {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("events reads on a caller-built session (nanosAsLong fallback)") {
+    // a fresh session has default confs — conf.getOption returns the
+    // REGISTERED default Some("false"), so the fallback must check the
+    // effective value, not presence (a dead isEmpty guard would throw
+    // PARQUET_TYPE_ILLEGAL here)
+    val fresh = Spec.spark.newSession()
+    assert(Tables.events(fresh, Spec.sfDir).count() > 0)
+  }
 }

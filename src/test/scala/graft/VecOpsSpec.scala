@@ -52,6 +52,15 @@ class VecOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("array"))
   }
 
+  test("a null ELEMENT in the folded prefix yields null, like the HOF form") {
+    val r = Seq((Seq(Option(1.0), Option.empty[Double]),
+        Seq(Option(2.0), Option(3.0))))
+      .toDF("a", "b")
+      .select(VecOps.vecDot(col("a"), col("b")))
+      .collect()
+    assert(r.head.isNullAt(0))
+  }
+
   test("mismatched lengths fold over the common prefix") {
     val r = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0)))
       .toDF("a", "b")
