@@ -173,10 +173,79 @@ object FaultDemo {
     } finally daemons.foreach(_.destroyForcibly())
   }
 
+  private def workerLossDemo(): Int = {
+    // The reference's most literal drill: a WORKER PROCESS dies with
+    // tasks in flight (test_manager_08 crash scenarios — heartbeat
+    // timeout → re-queue on a live worker). Here: a two-worker
+    // standalone cluster, every task sleeps long enough that the kill
+    // lands mid-job, then one worker JVM is destroyed; Spark must
+    // observe the executor loss and re-run its in-flight tasks on the
+    // survivor, still producing the exact sum.
+    val cp = sys.props("java.class.path")
+    val port = 7800 + (ProcessHandle.current().pid() % 97).toInt
+    val masterUrl = s"spark://127.0.0.1:$port"
+    val daemons = scala.collection.mutable.ListBuffer[Process]()
+    try {
+      daemons += spawnDaemon("org.apache.spark.deploy.master.Master",
+        Seq("--host", "127.0.0.1", "--port", port.toString,
+          "--webui-port", "0"), hostname = Some("127.0.0.1"))
+      if (!waitForPort(port, 30)) {
+        System.err.println("master did not come up"); return 1
+      }
+      daemons += spawnDaemon("org.apache.spark.deploy.worker.Worker",
+        Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
+          masterUrl), hostname = Some("localhost"))
+      val victim = spawnDaemon("org.apache.spark.deploy.worker.Worker",
+        Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
+          masterUrl), hostname = Some("127.0.0.1"))
+      daemons += victim
+      val spark = graft.Session.build(masterUrl, 4,
+        "graft-fault-workerloss", Map(
+          "spark.locality.wait" -> "0s",
+          "spark.driver.host" -> "127.0.0.1",
+          "spark.executor.memory" -> "768m",
+          "spark.cores.max" -> "2",
+          "spark.executor.extraClassPath" -> cp,
+          "spark.executor.extraJavaOptions" -> jvmOpens.mkString(" "),
+        ))
+      spark.sparkContext.setLogLevel("WARN")
+      val lost = new AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onExecutorRemoved(
+            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+          lost.incrementAndGet()
+      })
+      // kill one worker JVM (and its executor child) 4 s into the job —
+      // with 8 × 3 s tasks over 2 cores the job is mid-flight
+      val killer = new Thread(() => {
+        Thread.sleep(4000)
+        victim.descendants().forEach(d => { d.destroyForcibly(); () })
+        victim.destroyForcibly()
+      })
+      killer.setDaemon(true)
+      killer.start()
+      val sum = spark.sparkContext.parallelize(1 to 800, 8)
+        .mapPartitionsWithIndex { (_, it) =>
+          Thread.sleep(3000)
+          it.map(_.toLong)
+        }
+        .sum()
+      val deadline = System.nanoTime() + 15e9.toLong
+      while (lost.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      spark.stop()
+      val ok = sum == (1 to 800).map(_.toLong).sum && lost.get() >= 1
+      println(s"WORKERLOSS result=${if (ok) "OK" else "BAD"} sum=$sum " +
+        s"executorsLost=${lost.get()}")
+      if (ok) 0 else 1
+    } finally daemons.foreach(_.destroyForcibly())
+  }
+
   def main(args: Array[String]): Unit =
     sys.exit(args.headOption.getOrElse("retry") match {
       case "retry"       => retryDemo()
       case "speculation" => specDemo()
+      case "workerloss"  => workerLossDemo()
       case other => System.err.println(s"unknown mode: $other"); 2
     })
 }

@@ -50,4 +50,11 @@ class FaultToleranceSpec extends AnyFunSuite {
       s"speculation drill failed (rc=$rc):\n${out.takeRight(2000)}")
     assert(out.contains("SPECULATION result=OK"))
   }
+
+  test("a worker killed mid-job loses its executor; the job still completes") {
+    val (rc, out) = runDemo("workerloss", 180)
+    assert(rc == 0,
+      s"worker-loss drill failed (rc=$rc):\n${out.takeRight(2000)}")
+    assert(out.contains("WORKERLOSS result=OK"))
+  }
 }
