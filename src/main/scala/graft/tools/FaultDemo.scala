@@ -124,9 +124,13 @@ object FaultDemo {
       }
       daemons += spawnDaemon("org.apache.spark.deploy.worker.Worker",
         Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
+          "--work-dir", java.nio.file.Files
+            .createTempDirectory("graft-fault-work-").toString,
           masterUrl), hostname = Some("localhost"))
       daemons += spawnDaemon("org.apache.spark.deploy.worker.Worker",
         Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
+          "--work-dir", java.nio.file.Files
+            .createTempDirectory("graft-fault-work-").toString,
           masterUrl), hostname = Some("127.0.0.1"))
       val spark = graft.Session.build(masterUrl, 4,
         "graft-fault-speculation", Map(
@@ -194,9 +198,13 @@ object FaultDemo {
       }
       daemons += spawnDaemon("org.apache.spark.deploy.worker.Worker",
         Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
+          "--work-dir", java.nio.file.Files
+            .createTempDirectory("graft-fault-work-").toString,
           masterUrl), hostname = Some("localhost"))
       val victim = spawnDaemon("org.apache.spark.deploy.worker.Worker",
         Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
+          "--work-dir", java.nio.file.Files
+            .createTempDirectory("graft-fault-work-").toString,
           masterUrl), hostname = Some("127.0.0.1"))
       daemons += victim
       val spark = graft.Session.build(masterUrl, 4,
