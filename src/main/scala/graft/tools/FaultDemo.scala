@@ -9,10 +9,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd,
   SparkListenerTaskStart}
 
 /** Fault-tolerance demonstrations for SURVEY §2.A A13, mirroring the
-  * reference's two failure drills: a worker that dies mid-task and is
-  * re-queued (`/root/reference/tests/test_manager_08.py` crash
-  * scenarios) and a straggling worker whose task is re-launched
-  * elsewhere (`wc_map_slow.sh`,
+  * reference's failure drills: a task that dies and is re-queued, a
+  * whole worker process killed mid-job (`/root/reference/tests/
+  * test_manager_08.py` crash scenarios), and a straggling worker whose
+  * task is re-launched elsewhere (`wc_map_slow.sh`,
   * `/root/reference/tests/test_manager_05.py:75-95`).
   *
   * On Spark both behaviors are session CONFIG
