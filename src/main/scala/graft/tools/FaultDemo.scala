@@ -218,15 +218,20 @@ object FaultDemo {
         ))
       spark.sparkContext.setLogLevel("WARN")
       val lost = new AtomicInteger(0)
+      val started = new java.util.concurrent.CountDownLatch(2)
       spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskStart(e: SparkListenerTaskStart): Unit =
+          started.countDown()
         override def onExecutorRemoved(
             e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
           lost.incrementAndGet()
       })
-      // kill one worker JVM (and its executor child) 4 s into the job —
-      // with 8 × 3 s tasks over 2 cores the job is mid-flight
+      // kill one worker JVM (and its executor child) once tasks are
+      // OBSERVED running on both cores (not a fixed delay — executor
+      // startup time varies), so the kill provably lands mid-job
       val killer = new Thread(() => {
-        Thread.sleep(4000)
+        started.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        Thread.sleep(1000)
         victim.descendants().forEach(d => { d.destroyForcibly(); () })
         victim.destroyForcibly()
       })
