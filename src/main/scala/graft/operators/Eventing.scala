@@ -58,6 +58,27 @@ object Eventing {
             ntile(4).over(w).as("quartile"))
     },
 
+    // ----- nested result shape: per-user event-type histogram --------------
+    // collect_list/array_agg into a STRUCT ARRAY — the common
+    // "report row with nested detail" sink shape. The array is sorted
+    // in-row (sort_array / ORDER BY inside list()) because aggregation
+    // order is partition-dependent: an unsorted collect would
+    // hash-mismatch itself run to run, let alone across engines.
+    Q("q73_event_histogram",
+      """SELECT user_id,
+        |  list(struct_pack(event_type := event_type, n := n)
+        |       ORDER BY event_type, n) AS hist
+        |FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY user_id, event_type) t
+        |GROUP BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("event_type"), col("n"))))
+          .as("hist"))
+    },
+
     // ----- gap-based sessionization (batch mirror of the stateful op) ------
     Q("q39_sessionize",
       """WITH x AS (
