@@ -103,6 +103,26 @@ object FaultDemo {
     false
   }
 
+  /** One 1-core standalone worker registered under `hostname`, scratch
+    * under `scratch` (deleted by the drill's finally). */
+  private def spawnWorker(masterUrl: String, hostname: String,
+                          scratch: java.nio.file.Path): Process =
+    spawnDaemon("org.apache.spark.deploy.worker.Worker",
+      Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
+        "--work-dir",
+        java.nio.file.Files.createTempDirectory(scratch, "w").toString,
+        masterUrl), hostname = Some(hostname))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally stream.close()
+    }
+  }
+
   private def specDemo(): Int = {
     // Spark only places a speculative copy on a DIFFERENT host than the
     // running attempt (re-running a straggler beside itself would
@@ -115,6 +135,7 @@ object FaultDemo {
     val port = 7900 + (ProcessHandle.current().pid() % 97).toInt
     val masterUrl = s"spark://127.0.0.1:$port"
     val daemons = scala.collection.mutable.ListBuffer[Process]()
+    val scratch = java.nio.file.Files.createTempDirectory("graft-fault-work-")
     try {
       daemons += spawnDaemon("org.apache.spark.deploy.master.Master",
         Seq("--host", "127.0.0.1", "--port", port.toString,
@@ -122,16 +143,8 @@ object FaultDemo {
       if (!waitForPort(port, 30)) {
         System.err.println("master did not come up"); return 1
       }
-      daemons += spawnDaemon("org.apache.spark.deploy.worker.Worker",
-        Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
-          "--work-dir", java.nio.file.Files
-            .createTempDirectory("graft-fault-work-").toString,
-          masterUrl), hostname = Some("localhost"))
-      daemons += spawnDaemon("org.apache.spark.deploy.worker.Worker",
-        Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
-          "--work-dir", java.nio.file.Files
-            .createTempDirectory("graft-fault-work-").toString,
-          masterUrl), hostname = Some("127.0.0.1"))
+      daemons += spawnWorker(masterUrl, "localhost", scratch)
+      daemons += spawnWorker(masterUrl, "127.0.0.1", scratch)
       val spark = graft.Session.build(masterUrl, 4,
         "graft-fault-speculation", Map(
           // tight knobs so the drill finishes in seconds; production
@@ -174,7 +187,11 @@ object FaultDemo {
       println(f"SPECULATION result=${if (ok) "OK" else "BAD"} sum=$sum " +
         f"speculativeStarts=${speculative.get()} secs=$secs%.1f")
       if (ok) 0 else 1
-    } finally daemons.foreach(_.destroyForcibly())
+    } finally {
+      daemons.foreach(_.destroyForcibly())
+      daemons.foreach(_.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
+      deleteRecursively(scratch)
+    }
   }
 
   private def workerLossDemo(): Int = {
@@ -189,6 +206,7 @@ object FaultDemo {
     val port = 7800 + (ProcessHandle.current().pid() % 97).toInt
     val masterUrl = s"spark://127.0.0.1:$port"
     val daemons = scala.collection.mutable.ListBuffer[Process]()
+    val scratch = java.nio.file.Files.createTempDirectory("graft-fault-work-")
     try {
       daemons += spawnDaemon("org.apache.spark.deploy.master.Master",
         Seq("--host", "127.0.0.1", "--port", port.toString,
@@ -196,16 +214,8 @@ object FaultDemo {
       if (!waitForPort(port, 30)) {
         System.err.println("master did not come up"); return 1
       }
-      daemons += spawnDaemon("org.apache.spark.deploy.worker.Worker",
-        Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
-          "--work-dir", java.nio.file.Files
-            .createTempDirectory("graft-fault-work-").toString,
-          masterUrl), hostname = Some("localhost"))
-      val victim = spawnDaemon("org.apache.spark.deploy.worker.Worker",
-        Seq("--cores", "1", "--memory", "1g", "--webui-port", "0",
-          "--work-dir", java.nio.file.Files
-            .createTempDirectory("graft-fault-work-").toString,
-          masterUrl), hostname = Some("127.0.0.1"))
+      daemons += spawnWorker(masterUrl, "localhost", scratch)
+      val victim = spawnWorker(masterUrl, "127.0.0.1", scratch)
       daemons += victim
       val spark = graft.Session.build(masterUrl, 4,
         "graft-fault-workerloss", Map(
@@ -218,19 +228,23 @@ object FaultDemo {
         ))
       spark.sparkContext.setLogLevel("WARN")
       val lost = new AtomicInteger(0)
-      val started = new java.util.concurrent.CountDownLatch(2)
+      // release the killer only once tasks have been OBSERVED on TWO
+      // DISTINCT executors (not two global task starts — one 1-core
+      // executor can start two tasks back-to-back before the other has
+      // even registered), so the victim provably dies with a task in
+      // flight
+      val busyExecutors =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val bothBusy = new java.util.concurrent.CountDownLatch(2)
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onTaskStart(e: SparkListenerTaskStart): Unit =
-          started.countDown()
+          if (busyExecutors.add(e.taskInfo.executorId)) bothBusy.countDown()
         override def onExecutorRemoved(
             e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
           lost.incrementAndGet()
       })
-      // kill one worker JVM (and its executor child) once tasks are
-      // OBSERVED running on both cores (not a fixed delay — executor
-      // startup time varies), so the kill provably lands mid-job
       val killer = new Thread(() => {
-        started.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        bothBusy.await(60, java.util.concurrent.TimeUnit.SECONDS)
         Thread.sleep(1000)
         victim.descendants().forEach(d => { d.destroyForcibly(); () })
         victim.destroyForcibly()
@@ -251,7 +265,11 @@ object FaultDemo {
       println(s"WORKERLOSS result=${if (ok) "OK" else "BAD"} sum=$sum " +
         s"executorsLost=${lost.get()}")
       if (ok) 0 else 1
-    } finally daemons.foreach(_.destroyForcibly())
+    } finally {
+      daemons.foreach(_.destroyForcibly())
+      daemons.foreach(_.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
+      deleteRecursively(scratch)
+    }
   }
 
   def main(args: Array[String]): Unit =
