@@ -113,6 +113,46 @@ object FaultDemo {
         java.nio.file.Files.createTempDirectory(scratch, "w").toString,
         masterUrl), hostname = Some(hostname))
 
+  /** Bring up a master + two 1-core workers on distinct host strings
+    * (localhost / 127.0.0.1 — see [[specDemo]] for why they must
+    * differ), run `body` with the master URL and the second (victim)
+    * worker process, then tear every daemon and its scratch down. */
+  private def withTwoWorkerCluster(basePort: Int)(
+      body: (String, Process) => Int): Int = {
+    val port = basePort + (ProcessHandle.current().pid() % 97).toInt
+    val masterUrl = s"spark://127.0.0.1:$port"
+    val daemons = scala.collection.mutable.ListBuffer[Process]()
+    val scratch = java.nio.file.Files.createTempDirectory("graft-fault-work-")
+    try {
+      daemons += spawnDaemon("org.apache.spark.deploy.master.Master",
+        Seq("--host", "127.0.0.1", "--port", port.toString,
+          "--webui-port", "0"), hostname = Some("127.0.0.1"))
+      if (!waitForPort(port, 30)) {
+        System.err.println("master did not come up"); return 1
+      }
+      daemons += spawnWorker(masterUrl, "localhost", scratch)
+      val second = spawnWorker(masterUrl, "127.0.0.1", scratch)
+      daemons += second
+      body(masterUrl, second)
+    } finally {
+      daemons.foreach(_.destroyForcibly())
+      daemons.foreach(_.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
+      deleteRecursively(scratch)
+    }
+  }
+
+  /** The standalone-cluster session confs shared by the drills (plus
+    * per-drill extras). */
+  private def clusterConf(extra: (String, String)*): Map[String, String] =
+    Map(
+      "spark.locality.wait" -> "0s",
+      "spark.driver.host" -> "127.0.0.1",
+      "spark.executor.memory" -> "768m",
+      "spark.cores.max" -> "2",
+      "spark.executor.extraClassPath" -> sys.props("java.class.path"),
+      "spark.executor.extraJavaOptions" -> jvmOpens.mkString(" "),
+    ) ++ extra
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     if (Files.exists(p)) {
@@ -131,33 +171,14 @@ object FaultDemo {
     // in-process workers all share one hostname, so the drill builds a
     // real two-worker standalone cluster whose workers register under
     // distinct host strings (localhost vs 127.0.0.1).
-    val cp = sys.props("java.class.path")
-    val port = 7900 + (ProcessHandle.current().pid() % 97).toInt
-    val masterUrl = s"spark://127.0.0.1:$port"
-    val daemons = scala.collection.mutable.ListBuffer[Process]()
-    val scratch = java.nio.file.Files.createTempDirectory("graft-fault-work-")
-    try {
-      daemons += spawnDaemon("org.apache.spark.deploy.master.Master",
-        Seq("--host", "127.0.0.1", "--port", port.toString,
-          "--webui-port", "0"), hostname = Some("127.0.0.1"))
-      if (!waitForPort(port, 30)) {
-        System.err.println("master did not come up"); return 1
-      }
-      daemons += spawnWorker(masterUrl, "localhost", scratch)
-      daemons += spawnWorker(masterUrl, "127.0.0.1", scratch)
+    withTwoWorkerCluster(7900) { (masterUrl, _) =>
       val spark = graft.Session.build(masterUrl, 4,
-        "graft-fault-speculation", Map(
+        "graft-fault-speculation", clusterConf(
           // tight knobs so the drill finishes in seconds; production
           // keeps the Session defaults
           "spark.speculation.interval" -> "100ms",
           "spark.speculation.multiplier" -> "1.5",
           "spark.speculation.quantile" -> "0.5",
-          "spark.locality.wait" -> "0s",
-          "spark.driver.host" -> "127.0.0.1",
-          "spark.executor.memory" -> "768m",
-          "spark.cores.max" -> "2",
-          "spark.executor.extraClassPath" -> cp,
-          "spark.executor.extraJavaOptions" -> jvmOpens.mkString(" "),
         ))
       spark.sparkContext.setLogLevel("WARN")
       val speculative = new AtomicInteger(0)
@@ -187,10 +208,6 @@ object FaultDemo {
       println(f"SPECULATION result=${if (ok) "OK" else "BAD"} sum=$sum " +
         f"speculativeStarts=${speculative.get()} secs=$secs%.1f")
       if (ok) 0 else 1
-    } finally {
-      daemons.foreach(_.destroyForcibly())
-      daemons.foreach(_.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
-      deleteRecursively(scratch)
     }
   }
 
@@ -202,30 +219,9 @@ object FaultDemo {
     // lands mid-job, then one worker JVM is destroyed; Spark must
     // observe the executor loss and re-run its in-flight tasks on the
     // survivor, still producing the exact sum.
-    val cp = sys.props("java.class.path")
-    val port = 7800 + (ProcessHandle.current().pid() % 97).toInt
-    val masterUrl = s"spark://127.0.0.1:$port"
-    val daemons = scala.collection.mutable.ListBuffer[Process]()
-    val scratch = java.nio.file.Files.createTempDirectory("graft-fault-work-")
-    try {
-      daemons += spawnDaemon("org.apache.spark.deploy.master.Master",
-        Seq("--host", "127.0.0.1", "--port", port.toString,
-          "--webui-port", "0"), hostname = Some("127.0.0.1"))
-      if (!waitForPort(port, 30)) {
-        System.err.println("master did not come up"); return 1
-      }
-      daemons += spawnWorker(masterUrl, "localhost", scratch)
-      val victim = spawnWorker(masterUrl, "127.0.0.1", scratch)
-      daemons += victim
+    withTwoWorkerCluster(7800) { (masterUrl, victim) =>
       val spark = graft.Session.build(masterUrl, 4,
-        "graft-fault-workerloss", Map(
-          "spark.locality.wait" -> "0s",
-          "spark.driver.host" -> "127.0.0.1",
-          "spark.executor.memory" -> "768m",
-          "spark.cores.max" -> "2",
-          "spark.executor.extraClassPath" -> cp,
-          "spark.executor.extraJavaOptions" -> jvmOpens.mkString(" "),
-        ))
+        "graft-fault-workerloss", clusterConf())
       spark.sparkContext.setLogLevel("WARN")
       val lost = new AtomicInteger(0)
       // release the killer only once tasks have been OBSERVED on TWO
@@ -265,10 +261,6 @@ object FaultDemo {
       println(s"WORKERLOSS result=${if (ok) "OK" else "BAD"} sum=$sum " +
         s"executorsLost=${lost.get()}")
       if (ok) 0 else 1
-    } finally {
-      daemons.foreach(_.destroyForcibly())
-      daemons.foreach(_.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
-      deleteRecursively(scratch)
     }
   }
 
