@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW (no sbt `[info]` prefix):
+// Bench/Verify emit one machine-parsed JSON line on stdout, and a
+// line-oriented downstream parser must see it unwrapped. Spark logs go
+// to stderr, so stdout stays clean for the contract line.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,10 +64,14 @@ object Eventing {
     // in-row (sort_array / ORDER BY inside list()) because aggregation
     // order is partition-dependent: an unsorted collect would
     // hash-mismatch itself run to run, let alone across engines.
+    // The FINAL projection serializes the array to one canonical string
+    // ("type:n|type:n"): result sinks must stay scalar-typed because
+    // row-comparison harnesses (and most BI/export targets) cannot sort
+    // or hash nested columns — round 3 failed exactly this way.
     Q("q73_event_histogram",
       """SELECT user_id,
-        |  list(struct_pack(event_type := event_type, n := n)
-        |       ORDER BY event_type, n) AS hist
+        |  string_agg(event_type || ':' || n, '|' ORDER BY event_type, n)
+        |    AS hist
         |FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         |      FROM events GROUP BY user_id, event_type) t
         |GROUP BY user_id""".stripMargin) { (s, d) =>
@@ -75,8 +79,11 @@ object Eventing {
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(col("event_type"), col("n"))))
-          .as("hist"))
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(struct(col("event_type"), col("n")))),
+            e => concat_ws(":", e.getField("event_type"), e.getField("n"))),
+          "|").as("hist"))
     },
 
     // ----- gap-based sessionization (batch mirror of the stateful op) ------

@@ -25,6 +25,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every query's result schema is flat (scalar columns only)") {
+    // Result sinks are compared row-wise by external harnesses (and
+    // consumed by exports/BI) that can't sort or hash nested values —
+    // q73 shipped an array<struct> column in round 3 and was the only
+    // red row. Nested shapes belong INSIDE plans, serialized at the sink.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.all.foreach { q =>
+      val nested = q.fn(spark, Spec.sfDir).schema.fields.filter(f =>
+        f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType])
+      assert(nested.isEmpty,
+        s"${q.name} emits nested columns: ${nested.map(_.name).mkString(",")}")
+    }
+  }
+
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

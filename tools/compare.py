@@ -22,6 +22,11 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = row[i]
+            # the driver's pandas-based comparator cannot sort nested
+            # values (round 3: q73's list column → "unhashable type");
+            # reject them here so the local gate is at least as strict
+            if isinstance(v, (list, tuple, dict)):
+                raise TypeError(f"nested value in result column: {v!r:.80}")
             if isinstance(v, float):
                 if math.isnan(v):
                     vals.append("NaN")
@@ -64,7 +69,12 @@ def main(outdir, sfdir):
             print(f"  ✗ {name}: columns differ got={sorted(gcols)} exp={sorted(ecols)}")
             n_fail += 1
             continue
-        g, e = canon(grows, gcols), canon(erows, ecols)
+        try:
+            g, e = canon(grows, gcols), canon(erows, ecols)
+        except TypeError as err:
+            print(f"  ✗ {name}: {err}")
+            n_fail += 1
+            continue
         if len(g) != len(e):
             print(f"  ✗ {name}: rowcount got={len(g)} exp={len(e)}")
             n_fail += 1
