@@ -59,7 +59,7 @@ object Bench {
     val total = results.map(_._2).sum
     val nFailed = results.count(_._3.isDefined)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":${jstr(sfDir)},"cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":${jstr(sfDir)},"cpus":$cpus,"xmx_mb":${Runtime.getRuntime.maxMemory / (1 << 20)}}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     Files.writeString(Paths.get(outPath), json + "\n")

@@ -39,6 +39,12 @@ object Session {
       // AQE re-plans at runtime: skew-join splitting and partition
       // coalescing are the 100 TB safety nets for every shuffle here.
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE deliberately keeping coalescePartitions.parallelismFirst at
+      // its default (true): measured at sf0.1/local[32], size-based
+      // coalescing (false) serialized the CPU-heavy post-shuffle stages
+      // (candidate verification in the LSH queries) and cost ~10% on the
+      // heavy-query subset. At 100 TB the advisory size wins either way
+      // because partitions are data-bound, not core-bound.
     extra.foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
   }

@@ -421,6 +421,131 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ----- deterministic group-wise sampling (hash-ordered top-k) -----------
+    // Corpus inspection and eval-set carving need a per-group sample
+    // that is stable across reruns, partitionings, and engines —
+    // rand()/TABLESAMPLE give none of that. Ordering each language's
+    // docs by md5(doc_id) is a uniform-but-frozen permutation; the
+    // first K per group are "the sample" forever. One shuffle
+    // (partition by lang); rank early-exits at K per partition.
+    Q("q75_groupwise_sample",
+      """SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents) t
+        |WHERE rk <= 5""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          row_number().over(w).cast("int").as("rk"))
+        .filter(col("rk") <= 5)
+    },
+
+    // ----- context-window packing (greedy sequential bin assignment) --------
+    // Training batches pack documents into fixed token budgets; the
+    // deterministic greedy rule assigns each doc to the bin its running
+    // prefix-sum STARTS in (bin = prev_cum / CAP). One window cumsum
+    // per language — a single shuffle, no iteration, and the assignment
+    // never changes when later docs are appended.
+    Q("q76_context_packing",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, CAST((cum - n_tok) // 4096 AS BIGINT) AS bin_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY lang, bin_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("lang"),
+          expr("(cum - n_tok) div 4096").as("bin_id"), col("n_tok"))
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+    },
+
+    // ----- PII redaction (pattern scrub before a corpus ships) --------------
+    // The corpus text is synthetic word soup, so the PII is INJECTED
+    // deterministically per doc (one email, one phone, a second email on
+    // every 3rd doc) and then scrubbed — the oracle checks both the
+    // match counts and the md5 of the redacted text, so an over- or
+    // under-eager pattern fails loudly. Patterns stay in the
+    // character-class subset where Java regex and RE2 agree. Pure
+    // per-row codegen'd expressions — no shuffle at all.
+    Q("q78_pii_redaction",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1-555-' || CAST(doc_id % 10000 AS VARCHAR)
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org'
+        |              ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]+')) AS BIGINT)
+        |    AS n_phones,
+        |  md5(regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]+', '<PHONE>', 'g')) AS redacted_fp
+        |FROM t""".stripMargin) { (s, d) =>
+      val raw = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"), (col("doc_id") % 10000).cast("string"),
+        when(col("doc_id") % 3 === 0, " cc admin@example.org").otherwise(""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit("[a-z0-9._]+@[a-z0-9.]+"))
+            .cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit("\\+1-555-[0-9]+"))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("raw"), "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+            "\\+1-555-[0-9]+", "<PHONE>").cast("binary")).as("redacted_fp"))
+    },
+
+    // ----- character-class profile (gibberish / mojibake signal) ------------
+    // Character-class counts are the cheapest text-quality gate: a
+    // vowel share far from ~0.38 flags gibberish, digits/uppercase
+    // flag boilerplate and shouting. Ratios are single IEEE divisions
+    // of exact integers → bit-identical across engines. Per-row
+    // codegen'd regexp counts, zero shuffles.
+    Q("q79_charclass_stats",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_lower,
+        |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |  CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_space,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
+        |    / len(regexp_extract_all(text, '[a-z]')) AS vowel_share
+        |FROM documents""".stripMargin) { (s, d) =>
+      val lower = regexp_count(col("text"), lit("[a-z]")).cast("long")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        lower.as("n_lower"),
+        regexp_count(col("text"), lit("[A-Z]")).cast("long").as("n_upper"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
+        regexp_count(col("text"), lit(" ")).cast("long").as("n_space"),
+        (regexp_count(col("text"), lit("[aeiou]")).cast("double") / lower)
+          .as("vowel_share"))
+    },
+
     // ----- B2 coverage: wc_map.py word count (whitespace runs, case kept) ----
     // Routes through the actual MapReduce.wcMapPy mapper
     // (/root/reference/tests/testdata/exec/wc_map.py:5-8: str.split()
