@@ -226,6 +226,35 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
     },
 
+    // ----- dedup materialization: the surviving corpus ----------------------
+    // q29 reports the groups; this is the other half users actually run —
+    // WRITE the deduplicated corpus. Survivor rule: smallest doc_id per
+    // normalized-content fingerprint. The winner set is tiny relative to
+    // the corpus (one id per group), so the rejoin against full rows is
+    // a semi join on doc_id — at 100 TB that's one shuffle for the
+    // group-min plus one id-only semi join; full text never rides
+    // through the aggregate.
+    Q("q74_dedup_keep",
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d SEMI JOIN keep k ON d.doc_id = k.doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val keep = docs
+          .select(col("doc_id"),
+            md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+              .cast("binary")).as("fp"))
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        docs.join(keep, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    },
+
     // ----- MinHash + LSH: top candidate pairs by estimated Jaccard ---------
     // Candidate pairs must share an ENTIRE band signature (all r of the
     // band's minhashes, r derived from the corpus count by [[bandRows]]),

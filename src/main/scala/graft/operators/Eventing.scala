@@ -86,6 +86,51 @@ object Eventing {
           "|").as("hist"))
     },
 
+    // ----- ordered conversion funnel (view → click → purchase) -------------
+    // Each stage's entry time is the user's earliest qualifying event
+    // STRICTLY AFTER the previous stage — the sequencing is what makes a
+    // funnel a funnel (a purchase before the first view must not count).
+    // Three chained per-user window minima over ONE user_id partitioning:
+    // a single shuffle, three in-partition passes, then a global count —
+    // the floor for any per-user sequence analysis at 100 TB.
+    Q("q77_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+        |        OVER (PARTITION BY user_id) AS t_view FROM e),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'click' AND t > t_view
+        |        THEN t END) OVER (PARTITION BY user_id) AS t_click FROM v),
+        |p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t_click
+        |        THEN t END) OVER (PARTITION BY user_id) AS t_buy FROM c)
+        |SELECT
+        |  CAST(count(DISTINCT CASE WHEN t_view IS NOT NULL THEN user_id END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(count(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(count(DISTINCT CASE WHEN t_buy IS NOT NULL THEN user_id END)
+        |    AS BIGINT) AS n_purchase
+        |FROM p""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("t"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("t") > col("t_view"),
+            col("t"))).over(w))
+        .withColumn("t_buy",
+          min(when(col("event_type") === "purchase" && col("t") > col("t_click"),
+            col("t"))).over(w))
+        .agg(
+          count_distinct(when(col("t_view").isNotNull, col("user_id")))
+            .as("n_view"),
+          count_distinct(when(col("t_click").isNotNull, col("user_id")))
+            .as("n_click"),
+          count_distinct(when(col("t_buy").isNotNull, col("user_id")))
+            .as("n_purchase"))
+    },
+
     // ----- gap-based sessionization (batch mirror of the stateful op) ------
     Q("q39_sessionize",
       """WITH x AS (

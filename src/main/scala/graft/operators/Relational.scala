@@ -548,6 +548,40 @@ object Relational {
             .cast("double") / count(lit(1)).over(w)))
         .filter(col("o_totalprice") > col("avg_p"))
         .select(col("o_orderkey"), col("o_custkey"))
+    },
+
+    // ----- MERGE / upsert (CDC snapshot + delta, delta wins per key) --------
+    // The lakehouse staple: merged = delta ∪ (base ANTI JOIN delta-keys).
+    // The delta (every 10th order re-priced, status 'U') is tiny next to
+    // the base, so the anti join broadcasts the delta's key set — the
+    // base is scanned ONCE with no shuffle; on a bucketed base even the
+    // general case is co-located. Result is audited per status so a
+    // lost, duplicated, or non-overridden key shifts a count or a sum.
+    Q("q80_merge_upsert",
+      """WITH delta AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 100 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM delta
+        |  UNION ALL
+        |  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        |  FROM orders o ANTI JOIN delta d ON o.o_orderkey = d.o_orderkey)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+      val delta = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 100).as("o_totalprice"))
+      val kept = base
+        .join(broadcast(delta.select(col("o_orderkey"))),
+          Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      delta.unionByName(kept)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total"))
     }
   )
 }

@@ -546,6 +546,29 @@ object TextOps {
           .as("vowel_share"))
     },
 
+    // ----- length histogram (fixed-width bucketing) --------------------------
+    // Corpus length profiles drive truncation/packing decisions; the
+    // histogram is one hash aggregate over `bucket = n_chars div W` —
+    // integer bucket arithmetic (not width_bucket, which DuckDB lacks)
+    // so both engines bin identically. Per-bucket min/max double as an
+    // audit that no row fell in the wrong bin.
+    Q("q81_length_histogram",
+      """SELECT lang, n_chars // 200 AS bucket,
+        |  CAST(n_chars // 200 * 200 AS BIGINT) AS lo,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY lang, bucket""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), expr("n_chars div 200").as("bucket"),
+          col("n_chars"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .withColumn("lo", (col("bucket") * 200).cast("long"))
+    },
+
     // ----- B2 coverage: wc_map.py word count (whitespace runs, case kept) ----
     // Routes through the actual MapReduce.wcMapPy mapper
     // (/root/reference/tests/testdata/exec/wc_map.py:5-8: str.split()
