@@ -255,6 +255,47 @@ object Dedup {
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     },
 
+    // ----- incremental dedup: a new batch against the standing corpus ------
+    // Production dedup is rarely one-shot — every ingest batch must be
+    // checked against what's already kept. The delta (every 5th doc
+    // here) is small next to the corpus, so the probe BROADCASTS the
+    // batch's fingerprint set and scans the corpus ONCE with no
+    // corpus-side shuffle (same plan logic as q71's eval-set probe);
+    // the corpus must never be the build side of this join. The hit
+    // set that comes back is at most |batch| rows, joined back to the
+    // batch broadcast-small.
+    Q("q83_incremental_dedup",
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+        |hits AS (
+        |  SELECT DISTINCT c.fp
+        |  FROM fp c SEMI JOIN batch b ON c.fp = b.fp
+        |  WHERE c.doc_id % 5 <> 0)
+        |SELECT b.lang, CAST(count(*) AS BIGINT) AS n_batch,
+        |  CAST(count(h.fp) AS BIGINT) AS n_dup,
+        |  CAST(count(*) - count(h.fp) AS BIGINT) AS n_unique
+        |FROM batch b LEFT JOIN hits h ON b.fp = h.fp
+        |GROUP BY b.lang""".stripMargin) { (s, d) =>
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+            .cast("binary")).as("fp"))
+      val batch = fp.filter(col("doc_id") % 5 === 0)
+      val hits = fp.filter(col("doc_id") % 5 =!= 0)
+        .join(broadcast(batch.select(col("fp")).distinct()),
+          Seq("fp"), "left_semi")
+        .select(col("fp")).distinct()
+        .withColumn("hit", lit(1))
+      batch.join(broadcast(hits), Seq("fp"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_batch"),
+          count(col("hit")).as("n_dup"),
+          (count(lit(1)) - count(col("hit"))).as("n_unique"))
+    },
+
     // ----- MinHash + LSH: top candidate pairs by estimated Jaccard ---------
     // Candidate pairs must share an ENTIRE band signature (all r of the
     // band's minhashes, r derived from the corpus count by [[bandRows]]),

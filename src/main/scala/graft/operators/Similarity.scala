@@ -326,6 +326,155 @@ object Similarity {
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
         .limit(20)
+    },
+
+    // ----- int8 embedding quantization (storage/serving compression) -------
+    // The standard 4× embedding compression: per-vector symmetric int8
+    // with scale = max |component|. The rounding is PURE INTEGER
+    // arithmetic — round(a·127/scale) computed as (a·254 + scale) div
+    // (2·scale) on the already-quantized integers (both engines
+    // truncate integer division toward zero, so half-away-from-zero
+    // rounding falls out identically; a float divide would differ in
+    // the last ulp and flip a rounded value). Per-row work only, zero
+    // shuffles before the sink — the shape that streams through 100 TB.
+    Q("q85_int8_quant",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS sv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, sv,
+        |    greatest(list_max(list_transform(sv, x -> abs(x))), 1) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(sv, x -> CASE WHEN x < 0
+        |      THEN -(((-x) * 254 + scale) // (2 * scale))
+        |      ELSE ((x * 254 + scale) // (2 * scale)) END) AS q8
+        |  FROM s)
+        |SELECT vec_id, CAST(scale AS BIGINT) AS scale,
+        |  CAST(len(list_filter(q8, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+        |  CAST(list_sum(q8) AS BIGINT) AS sum_q8,
+        |  CAST(list_sum(list_transform(q8, x -> abs(x))) AS BIGINT) AS sum_abs
+        |FROM q""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+          .as("sv"))
+        .withColumn("scale",
+          expr("greatest(array_max(transform(sv, x -> abs(x))), 1L)"))
+        .withColumn("q8", expr(
+          """transform(sv, x -> CASE WHEN x < 0
+            |  THEN -(((-x) * 254 + scale) div (2 * scale))
+            |  ELSE ((x * 254 + scale) div (2 * scale)) END)""".stripMargin))
+        .select(col("vec_id"), col("scale"),
+          expr("cast(size(filter(q8, x -> abs(x) = 127)) as bigint)").as("n_sat"),
+          expr("aggregate(q8, 0L, (a, x) -> a + x)").as("sum_q8"),
+          expr("aggregate(q8, 0L, (a, x) -> a + abs(x))").as("sum_abs"))
+    },
+
+    // ----- k-means clustering (Lloyd iterations over embeddings) -----------
+    // Corpus clustering for data curation/mixing — and the missing
+    // producer for q44's IVF centroids. Each round: assign every vector
+    // to its nearest centroid (K broadcast rows + a min_by partial
+    // aggregation — never a window over the corpus), then recompute
+    // centroids as element-wise means via posexplode + one (cid, pos)
+    // hash aggregate (64n skinny rows with map-side partial sums, NOT a
+    // collect_list of whole vectors into one buffer). All arithmetic is
+    // exact: quantized integer-valued doubles, squared-distance compare
+    // d = x·x − 2x·c + c·c, and mean components floor-divided as
+    // integers (both engines truncate toward zero) — so assignments,
+    // ties (broken by cid), and centroids are bit-identical across
+    // engines and the oracle can unroll the SAME iterations as CTEs.
+    // Centroid frames are K rows: localCheckpoint'ed per round (cuts
+    // the growing lineage), superseded rounds freed in-loop (q69 rule).
+    Q("q82_kmeans", {
+      val K = 8
+      val iters = 3
+      def dotSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $a[i] * $b[i]))"
+      def step(k: Int) =
+        s"""a$k AS (
+           |  SELECT vec_id, sv, cid, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY xx - 2 * ${dotSql("sv", "cv")} + ${dotSql("cv", "cv")},
+           |    cid) AS rn
+           |  FROM x CROSS JOIN c${k - 1}),
+           |b$k AS (SELECT vec_id, sv, cid FROM a$k WHERE rn = 1),
+           |c$k AS (
+           |  SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+           |  FROM c${k - 1} p LEFT JOIN (
+           |    SELECT cid, list(CAST(CAST(sm AS BIGINT) // n AS DOUBLE)
+           |                     ORDER BY i) AS cv
+           |    FROM (SELECT cid, i, sum(sv[i]) AS sm,
+           |            CAST(count(*) AS BIGINT) AS n
+           |          FROM b$k CROSS JOIN unnest(range(1, ${DIM + 1})) AS t$k(i)
+           |          GROUP BY cid, i) g GROUP BY cid) u ON p.cid = u.cid)"""
+      s"""WITH x AS MATERIALIZED (
+         |  SELECT vec_id, $QUANT_SQL AS sv, ${dotSql("sv", "sv")} AS xx
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, sv AS cv FROM x
+         |       WHERE vec_id BETWEEN 1 AND $K),
+         |${(1 to iters).map(step).mkString(",\n")},
+         |f AS (
+         |  SELECT cid, d, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d, cid) AS rn
+         |  FROM (SELECT vec_id, cid,
+         |          xx - 2 * ${dotSql("sv", "cv")} + ${dotSql("cv", "cv")} AS d
+         |        FROM x CROSS JOIN c$iters) t)
+         |SELECT CAST(cid AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(d) AS BIGINT) AS inertia
+         |FROM f WHERE rn = 1 GROUP BY cid""".stripMargin
+    }) { (s, d) =>
+      val K = 8
+      val iters = 3
+      // quantized vectors + their self-dots: read once, reused by every
+      // round's assignment — the per-query artifact (q35 rule)
+      val e = embTable(s, d)
+        .select(col("vec_id"), quant(col("embedding")).as("sv"))
+        .withColumn("xx", dot(col("sv"), col("sv")))
+        .persist()
+      val sc = s.sparkContext
+      def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+      var before = persistedIds
+      var cents = e.filter(col("vec_id").between(1, K))
+        .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv"))
+        .localCheckpoint()
+      var centIds = persistedIds -- before
+      def assign(c: org.apache.spark.sql.DataFrame) =
+        e.crossJoin(broadcast(c))
+          .select(col("vec_id"), col("sv"), col("cid"),
+            (col("xx") - lit(2) * dot(col("sv"), col("cv")) +
+              dot(col("cv"), col("cv"))).as("d"))
+      (1 to iters).foreach { _ =>
+        val best = assign(cents).groupBy(col("vec_id"))
+          .agg(expr("min_by(cid, struct(d, cid))").as("cid"),
+            expr("any_value(sv)").as("sv"))
+        val upd = best
+          .select(col("cid"), posexplode(col("sv")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
+          .select(col("cid"), col("pos"),
+            expr("cast(cast(sm as bigint) div n as double)").as("cval"))
+          .groupBy(col("cid"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, cval))), p -> p.cval)")
+            .as("cvNew"))
+        before = persistedIds
+        val next = cents.join(upd, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("cvNew"), col("cv")).as("cv"))
+          .localCheckpoint()
+        val nextIds = persistedIds -- before
+        centIds.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        cents = next
+        centIds = nextIds
+      }
+      assign(cents).groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.d").as("d"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d")).cast("long").as("inertia"))
     }
   )
 }

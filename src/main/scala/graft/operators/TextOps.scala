@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -567,6 +568,69 @@ object TextOps {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .withColumn("lo", (col("bucket") * 200).cast("long"))
+    },
+
+    // ----- BPE-style pair counting (tokenizer-training inner loop) ---------
+    // The hot step of byte-pair-encoding training: count adjacent
+    // symbol pairs inside every token, weighted by occurrence, and
+    // rank them — the top pair is the next merge. One explode to
+    // token occurrences, one in-row index expansion to pairs (substr
+    // over 1..len-1, no per-pair shuffle), one hash aggregate with
+    // map-side partial counts; at 100 TB the aggregate is the only
+    // shuffle and its key space is bounded by |alphabet|².
+    Q("q84_bpe_pairs",
+      """SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents) t
+        |  CROSS JOIN unnest(range(1, length(tok))) AS u(i)
+        |  WHERE length(tok) > 1)
+        |GROUP BY pair
+        |ORDER BY n DESC, pair
+        |LIMIT 30""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens).as("tok"))
+        .filter(length(col("tok")) > 1)
+        // sequence(1, len-1) needs len > 1: Spark infers step -1 when
+        // start > stop, so a 1-char token would yield [1, 0], not []
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30)
+    },
+
+    // ----- data-mixture weights (source-balancing plan) --------------------
+    // Mixture design for training runs: per-source token mass and the
+    // sampling rate that equalizes every source's contribution to the
+    // mix (rate = smallest source's token total / this source's).
+    // Token totals are exact BIGINTs and the rate is ONE IEEE division
+    // of exact integers (the q63 determinism rule), so ranks can't
+    // flip across engines. The per-source aggregate is partial-agg
+    // friendly; the global min is attached to the handful of aggregated
+    // source rows by a broadcast of one row — not an unpartitioned
+    // window, which would force them through a single partition.
+    Q("q86_mixture_weights",
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens AS sample_rate
+        |FROM s""".stripMargin) { (s, d) =>
+      val bySource = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens).cast("long")).as("n_tokens"))
+      bySource
+        .crossJoin(broadcast(bySource.agg(min(col("n_tokens")).as("min_tok"))))
+        .withColumn("sample_rate",
+          col("min_tok").cast("double") / col("n_tokens"))
+        .drop(col("min_tok"))
     },
 
     // ----- B2 coverage: wc_map.py word count (whitespace runs, case kept) ----
