@@ -131,6 +131,72 @@ object Eventing {
             .as("n_purchase"))
     },
 
+    // ----- stream-static enrichment join (batch mirror) --------------------
+    // The standard streaming topology: an unbounded event stream joined
+    // with a small static dimension (user → tier here), then
+    // aggregated. [[Streams.enrichUsers]] broadcasts the static side —
+    // zero join state on a stream, no event-side shuffle in batch; the
+    // real-stream path (readEventStream → same transform → sink) runs
+    // in StreamingSpec. The dimension is derived deterministically so
+    // both engines build the identical table.
+    Q("q87_stream_enrich",
+      """WITH u AS (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
+        |SELECT CAST(tier AS BIGINT) AS tier,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN u USING (user_id)
+        |GROUP BY tier""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("tier", col("user_id") % 5)
+      Streams.enrichUsers(ev, users)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    },
+
+    // ----- time-series gap fill (resample to a dense hourly grid) ----------
+    // Downsampled dashboards and trainable time series need EVERY
+    // bucket present, including empty ones. The dense grid is built
+    // from the aggregated bounds (ONE row) crossed with the distinct
+    // types (a handful) and exploded — never from the raw events — so
+    // the only corpus-sized work is the bucket aggregate itself; the
+    // grid join is broadcast-small on the counts side's key space.
+    Q("q90_gap_fill",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket
+        |  FROM events),
+        |c AS (SELECT event_type, bucket, count(*) AS n
+        |      FROM e GROUP BY event_type, bucket),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM e),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |g AS (SELECT event_type, u.b AS bucket
+        |      FROM t, b CROSS JOIN unnest(range(lo, hi + 1)) AS u(b))
+        |SELECT g.event_type,
+        |  strftime(make_timestamp(g.bucket * 3600000000),
+        |    '%Y-%m-%d %H:%M') AS hour_ts,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM g LEFT JOIN c
+        |  ON g.event_type = c.event_type AND g.bucket = c.bucket""".stripMargin) {
+      (s, d) =>
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("bucket"))
+        val counts = e.groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        val grid = e.select(col("event_type")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(expr("sequence(lo, hi)")).as("bucket"))
+        grid.join(counts, Seq("event_type", "bucket"), "left")
+          .select(col("event_type"),
+            date_format(timestamp_micros(col("bucket") * 3600000000L),
+              "yyyy-MM-dd HH:mm").as("hour_ts"),
+            coalesce(col("n"), lit(0L)).as("n"))
+    },
+
     // ----- gap-based sessionization (batch mirror of the stateful op) ------
     Q("q39_sessionize",
       """WITH x AS (

@@ -582,6 +582,52 @@ object Relational {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           sumMoney(col("o_totalprice")).as("total"))
+    },
+
+    // ----- snapshot reconciliation (FULL OUTER diff) ------------------------
+    // The audit between two table versions: which keys were added,
+    // removed, changed, unchanged. A FULL OUTER join on the key is the
+    // one join type that keeps both sides' orphans — the unmatched
+    // rows ARE the adds/removes, so no second pass or anti joins. Both
+    // snapshots shuffle once on the same key (co-partitioned; on
+    // bucketed snapshots even that exchange disappears). Snapshot B is
+    // derived deterministically: every 97th key deleted, every 10th
+    // re-priced, every 13th re-inserted under a fresh key.
+    Q("q89_snapshot_diff",
+      """WITH b AS (
+        |  SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 0
+        |      THEN o_totalprice + 50 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |d AS (
+        |  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+        |              WHEN a.o_orderkey IS NULL THEN 'added'
+        |              WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM (SELECT o_orderkey, o_totalprice FROM orders) a
+        |  FULL JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_keys
+        |FROM d GROUP BY status""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = a.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 50)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(a.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      a.select(col("o_orderkey").as("ka"), col("o_totalprice").as("pa"))
+        .join(b.select(col("o_orderkey").as("kb"), col("o_totalprice").as("pb")),
+          col("ka") === col("kb"), "full_outer")
+        .select(when(col("kb").isNull, "removed")
+          .when(col("ka").isNull, "added")
+          .when(col("pa") =!= col("pb"), "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_keys"))
     }
   )
 }

@@ -633,6 +633,66 @@ object TextOps {
         .drop(col("min_tok"))
     },
 
+    // ----- data-quality audit (expectation checks as one scan) -------------
+    // The gate every ingest runs before data reaches training: key
+    // uniqueness, null payloads, metadata consistency, domain checks —
+    // all folded into ONE full-scan aggregate row (each check a
+    // conditional partial-aggregating sum), then unpivoted to a
+    // (check, n_bad, ok) report via stack(). Never one pass per check.
+    // Violations are INJECTED (every 250th doc re-appended with lang
+    // 'xx' and a NULL text) so the report proves the checks fire — an
+    // all-zero audit can't distinguish working checks from dead ones.
+    // The mismatch check is null-safe (IS DISTINCT FROM): a NULL text
+    // must count as a violation, not vanish in three-valued logic.
+    Q("q88_data_quality",
+      """WITH bad AS (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS text, 'xx' AS lang,
+        |    source, n_chars
+        |  FROM documents WHERE doc_id % 250 = 0),
+        |allrows AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL SELECT * FROM bad),
+        |a AS (
+        |  SELECT
+        |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_doc_id,
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_text,
+        |    CAST(sum(CASE WHEN n_chars IS DISTINCT FROM length(text)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch,
+        |    CAST(sum(CASE WHEN lang NOT IN ('en','zh','es','de','fr')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS unknown_lang,
+        |    CAST(sum(CASE WHEN n_chars < 0 OR n_chars > 100000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_range
+        |  FROM allrows)
+        |SELECT chk, n_bad, n_bad = 0 AS ok FROM a
+        |UNPIVOT (n_bad FOR chk IN (dup_doc_id, null_text, n_chars_mismatch,
+        |                           unknown_lang, n_chars_range))""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+        val bad = docs.filter(col("doc_id") % 250 === 0)
+          .withColumn("text", lit(null).cast("string"))
+          .withColumn("lang", lit("xx"))
+        val a = docs.unionByName(bad).agg(
+          (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_doc_id"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+          sum(when(!(col("n_chars") <=> length(col("text"))), 1L)
+            .otherwise(0L)).as("n_chars_mismatch"),
+          sum(when(!col("lang").isin("en", "zh", "es", "de", "fr"), 1L)
+            .otherwise(0L)).as("unknown_lang"),
+          sum(when(col("n_chars") < 0 || col("n_chars") > 100000, 1L)
+            .otherwise(0L)).as("n_chars_range"))
+        a.select(expr(
+          """stack(5,
+            |  'dup_doc_id', dup_doc_id,
+            |  'null_text', null_text,
+            |  'n_chars_mismatch', n_chars_mismatch,
+            |  'unknown_lang', unknown_lang,
+            |  'n_chars_range', n_chars_range) AS (chk, n_bad)""".stripMargin))
+          .withColumn("ok", col("n_bad") === 0)
+    },
+
     // ----- B2 coverage: wc_map.py word count (whitespace runs, case kept) ----
     // Routes through the actual MapReduce.wcMapPy mapper
     // (/root/reference/tests/testdata/exec/wc_map.py:5-8: str.split()

@@ -86,6 +86,15 @@ object Streams {
       events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-static enrichment join: attach a small static dimension to
+    * an (unbounded or bounded) event frame. The static side is
+    * broadcast — on a stream this is the ONLY join shape that needs no
+    * state at all (each micro-batch joins against the same in-memory
+    * table; nothing is buffered across batches), and at 100 TB/day it
+    * keeps the event side shuffle-free. */
+  def enrichUsers(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(broadcast(users), "user_id")
+
   /** Read the events table as a file stream (schema must be supplied —
     * streaming sources don't infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

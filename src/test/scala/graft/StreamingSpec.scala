@@ -45,6 +45,31 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:05:00", "view", 1L, 3.0)))
   }
 
+  test("stream-static join enriches each micro-batch against the dim table") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    // the static side is a plain bounded frame — Spark re-broadcasts it
+    // to every micro-batch with zero join state
+    val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val agg = Streams.enrichUsers(input.toDF(), users)
+      .groupBy($"tier")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "click", 2.0),
+      Event(3, ts(2), 1, "view", 3.0),
+      Event(4, ts(3), 3, "view", 4.0)) // user 3 has no dim row → dropped
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_out").orderBy("tier").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("basic", 1L), ("gold", 2L)))
+  }
+
   test("a restarted query resumes from its checkpoint, not from scratch") {
     // The streaming analog of A13: committed source offsets live in the
     // checkpoint, so a crashed/stopped query restarted with the same
