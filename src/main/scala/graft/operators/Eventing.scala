@@ -19,6 +19,24 @@ object Eventing {
 
   private val GAP_US: Long = 1800L * 1000000 // 30 min session gap
 
+  /** Per-user ordered-funnel stage times over `(user_id, event_type, t)`
+    * rows: appends one `t_<stage>` column per stage, the user's earliest
+    * qualifying event STRICTLY AFTER the previous stage's time (the
+    * first stage has no predecessor). All stages are chained window
+    * minima over ONE `user_id` partitioning — a single shuffle however
+    * many stages the funnel has. */
+  def funnelStageTimes(events: org.apache.spark.sql.DataFrame,
+      stages: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val qualifies =
+        if (i == 0) col("event_type") === stage
+        else col("event_type") === stage &&
+          col("t") > col(s"t_${stages(i - 1)}")
+      df.withColumn(s"t_$stage", min(when(qualifies, col("t"))).over(w))
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- tumbling 5-minute window counts (streaming-shared transform) ----
@@ -87,12 +105,11 @@ object Eventing {
     },
 
     // ----- ordered conversion funnel (view → click → purchase) -------------
-    // Each stage's entry time is the user's earliest qualifying event
-    // STRICTLY AFTER the previous stage — the sequencing is what makes a
-    // funnel a funnel (a purchase before the first view must not count).
-    // Three chained per-user window minima over ONE user_id partitioning:
-    // a single shuffle, three in-partition passes, then a global count —
-    // the floor for any per-user sequence analysis at 100 TB.
+    // The sequencing is what makes a funnel a funnel: a purchase before
+    // the first view must not count ([[funnelStageTimes]] — ordering
+    // strictness is spec-tested on synthetic timelines). One shuffle,
+    // three in-partition passes, then a global count — the floor for
+    // any per-user sequence analysis at 100 TB.
     Q("q77_funnel",
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
@@ -110,18 +127,12 @@ object Eventing {
         |  CAST(count(DISTINCT CASE WHEN t_buy IS NOT NULL THEN user_id END)
         |    AS BIGINT) AS n_purchase
         |FROM p""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("user_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("t"))
-        .withColumn("t_view",
-          min(when(col("event_type") === "view", col("t"))).over(w))
-        .withColumn("t_click",
-          min(when(col("event_type") === "click" && col("t") > col("t_view"),
-            col("t"))).over(w))
-        .withColumn("t_buy",
-          min(when(col("event_type") === "purchase" && col("t") > col("t_click"),
-            col("t"))).over(w))
+      funnelStageTimes(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("t")),
+        Seq("view", "click", "purchase"))
+        .withColumnRenamed("t_purchase", "t_buy")
         .agg(
           count_distinct(when(col("t_view").isNotNull, col("user_id")))
             .as("n_view"),

@@ -33,6 +33,18 @@ object Relational {
   private def avgMoney(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(c)
 
+  /** MERGE/upsert: `delta` rows win per `key`; `base` rows survive only
+    * where no delta key matches. The delta is assumed small next to the
+    * base (the CDC norm), so its key set is BROADCAST into the anti
+    * join — the base is scanned once with no shuffle. Both inputs must
+    * share `delta`'s schema. */
+  def mergeUpsert(base: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame, key: String)
+      : org.apache.spark.sql.DataFrame =
+    delta.unionByName(
+      base.join(broadcast(delta.select(col(key))), Seq(key), "left_anti")
+        .select(delta.columns.map(col).toIndexedSeq: _*))
+
   private def day(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
   /** q58's single source of truth: runs verbatim in BOTH engines. */
@@ -571,14 +583,11 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
       val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val delta = base.filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
           (col("o_totalprice") + 100).as("o_totalprice"))
-      val kept = base
-        .join(broadcast(delta.select(col("o_orderkey"))),
-          Seq("o_orderkey"), "left_anti")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      delta.unionByName(kept)
+      mergeUpsert(base, delta, "o_orderkey")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           sumMoney(col("o_totalprice")).as("total"))

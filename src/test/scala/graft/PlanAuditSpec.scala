@@ -83,6 +83,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("incremental dedup broadcasts the delta, never the corpus") {
+    // the corpus probe must be a broadcast semi join of the BATCH's
+    // fingerprint set — a shuffle here means the corpus became a join
+    // build side and the plan dies at 100 TB
+    val p = plan("q83_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(400))
+  }
+
+  test("k-means assignment broadcasts the centroids (no corpus window/cartesian)") {
+    val p = plan("q82_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // argmin is a partial aggregation, not a per-vector window sort
+    assert(!p.contains("RunningWindowFunction") &&
+      !"Window \\[min".r.findFirstIn(p).isDefined)
+  }
+
+  test("stream-static enrich and merge-upsert broadcast their small side") {
+    assert(plan("q87_stream_enrich").contains("BroadcastHashJoin"))
+    val merge = plan("q80_merge_upsert")
+    assert(merge.contains("BroadcastHashJoin") && merge.contains("LeftAnti"))
+  }
+
+  test("gap fill explodes the aggregated bounds row, not the raw events") {
+    val p = plan("q90_gap_fill")
+    assert(!p.contains("CartesianProduct"))
+    // the dense grid comes from generate(sequence) over the one-row
+    // bounds aggregate; events are scanned for the counts + keys only
+    assert(p.contains("Generate explode"))
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files

@@ -88,6 +88,58 @@ class PropertySpec extends AnyFunSuite {
     assert(ns.map(Similarity.numBits) == ns.map(Similarity.numBits).sorted)
   }
 
+  test("funnel stages only count events strictly after the prior stage") {
+    import Spec.spark.implicits._
+    // user 1: full ordered funnel; user 2: purchase BEFORE the first
+    // view (must not count); user 3: click with no view (must not count)
+    val events = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 20L),
+      (3L, "click", 10L)
+    ).toDF("user_id", "event_type", "t")
+    val ft = graft.operators.Eventing
+      .funnelStageTimes(events, Seq("view", "click", "purchase"))
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .distinct().collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(ft(1L) == (Some(10L), Some(20L), Some(30L)))
+    // user 2 reaches click (after view) but the t=5 purchase is ignored
+    assert(ft(2L) == (Some(10L), Some(20L), None))
+    // user 3 never views, so the click can't qualify either
+    assert(ft(3L) == (None, None, None))
+  }
+
+  test("mergeUpsert: delta wins per key, untouched base rows survive") {
+    import Spec.spark.implicits._
+    val gen = Gen.zip(
+      Gen.listOfN(12, Gen.zip(Gen.choose(0, 7), Gen.choose(0, 100))),
+      Gen.listOfN(4, Gen.zip(Gen.choose(0, 9), Gen.choose(200, 300))))
+    check(Prop.forAll(gen) { case (baseRows, deltaRows) =>
+      // one row per key on each side (upsert precondition)
+      val base = baseRows.toMap.toSeq.toDF("k", "v")
+      val delta = deltaRows.toMap.toSeq.toDF("k", "v")
+      val got = graft.operators.Relational.mergeUpsert(base, delta, "k")
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val expected = baseRows.toMap ++ deltaRows.toMap
+      got == expected
+    }, n = 3)
+  }
+
+  test("int8 rounding formula equals BigDecimal HALF_UP for all inputs") {
+    // the pure-integer (a·254 + scale) div (2·scale) rounding in
+    // q85_int8_quant must be exactly round-half-away-from-zero
+    check(Prop.forAll(Gen.choose(-1000L, 1000L), Gen.choose(1L, 1000L)) {
+      (a, scale) =>
+        val formula =
+          if (a < 0) -(((-a) * 254 + scale) / (2 * scale))
+          else (a * 254 + scale) / (2 * scale)
+        val expected = BigDecimal(a * 127) / BigDecimal(scale) setScale
+          (0, BigDecimal.RoundingMode.HALF_UP)
+        formula == expected.toLong
+    })
+  }
+
   test("salting replicates the dim side for hot keys ONLY") {
     import Spec.spark.implicits._
     import org.apache.spark.sql.functions._
