@@ -395,6 +395,97 @@ object Dedup {
         .limit(20)
     },
 
+    // ----- ensemble dedup verdict: agreement across independent signals ----
+    // Production dedup decisions rarely trust one detector: exact
+    // fingerprints, MinHash-LSH, and SimHash have disjoint blind spots
+    // (byte-identical vs token-overlap vs bit-profile similarity). This
+    // composes the SAME candidate generators the single-signal queries
+    // use (shared helpers — identical constants/derivations by
+    // construction), unions the pair sets with provenance flags, and
+    // ranks by how many signals agree. Each signal's candidates stay
+    // inverted-index joins, so the union is three linear pair streams
+    // plus ONE (doc_a, doc_b) hash aggregate — no new pairwise work.
+    Q("q91_ensemble_dedup",
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |ex AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |sigs AS MATERIALIZED ($MINHASH_SIGS_SQL),
+         |nr AS ($NR_SQL),
+         |bands AS MATERIALIZED ($BANDS_SQL),
+         |mh AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |sh AS ($simhashOracle),
+         |shb AS (
+         |  SELECT doc_id, simhash16,
+         |    b, CAST((simhash16 >> (4 * b)) & 15 AS INTEGER) AS nib
+         |  FROM sh CROSS JOIN unnest([0, 1, 2, 3]) AS u(b)),
+         |shp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM shb a JOIN shb c
+         |    ON a.b = c.b AND a.nib = c.nib AND a.doc_id < c.doc_id
+         |      AND bit_count(xor(a.simhash16, c.simhash16)) <= 3),
+         |u AS (
+         |  SELECT doc_a, doc_b, 1 AS ve, 0 AS vm, 0 AS vs FROM ex
+         |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0 FROM mh
+         |  UNION ALL SELECT doc_a, doc_b, 0, 0, 1 FROM shp)
+         |SELECT doc_a, doc_b,
+         |  CAST(max(ve) AS INTEGER) AS via_exact,
+         |  CAST(max(vm) AS INTEGER) AS via_minhash,
+         |  CAST(max(vs) AS INTEGER) AS via_simhash,
+         |  CAST(max(ve) + max(vm) + max(vs) AS INTEGER) AS n_signals
+         |FROM u GROUP BY doc_a, doc_b
+         |ORDER BY n_signals DESC, doc_a, doc_b
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val fpT = docs.select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .cast("binary")).as("fp"))
+      val ex = fpT.select(col("doc_id").as("doc_a"), col("fp"))
+        .join(fpT.select(col("doc_id").as("doc_b"), col("fp").as("fp2")),
+          col("fp") === col("fp2") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      val sigs = minhashSigs(s, d).persist()
+      val mh = bandPairs(
+        bandSignatures(sigs, bandRows(docs.count())), _ < _)
+      val sh = simhashes(s, d).persist()
+      val bandCols = (0 until 4).map { b =>
+        struct(lit(b).as("b"),
+          shiftright(col("simhash16"), 4 * b).bitwiseAND(15).cast("int")
+            .as("nib"))
+      }
+      val shb = sh
+        .select(col("doc_id"), col("simhash16"),
+          explode(array(bandCols: _*)).as("bn"))
+        .select(col("doc_id"), col("simhash16"),
+          col("bn.b").as("b"), col("bn.nib").as("nib"))
+      val shp = shb.select(col("doc_id").as("doc_a"),
+          col("simhash16").as("sa"), col("b"), col("nib"))
+        .join(shb.select(col("doc_id").as("doc_b"),
+          col("simhash16").as("sb"), col("b").as("b2"), col("nib").as("nib2")),
+          col("b") === col("b2") && col("nib") === col("nib2") &&
+            col("doc_a") < col("doc_b") && expr("bit_count(sa ^ sb)") <= 3)
+        .select(col("doc_a"), col("doc_b")).distinct()
+      def flag(df: org.apache.spark.sql.DataFrame, e: Int, m: Int, sm: Int) =
+        df.withColumn("ve", lit(e)).withColumn("vm", lit(m))
+          .withColumn("vs", lit(sm))
+      flag(ex, 1, 0, 0)
+        .unionByName(flag(mh, 0, 1, 0))
+        .unionByName(flag(shp, 0, 0, 1))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("ve")).as("via_exact"), max(col("vm")).as("via_minhash"),
+          max(col("vs")).as("via_simhash"))
+        .withColumn("n_signals",
+          col("via_exact") + col("via_minhash") + col("via_simhash"))
+        .orderBy(col("n_signals").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+
     // ----- transitive dup clusters: connected components over LSH edges ----
     // Near-duplication is transitive in practice (A~B, B~C → one
     // cluster), so dedup needs COMPONENTS, not pairs. Edges are the
