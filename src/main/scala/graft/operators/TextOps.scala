@@ -633,6 +633,52 @@ object TextOps {
         .drop(col("min_tok"))
     },
 
+    // ----- mixture application (deterministic rate-based sampling) ---------
+    // q86 plans the per-source rates; this APPLIES them: keep a doc iff
+    // its frozen md5 bucket (16-bit, the q65 determinism idiom) falls
+    // under the source's integer threshold thr = min_tokens·65536 div
+    // source_tokens. Same doc set on every rerun, partitioning, and
+    // engine — rand() sampling reproduces nothing. The rate table is a
+    // handful of rows joined broadcast; the corpus is scanned once and
+    // never shuffled before the final per-source count.
+    Q("q92_mixture_apply",
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    (SELECT min(n_tokens) FROM s) * 65536 // n_tokens AS thr
+        |  FROM s),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS b
+        |  FROM documents)
+        |SELECT h.source, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN b < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(max(thr) AS BIGINT) AS thr
+        |FROM h JOIN r ON h.source = r.source
+        |GROUP BY h.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bySource = docs.groupBy(col("source"))
+        .agg(sum(size(tokens).cast("long")).as("n_tokens"))
+      val rates = bySource
+        .crossJoin(broadcast(bySource.agg(min(col("n_tokens")).as("mt"))))
+        .select(col("source"), expr("mt * 65536 div n_tokens").as("thr"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 4), 16, 10).cast("long")
+      docs.select(col("doc_id"), col("source"), bucket.as("b"))
+        .join(broadcast(rates), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
+          max(col("thr")).as("thr"))
+    },
+
     // ----- data-quality audit (expectation checks as one scan) -------------
     // The gate every ingest runs before data reaches training: key
     // uniqueness, null payloads, metadata consistency, domain checks —
