@@ -146,7 +146,8 @@ object Eventing {
     // The standard streaming topology: an unbounded event stream joined
     // with a small static dimension (user → tier here), then
     // aggregated. [[Streams.enrichUsers]] broadcasts the static side —
-    // zero join state on a stream, no event-side shuffle in batch; the
+    // zero join state on a stream, no event-side shuffle in batch —
+    // and joins LEFT so unknown keys survive with null enrichment; the
     // real-stream path (readEventStream → same transform → sink) runs
     // in StreamingSpec. The dimension is derived deterministically so
     // both engines build the identical table.
@@ -155,7 +156,7 @@ object Eventing {
         |SELECT CAST(tier AS BIGINT) AS tier,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events e JOIN u USING (user_id)
+        |FROM events e LEFT JOIN u USING (user_id)
         |GROUP BY tier""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val users = ev.select(col("user_id")).distinct()

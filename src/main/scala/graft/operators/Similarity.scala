@@ -434,6 +434,13 @@ object Similarity {
         .select(col("vec_id"), quant(col("embedding")).as("sv"))
         .withColumn("xx", dot(col("sv"), col("sv")))
         .persist()
+      // materialize the cache BEFORE the first RDD-id snapshot:
+      // persist() only registers the entry, the backing RDD appears in
+      // getPersistentRDDs during the first job that reads it — if that
+      // job is the initial checkpoint below, e's cache id lands in
+      // centIds and the round-1 cleanup silently unpersists the shared
+      // corpus frame (every later round re-scans the parquet)
+      e.count()
       val sc = s.sparkContext
       def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
       var before = persistedIds

@@ -258,7 +258,7 @@ object TextOps {
       // min: ONE scan of documents and ONE shuffle (on fp) — a
       // groupBy + semi-join back would recompute the scored lineage
       // per branch and shuffle the full data a second time for the join
-      val keepW = org.apache.spark.sql.expressions.Window
+      val keepW = Window
         .partitionBy(col("fp"))
       scored
         .withColumn("keep_id", min(col("doc_id")).over(keepW))
@@ -297,7 +297,6 @@ object TextOps {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, tok) AS rk FROM scored) r
         |WHERE rk <= 3""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val nDocs = Tables.documents(s, d).count()
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens).as("tok"))
@@ -436,7 +435,7 @@ object TextOps {
         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |      FROM documents) t
         |WHERE rk <= 5""".stripMargin) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("lang"))
         .orderBy(md5(col("doc_id").cast("string").cast("binary")),
           col("doc_id"))
@@ -466,10 +465,10 @@ object TextOps {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, bin_id""".stripMargin) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
@@ -525,8 +524,11 @@ object TextOps {
     // Character-class counts are the cheapest text-quality gate: a
     // vowel share far from ~0.38 flags gibberish, digits/uppercase
     // flag boilerplate and shouting. Ratios are single IEEE divisions
-    // of exact integers → bit-identical across engines. Per-row
-    // codegen'd regexp counts, zero shuffles.
+    // of exact integers → bit-identical across engines; the divisor is
+    // clamped with greatest(·, 1) because a zero-lowercase document
+    // would OTHERWISE diverge (Spark's non-ANSI x/0 is NULL, DuckDB's
+    // is inf/nan — a latent hash mismatch on all-caps/digit rows).
+    // Per-row codegen'd regexp counts, zero shuffles.
     Q("q79_charclass_stats",
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_lower,
@@ -534,7 +536,8 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
         |  CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_space,
         |  CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
-        |    / len(regexp_extract_all(text, '[a-z]')) AS vowel_share
+        |    / greatest(len(regexp_extract_all(text, '[a-z]')), 1)
+        |    AS vowel_share
         |FROM documents""".stripMargin) { (s, d) =>
       val lower = regexp_count(col("text"), lit("[a-z]")).cast("long")
       Tables.documents(s, d).select(
@@ -543,8 +546,8 @@ object TextOps {
         regexp_count(col("text"), lit("[A-Z]")).cast("long").as("n_upper"),
         regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
         regexp_count(col("text"), lit(" ")).cast("long").as("n_space"),
-        (regexp_count(col("text"), lit("[aeiou]")).cast("double") / lower)
-          .as("vowel_share"))
+        (regexp_count(col("text"), lit("[aeiou]")).cast("double") /
+          greatest(lower, lit(1L))).as("vowel_share"))
     },
 
     // ----- length histogram (fixed-width bucketing) --------------------------

@@ -13,19 +13,25 @@ import org.apache.spark.sql.DataFrame
 object Sinks {
 
   /** Rewrite `df` as parquet in `dir` with bounded, roughly-equal file
-    * sizes: one cheap count sizes the job at ceil(n / recordsPerFile)
-    * writers (a round-robin repartition — no keys, no skew), and
+    * sizes: a count sizes the job at ceil(n / recordsPerFile) writers
+    * (a round-robin repartition — no keys, no skew), and
     * `maxRecordsPerFile` hard-caps stragglers so no single file can
-    * exceed the target even if the repartition is uneven. Returns the
-    * row count it compacted. */
+    * exceed the target even if the repartition is uneven. The input is
+    * persisted across the count + write pair — `df` may be an arbitrary
+    * computed plan, and without the persist the whole computation would
+    * run twice (once to count, once to write). Returns the row count
+    * it compacted. */
   def writeCompacted(df: DataFrame, dir: String,
       recordsPerFile: Long): Long = {
-    val n = df.count()
-    val parts = math.max(1L, (n + recordsPerFile - 1) / recordsPerFile).toInt
-    df.repartition(parts)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", recordsPerFile)
-      .parquet(dir)
-    n
+    df.persist()
+    try {
+      val n = df.count()
+      val parts = math.max(1L, (n + recordsPerFile - 1) / recordsPerFile).toInt
+      df.repartition(parts)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", recordsPerFile)
+        .parquet(dir)
+      n
+    } finally df.unpersist(blocking = false)
   }
 }

@@ -91,9 +91,12 @@ object Streams {
     * broadcast — on a stream this is the ONLY join shape that needs no
     * state at all (each micro-batch joins against the same in-memory
     * table; nothing is buffered across batches), and at 100 TB/day it
-    * keeps the event side shuffle-free. */
+    * keeps the event side shuffle-free. LEFT join: an event whose key
+    * the dimension doesn't know yet (the normal CDC lag race) is kept
+    * with null enrichment columns — an enrich step must never silently
+    * drop events. */
   def enrichUsers(events: DataFrame, users: DataFrame): DataFrame =
-    events.join(broadcast(users), "user_id")
+    events.join(broadcast(users), Seq("user_id"), "left")
 
   /** Read the events table as a file stream (schema must be supplied —
     * streaming sources don't infer). */

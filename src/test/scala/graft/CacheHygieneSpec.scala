@@ -30,6 +30,30 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(persisted.isEmpty)
   }
 
+  test("q82 k-means frees superseded centroid rounds and keeps the corpus cache") {
+    reset()
+    SparkEntry.queries("q82_kmeans")(spark, Spec.sfDir).count()
+    // before clearCache: the persisted corpus frame plus the FINAL
+    // centroid checkpoint only — all superseded rounds were freed
+    // in-loop, and the shared cache must NOT have been swept up in the
+    // round-1 cleanup (the RDD-id bookkeeping bug class)
+    assert(persisted.size <= 2,
+      s"net persisted RDDs after q82: ${persisted.size}")
+    spark.catalog.clearCache()
+    // RDD-level residual: the final centroid localCheckpoint backing
+    // the returned frame
+    assert(persisted.size <= 1)
+    persisted.values.foreach(_.unpersist(blocking = false))
+  }
+
+  test("q91 ensemble leaves only catalog-managed signature caches") {
+    reset()
+    SparkEntry.queries("q91_ensemble_dedup")(spark, Spec.sfDir).count()
+    spark.catalog.clearCache()
+    assert(persisted.isEmpty,
+      s"net persisted RDDs after q91+clearCache: ${persisted.size}")
+  }
+
   test("q57 frees every superseded contraction round in-loop") {
     reset()
     SparkEntry.queries("q57_dup_clusters")(spark, Spec.sfDir).count()

@@ -59,7 +59,7 @@ class StreamingSpec extends AnyFunSuite {
       Event(1, ts(0), 1, "click", 1.0),
       Event(2, ts(1), 2, "click", 2.0),
       Event(3, ts(2), 1, "view", 3.0),
-      Event(4, ts(3), 3, "view", 4.0)) // user 3 has no dim row → dropped
+      Event(4, ts(3), 3, "view", 4.0)) // user 3 unknown → kept, null tier
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("enrich_out")
       .trigger(Trigger.AvailableNow()).start()
@@ -67,7 +67,8 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val rows = spark.table("enrich_out").orderBy("tier").collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    assert(rows.toSeq == Seq(("basic", 1L), ("gold", 2L)))
+    // enrichment must not DROP the unknown-key event (CDC lag race)
+    assert(rows.toSeq == Seq((null, 1L), ("basic", 1L), ("gold", 2L)))
   }
 
   test("a restarted query resumes from its checkpoint, not from scratch") {
