@@ -637,6 +637,40 @@ object Relational {
           .otherwise("unchanged").as("status"))
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n_keys"))
+    },
+
+    // ----- fuzzy string join (blocking + edit-distance verify) --------------
+    // Entity resolution over dirty names: never levenshtein all pairs.
+    // The scale recipe: (1) dedupe to the name VOCABULARY first (at
+    // 100 TB the distinct names are orders of magnitude fewer than the
+    // rows carrying them), (2) generate candidates with a cheap
+    // blocking key (here the head noun — last token) via an
+    // inverted-index self-join, (3) run the quadratic-cost edit
+    // distance only inside blocks. Both engines implement the same
+    // classic Levenshtein, so the distance is cross-engine exact.
+    Q("q93_fuzzy_join",
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |t AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk
+        |      FROM names),
+        |cand AS (
+        |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |    levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, CAST(dist AS INTEGER) AS dist
+        |FROM cand WHERE dist <= 6
+        |ORDER BY dist, name_a, name_b
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val t = Tables.part(s, d)
+        .select(col("p_name")).distinct()
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val a = t.select(col("p_name").as("name_a"), col("blk"))
+      val b = t.select(col("p_name").as("name_b"), col("blk").as("blk2"))
+      a.join(b, col("blk") === col("blk2") && col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .filter(col("dist") <= 6)
+        .orderBy(col("dist"), col("name_a"), col("name_b"))
+        .limit(20)
     }
   )
 }
