@@ -255,6 +255,39 @@ object Dedup {
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     },
 
+    // ----- priority dedup: survivor chosen by QUALITY, not arrival ---------
+    // Production survivor policies keep the best copy of a duplicate
+    // group (longest / highest-quality / preferred source), not the
+    // smallest id. The composite priority (n_chars desc, doc_id asc)
+    // is encoded as ONE scalar — n_chars·10^8 − doc_id — so the winner
+    // falls out of a partial-aggregating max_by in both engines: no
+    // per-group window sort, same single-shuffle shape as q29/q74.
+    Q("q94_priority_dedup",
+      """WITH fp AS (
+        |  SELECT doc_id, n_chars,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |keep AS (
+        |  SELECT max_by(doc_id, n_chars * 100000000 - doc_id) AS doc_id
+        |  FROM fp GROUP BY fp)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+        |FROM documents d SEMI JOIN keep k ON d.doc_id = k.doc_id
+        |GROUP BY d.lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keep = docs
+        .select(col("doc_id"), col("n_chars"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+            .cast("binary")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(expr("max_by(doc_id, n_chars * 100000000L - doc_id)").as("doc_id"))
+        .select(col("doc_id"))
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    },
+
     // ----- incremental dedup: a new batch against the standing corpus ------
     // Production dedup is rarely one-shot — every ingest batch must be
     // checked against what's already kept. The delta (every 5th doc

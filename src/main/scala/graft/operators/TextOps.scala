@@ -682,6 +682,37 @@ object TextOps {
           max(col("thr")).as("thr"))
     },
 
+    // ----- per-source percentile filter (group-relative curation gate) -----
+    // Absolute thresholds misfire when sources have different length
+    // profiles; the production gate is group-RELATIVE: keep docs at or
+    // above their own source's median. percent_rank over a UNIQUE
+    // in-group order (n_chars, doc_id) is the exact rational
+    // (k−1)/(n−1) in both engines — one IEEE division, no ties to
+    // break differently. One shuffle on source; the rank and the
+    // keep-counts ride the same partitioning.
+    Q("q95_percentile_filter",
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    percent_rank() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN pr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(min(CASE WHEN pr >= 0.5 THEN n_chars END) AS BIGINT)
+        |    AS min_kept_chars
+        |FROM r GROUP BY source""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          percent_rank().over(w).as("pr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("pr") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("pr") >= 0.5, col("n_chars"))).as("min_kept_chars"))
+    },
+
     // ----- data-quality audit (expectation checks as one scan) -------------
     // The gate every ingest runs before data reaches training: key
     // uniqueness, null payloads, metadata consistency, domain checks —
