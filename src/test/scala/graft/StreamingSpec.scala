@@ -71,6 +71,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((null, 1L), ("basic", 1L), ("gold", 2L)))
   }
 
+  test("foreachBatch applies a streaming CDC delta via mergeUpsert") {
+    // The streaming write-side of q80: each micro-batch of updates is
+    // MERGED into the standing table (delta wins per key) instead of
+    // appended — the pattern every streaming-lakehouse sink uses.
+    // foreachBatch gets a BOUNDED frame per batch, so the same
+    // mergeUpsert the batch query uses applies unchanged.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-cdc").toString + "/table"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "status", "price").write.parquet(dir)
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input.toDF().toDF("k", "status", "price")
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = graft.operators.Relational
+          .mergeUpsert(spark.read.parquet(dir), batch, "k")
+          // materialize BEFORE overwriting the directory being read
+          .collect()
+        spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(merged: _*)),
+          batch.schema).write.mode("overwrite").parquet(dir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    input.addData((2L, "U", 99.0), (4L, "new", 40.0))
+    val run = q.start()
+    run.processAllAvailable()
+    run.stop()
+    val table = spark.read.parquet(dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(table.toSeq == Seq((1L, "a", 10.0), (2L, "U", 99.0),
+      (3L, "c", 30.0), (4L, "new", 40.0)))
+  }
+
   test("a restarted query resumes from its checkpoint, not from scratch") {
     // The streaming analog of A13: committed source offsets live in the
     // checkpoint, so a crashed/stopped query restarted with the same
