@@ -36,6 +36,10 @@ object Multimodal {
   final case class AudioFeatures(doc_id: Long, sample_rate: Int,
       n_channels: Int, n_samples: Long, n_bytes: Long, abs_sum: Long)
 
+  /** A strided frame sample over a decoded media stream. */
+  final case class FrameSample(doc_id: Long, n_samples: Long, stride: Long,
+      n_frames: Long, sampled_sum: Long)
+
   object MediaCodec {
     // in-memory streams only — keep ImageIO off its disk scratch cache
     ImageIO.setUseCache(false)
@@ -111,30 +115,53 @@ object Multimodal {
     }
 
     /** Real RIFF/WAV parse: validates the container tags, reads the
-      * format chunk, and folds the PCM samples — a corrupted byte in
-      * header or data is observable. */
+      * format chunk, and returns (rate, channels, PCM samples) — a
+      * corrupted byte in header or data is observable. */
+    private def parseWav(docId: Long,
+        payload: Array[Byte]): (Int, Int, Array[Short]) = {
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      require(tag() == "RIFF", s"not a RIFF stream for doc $docId")
+      buf.getInt()
+      require(tag() == "WAVE", s"not a WAVE stream for doc $docId")
+      require(tag() == "fmt ", s"missing fmt chunk for doc $docId")
+      require(buf.getInt() == 16 && buf.getShort() == 1, "not canonical PCM")
+      val channels = buf.getShort().toInt
+      val rate = buf.getInt()
+      buf.getInt(); buf.getShort(); buf.getShort()
+      require(tag() == "data", s"missing data chunk for doc $docId")
+      val n = buf.getInt() / 2
+      val samples = new Array[Short](n)
+      (0 until n).foreach(i => samples(i) = buf.getShort())
+      (rate, channels, samples)
+    }
+
     def decodeWav(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
       rows.map { r =>
-        val buf = java.nio.ByteBuffer.wrap(r.payload)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        def tag(): String = {
-          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
-        }
-        require(tag() == "RIFF", s"not a RIFF stream for doc ${r.doc_id}")
-        buf.getInt()
-        require(tag() == "WAVE", s"not a WAVE stream for doc ${r.doc_id}")
-        require(tag() == "fmt ", s"missing fmt chunk for doc ${r.doc_id}")
-        require(buf.getInt() == 16 && buf.getShort() == 1, "not canonical PCM")
-        val channels = buf.getShort().toInt
-        val rate = buf.getInt()
-        buf.getInt(); buf.getShort(); buf.getShort()
-        require(tag() == "data", s"missing data chunk for doc ${r.doc_id}")
-        val dataLen = buf.getInt()
-        val n = dataLen / 2
+        val (rate, channels, samples) = parseWav(r.doc_id, r.payload)
         var absSum = 0L
-        (0 until n).foreach(_ => absSum += math.abs(buf.getShort().toLong))
-        AudioFeatures(r.doc_id, rate, channels, n.toLong,
+        samples.foreach(s => absSum += math.abs(s.toLong))
+        AudioFeatures(r.doc_id, rate, channels, samples.length.toLong,
           r.payload.length.toLong, absSum)
+      }
+
+    /** Strided frame sampling over the decoded stream — the video
+      * frame-sample analog on the media type this container carries:
+      * pick k evenly-strided frames (stride = n div k), fold the
+      * sampled values. Runs inside the partition iterator like every
+      * codec stage. */
+    def frameSample(rows: Iterator[MediaRow],
+        k: Int): Iterator[FrameSample] =
+      rows.map { r =>
+        val (_, _, samples) = parseWav(r.doc_id, r.payload)
+        val stride = samples.length / k
+        var sum = 0L
+        (0 until k).foreach(j => sum += samples(j * stride).toLong)
+        FrameSample(r.doc_id, samples.length.toLong, stride.toLong,
+          k.toLong, sum)
       }
 
     /** Formula-side expectation for [[decodeWav]] over [[synthWav]]. */
@@ -293,6 +320,38 @@ object Multimodal {
         .toDF()
         .select(col("doc_id"), col("sample_rate"), col("n_channels"),
           col("n_samples"), col("n_bytes"))
+    },
+
+    // ----- strided frame sampling (the video-pipeline primitive) -----------
+    // Training pipelines rarely decode EVERY frame — they sample k
+    // evenly-strided frames per clip. Same plumbing demonstrated on the
+    // PCM stream the WAV container carries: real parse, stride = n div
+    // k, fold of exactly the sampled frames. Every output column is a
+    // pure function of doc_id, so the oracle recomputes the strided sum
+    // from the waveform formula without a codec (the q37/q60 pattern).
+    Q("q96_frame_sample",
+      """WITH p AS (
+        |  SELECT doc_id, 256 + doc_id % 256 AS n,
+        |    (256 + doc_id % 256) // 32 AS stride,
+        |    20 + doc_id % 50 AS f
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(stride AS BIGINT) AS stride,
+        |  CAST(32 AS BIGINT) AS n_frames,
+        |  CAST((SELECT sum((j * stride * f) % 2000 - 1000)
+        |        FROM unnest(range(0, 32)) AS u(j)) AS BIGINT) AS sampled_sum
+        |FROM p""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // same core-matched repartition as q37 — see the comment there
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id =>
+          MediaRow(id, "wav", MediaCodec.synthWav(id))))
+        .mapPartitions(MediaCodec.frameSample(_, 32))
+        .toDF()
+        .select(col("doc_id"), col("n_samples"), col("stride"),
+          col("n_frames"), col("sampled_sum"))
     },
 
     Q("q47_media_thumbnail",
