@@ -33,6 +33,31 @@ object Aggregators {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Bounded-state top-k per group: the buffer holds at most K
+    * (sort_key, id) entries, inserted and trimmed on every reduce/merge,
+    * so partial aggregation ships K rows per group per partition instead
+    * of the window-rank alternative — which shuffles and SORTS every
+    * group's full contents just to keep K. At 100 TB with millions of
+    * rows per group, bounded state is the difference between a top-k
+    * that runs and one that spills. Ordering (key desc, id asc) is a
+    * total order, so the result is partition- and merge-order
+    * independent. */
+  final class TopK(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      s.sortBy { case (key, id) => (-key, id) }.take(k)
+    def zero: Seq[(Long, Long)] = Seq.empty
+    def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+      trim(b :+ a)
+    def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      trim(x ++ y)
+    def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] = b
+    def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q59_custom_udaf",
@@ -49,6 +74,31 @@ object Aggregators {
         .agg(
           wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
           count(lit(1)).as("n"))
+    },
+
+    // ----- bounded-state top-k per group (no window sort) -------------------
+    // Top-3 longest docs per language via [[TopK]]: the window-rank
+    // equivalent (the oracle's formulation) shuffles and sorts every
+    // group in full; the Aggregator ships at most K entries per group
+    // per partition. Same rows, radically different shuffle volume at
+    // scale. The aggregated array is exploded back to flat rows (rank =
+    // position in the total order) before the sink.
+    Q("q97_topk_per_group",
+      """SELECT lang, doc_id, n_chars, CAST(rk AS INTEGER) AS rk
+        |FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 3""".stripMargin) { (s, d) =>
+      val top3 = udaf(new TopK(3))
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(top3(col("n_chars"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col._2").as("doc_id"),
+          col("col._1").as("n_chars"),
+          (col("pos") + 1).cast("int").as("rk"))
     }
   )
 }

@@ -140,6 +140,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TopK aggregator is merge-order independent and bounded") {
+    import graft.functions.Aggregators
+    val agg = new Aggregators.TopK(3)
+    val gen = Gen.listOfN(20, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))
+    check(Prop.forAll(gen) { rows =>
+      // sequential reduce vs arbitrary two-way merge split must agree,
+      // and every intermediate buffer stays ≤ K
+      val whole = rows.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = rows.splitAt(rows.length / 2)
+      val split = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val fullSort = rows.sortBy { case (k, id) => (-k, id) }.take(3)
+      whole.size <= 3 && split == whole && agg.finish(whole) == fullSort
+    })
+  }
+
   test("salting replicates the dim side for hot keys ONLY") {
     import Spec.spark.implicits._
     import org.apache.spark.sql.functions._
