@@ -44,8 +44,12 @@ object Aggregators {
     * independent. */
   final class TopK(k: Int)
       extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    // an Ordering, not arithmetic negation: -Long.MinValue overflows to
+    // itself and would rank a MinValue key LAST instead of first
+    private val ord: Ordering[(Long, Long)] =
+      Ordering.by[(Long, Long), Long](_._1).reverse.orElseBy(_._2)
     private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
-      s.sortBy { case (key, id) => (-key, id) }.take(k)
+      s.sorted(ord).take(k)
     def zero: Seq[(Long, Long)] = Seq.empty
     def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
       trim(b :+ a)

@@ -21,6 +21,16 @@ object Dedup {
 
   private val toks: Column = split(lower(col("text")), " ", -1)
 
+  /** The normalized-content fingerprint every exact-dedup signal keys
+    * on: md5 of the lowercased, whitespace-collapsed, trimmed text —
+    * ONE definition shared by all Scala call sites (q27/q29/q62/q74/
+    * q83/q91/q94) so the signals can't silently diverge when the
+    * normalization changes. Each query's oracle SQL states the same
+    * expression; the per-query hash gate breaks loudly if either side
+    * drifts. */
+  private[operators] val normFp: Column =
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
+
   /** Word-trigram shingles, 0-based `get` indexing; docs with <3 tokens
     * produce none (guard needed: Spark `sequence(1, n)` with n<1 would
     * produce a DESCENDING sequence, not an empty one).
@@ -220,8 +230,7 @@ object Dedup {
         |GROUP BY fp""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-            .cast("binary")).as("fp"))
+          normFp.as("fp"))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
     },
@@ -246,8 +255,7 @@ object Dedup {
         val docs = Tables.documents(s, d)
         val keep = docs
           .select(col("doc_id"),
-            md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-              .cast("binary")).as("fp"))
+            normFp.as("fp"))
           .groupBy(col("fp"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
@@ -258,18 +266,26 @@ object Dedup {
     // ----- priority dedup: survivor chosen by QUALITY, not arrival ---------
     // Production survivor policies keep the best copy of a duplicate
     // group (longest / highest-quality / preferred source), not the
-    // smallest id. The composite priority (n_chars desc, doc_id asc)
-    // is encoded as ONE scalar — n_chars·10^8 − doc_id — so the winner
-    // falls out of a partial-aggregating max_by in both engines: no
-    // per-group window sort, same single-shuffle shape as q29/q74.
+    // smallest id. Spark expresses (n_chars desc, doc_id asc) as a
+    // partial-aggregating max_by over a STRUCT priority — no per-group
+    // window sort, same single-shuffle shape as q29/q74. The tiebreak
+    // component is Long.MaxValue − doc_id (monotone-decreasing, no
+    // overflow for the non-negative ids every fixture and sane corpus
+    // uses) — a packed single-scalar encoding like n_chars·10^8 − id
+    // would silently invert the policy once ids cross the pack width.
+    // DuckDB's max_by can't order by a struct, so the oracle states the
+    // identical policy as a row_number window instead.
     Q("q94_priority_dedup",
       """WITH fp AS (
         |  SELECT doc_id, n_chars,
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |  FROM documents),
         |keep AS (
-        |  SELECT max_by(doc_id, n_chars * 100000000 - doc_id) AS doc_id
-        |  FROM fp GROUP BY fp)
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY fp
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM fp) t
+        |  WHERE rn = 1)
         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
         |FROM documents d SEMI JOIN keep k ON d.doc_id = k.doc_id
@@ -277,10 +293,11 @@ object Dedup {
       val docs = Tables.documents(s, d)
       val keep = docs
         .select(col("doc_id"), col("n_chars"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-            .cast("binary")).as("fp"))
+          normFp.as("fp"))
         .groupBy(col("fp"))
-        .agg(expr("max_by(doc_id, n_chars * 100000000L - doc_id)").as("doc_id"))
+        .agg(expr(
+          s"max_by(doc_id, struct(n_chars, ${Long.MaxValue}L - doc_id))")
+          .as("doc_id"))
         .select(col("doc_id"))
       docs.join(keep, Seq("doc_id"), "left_semi")
         .groupBy(col("lang"))
@@ -314,8 +331,7 @@ object Dedup {
         |GROUP BY b.lang""".stripMargin) { (s, d) =>
       val fp = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-            .cast("binary")).as("fp"))
+          normFp.as("fp"))
       val batch = fp.filter(col("doc_id") % 5 === 0)
       val hits = fp.filter(col("doc_id") % 5 =!= 0)
         .join(broadcast(batch.select(col("fp")).distinct()),
@@ -477,8 +493,7 @@ object Dedup {
          |LIMIT 20""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val fpT = docs.select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-          .cast("binary")).as("fp"))
+        normFp.as("fp"))
       val ex = fpT.select(col("doc_id").as("doc_a"), col("fp"))
         .join(fpT.select(col("doc_id").as("doc_b"), col("fp").as("fp2")),
           col("fp") === col("fp2") && col("doc_a") < col("doc_b"))

@@ -157,6 +157,10 @@ object Multimodal {
         k: Int): Iterator[FrameSample] =
       rows.map { r =>
         val (_, _, samples) = parseWav(r.doc_id, r.payload)
+        // same loud-failure style as the parser: stride 0 would fold
+        // frame 0 k times and report a silently wrong sample
+        require(samples.length >= k,
+          s"doc ${r.doc_id}: ${samples.length} frames < sample size $k")
         val stride = samples.length / k
         var sum = 0L
         (0 until k).foreach(j => sum += samples(j * stride).toLong)

@@ -156,8 +156,7 @@ object TextOps {
         |FROM documents""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-          .cast("binary")).as("fp"))
+        Dedup.normFp.as("fp"))
     },
 
     // ----- n-grams: top-20 bigrams by frequency -------------------------------
@@ -245,8 +244,7 @@ object TextOps {
       val quality = lit(0.5) * (stopCnt.cast("double") / nTokens) +
         lit(0.3) * (tokChars.cast("double") / nTokens / lit(10.0)) +
         lit(0.2) * (punctCnt.cast("double") / nTokens)
-      val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-        .cast("binary"))
+      val fp = Dedup.normFp
       val scored = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), fp.as("fp"),
         nTokens.as("n_tokens"), quality.as("quality"),

@@ -23,7 +23,12 @@ object Sinks {
     * it compacted. */
   def writeCompacted(df: DataFrame, dir: String,
       recordsPerFile: Long): Long = {
-    df.persist()
+    // only manage a cache WE created — unconditionally unpersisting
+    // would silently drop a cache the caller established (Spark cache
+    // entries are not refcounted)
+    val ownCache =
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownCache) df.persist()
     try {
       val n = df.count()
       val parts = math.max(1L, (n + recordsPerFile - 1) / recordsPerFile).toInt
@@ -32,6 +37,6 @@ object Sinks {
         .option("maxRecordsPerFile", recordsPerFile)
         .parquet(dir)
       n
-    } finally df.unpersist(blocking = false)
+    } finally if (ownCache) df.unpersist(blocking = false)
   }
 }

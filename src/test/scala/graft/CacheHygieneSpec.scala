@@ -33,12 +33,14 @@ class CacheHygieneSpec extends AnyFunSuite {
   test("q82 k-means frees superseded centroid rounds and keeps the corpus cache") {
     reset()
     SparkEntry.queries("q82_kmeans")(spark, Spec.sfDir).count()
-    // before clearCache: the persisted corpus frame plus the FINAL
-    // centroid checkpoint only — all superseded rounds were freed
-    // in-loop, and the shared cache must NOT have been swept up in the
-    // round-1 cleanup (the RDD-id bookkeeping bug class)
-    assert(persisted.size <= 2,
-      s"net persisted RDDs after q82: ${persisted.size}")
+    // before clearCache: EXACTLY the persisted corpus frame plus the
+    // FINAL centroid checkpoint — all superseded rounds were freed
+    // in-loop. The equality matters: the RDD-id bookkeeping bug class
+    // (corpus cache swept by the round-1 cleanup) leaves 1 entry, which
+    // an upper bound alone would wave through
+    assert(persisted.size == 2,
+      s"net persisted RDDs after q82: ${persisted.size} (expected 2: " +
+        "corpus cache + final centroid checkpoint)")
     spark.catalog.clearCache()
     // RDD-level residual: the final centroid localCheckpoint backing
     // the returned frame
