@@ -142,6 +142,93 @@ object Eventing {
             .as("n_purchase"))
     },
 
+    // ----- sessionized funnel (composition: sessions ∘ funnel) -------------
+    // Product analytics ask the funnel question per SESSION, not per
+    // lifetime: did the view→click→purchase sequence happen within one
+    // visit? Sessions are labeled in-line (gap rule, running sum of
+    // session starts — the q39 semantics), the composite (user, sess)
+    // key becomes the funnel partition, and [[funnelStageTimes]] is
+    // reused UNCHANGED on it — operators that compose beat operators
+    // that are each a special case. Two window passes over the same
+    // user_id-clustered shuffle, then one aggregate.
+    Q("q98_sessionized_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id) AS pt FROM e),
+        |s AS (SELECT *, sum(CASE WHEN pt IS NULL OR t - pt > 1800000000
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM l),
+        |k AS (SELECT user_id || '#' || sess AS sid, event_type, t FROM s),
+        |v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+        |        OVER (PARTITION BY sid) AS t_view FROM k),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'click' AND t > t_view
+        |        THEN t END) OVER (PARTITION BY sid) AS t_click FROM v),
+        |p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t_click
+        |        THEN t END) OVER (PARTITION BY sid) AS t_purchase FROM c)
+        |SELECT CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+        |  CAST(count(DISTINCT CASE WHEN t_view IS NOT NULL THEN sid END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(count(DISTINCT CASE WHEN t_click IS NOT NULL THEN sid END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(count(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN sid END)
+        |    AS BIGINT) AS n_purchase
+        |FROM p""".stripMargin) { (s, d) =>
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val sessions = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("pt", lag(col("t"), 1).over(wOrd))
+        .withColumn("sess",
+          sum(when(col("pt").isNull || col("t") - col("pt") > GAP_US, 1)
+            .otherwise(0))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .select(concat(col("user_id"), lit("#"), col("sess")).as("user_id"),
+          col("event_type"), col("t"))
+      funnelStageTimes(sessions, Seq("view", "click", "purchase"))
+        .agg(
+          count_distinct(col("user_id")).as("n_sessions"),
+          count_distinct(when(col("t_view").isNotNull, col("user_id")))
+            .as("n_view"),
+          count_distinct(when(col("t_click").isNotNull, col("user_id")))
+            .as("n_click"),
+          count_distinct(when(col("t_purchase").isNotNull, col("user_id")))
+            .as("n_purchase"))
+    },
+
+    // ----- retention cohorts (first-seen day × activity offset) ------------
+    // The standard growth table: users cohorted by first-active day,
+    // counted on each later day they return. Integer day arithmetic
+    // (epoch_us div 86 400 000 000) in both engines; one distinct over
+    // (user, day), one per-user min, one broadcast-size join back —
+    // the cohort frame is |users| rows, never the event log twice.
+    Q("q99_retention_cohorts",
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY user_id)
+        |SELECT d0 AS cohort_day, CAST(d - d0 AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val a = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("d"))
+        .distinct()
+      val f = a.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      a.join(f, "user_id")
+        .groupBy(col("d0").as("cohort_day"),
+          (col("d") - col("d0")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_day"), col("day_offset").cast("long")
+          .as("day_offset"), col("n_users"))
+    },
+
     // ----- stream-static enrichment join (batch mirror) --------------------
     // The standard streaming topology: an unbounded event stream joined
     // with a small static dimension (user → tier here), then
