@@ -40,7 +40,7 @@ object Dedup {
     * element (no common-subexpression elimination across higher-order
     * function boundaries), which would make shingling O(tokens²) per
     * document. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  private[operators] def shingles(s: SparkSession, d: String): DataFrame = {
     val t = col("toks")
     val n = size(t)
     val idx = when(n >= 3, sequence(lit(0), n - 3))
@@ -56,7 +56,7 @@ object Dedup {
         .as("shingle"))
   }
 
-  private val SHINGLE_SQL =
+  private[operators] val SHINGLE_SQL =
     """SELECT DISTINCT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS shingle
       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents) t
       |CROSS JOIN unnest(range(1, len(l) - 1)) AS u(i)""".stripMargin

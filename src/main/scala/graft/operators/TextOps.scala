@@ -711,6 +711,81 @@ object TextOps {
           min(when(col("pr") >= 0.5, col("n_chars"))).as("min_kept_chars"))
     },
 
+    // ----- the capstone: end-to-end training-corpus manifest ---------------
+    // What a user of this engine actually ships: ONE declarative plan
+    // running the whole curation stack — exact dedup (min-id survivor
+    // per [[Dedup.normFp]]), benchmark decontamination (≥4 shared
+    // trigram shingles with the eval set, broadcast probe), a length
+    // gate, and mixture sampling (the q92 frozen md5 thresholds) —
+    // ending in the per-(source, lang) doc/token manifest a training
+    // run consumes. Every stage keeps its single-operator scale shape
+    // (hash-agg dedup, broadcast-only eval probe, tiny rate table
+    // broadcast); Catalyst fuses the gates into the same corpus scan.
+    Q("q100_training_manifest", {
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |sh AS (${Dedup.SHINGLE_SQL}),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |contaminated AS (
+         |  SELECT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
+         |  GROUP BY s.doc_id HAVING count(*) >= 4),
+         |s AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         |r AS (SELECT source,
+         |        (SELECT min(n_tokens) FROM s) * 65536 // n_tokens AS thr
+         |      FROM s),
+         |h AS (
+         |  SELECT doc_id,
+         |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS b
+         |  FROM documents)
+         |SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(lower(d.text), ' '))) AS BIGINT)
+         |    AS n_tokens
+         |FROM documents d
+         |SEMI JOIN keep k ON d.doc_id = k.doc_id
+         |ANTI JOIN contaminated c ON d.doc_id = c.doc_id
+         |JOIN h ON d.doc_id = h.doc_id
+         |JOIN r ON d.source = r.source
+         |WHERE d.n_chars >= 200 AND h.b < r.thr
+         |GROUP BY d.source, d.lang""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keep = docs.select(col("doc_id"), Dedup.normFp.as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val sh = Dedup.shingles(s, d)
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("shingle")).distinct()
+      val contaminated = sh.join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 4).select(col("doc_id"))
+      val bySource = docs.groupBy(col("source"))
+        .agg(sum(size(tokens).cast("long")).as("n_tokens"))
+      val rates = bySource
+        .crossJoin(broadcast(bySource.agg(min(col("n_tokens")).as("mt"))))
+        .select(col("source"), expr("mt * 65536 div n_tokens").as("thr"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 4), 16, 10).cast("long")
+      docs.filter(col("n_chars") >= 200)
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("b", bucket)
+        .join(broadcast(rates), "source")
+        .filter(col("b") < col("thr"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens).cast("long")).as("n_tokens"))
+    },
+
     // ----- data-quality audit (expectation checks as one scan) -------------
     // The gate every ingest runs before data reaches training: key
     // uniqueness, null payloads, metadata consistency, domain checks —
