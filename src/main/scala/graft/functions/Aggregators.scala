@@ -45,7 +45,8 @@ object Aggregators {
   final class TopK(k: Int)
       extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
     // an Ordering, not arithmetic negation: -Long.MinValue overflows to
-    // itself and would rank a MinValue key LAST instead of first
+    // itself (the SMALLEST value), so sortBy(-key) would rank a
+    // MinValue key FIRST — as if it were the largest key
     private val ord: Ordering[(Long, Long)] =
       Ordering.by[(Long, Long), Long](_._1).reverse.orElseBy(_._2)
     private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =

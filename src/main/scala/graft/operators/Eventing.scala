@@ -19,6 +19,29 @@ object Eventing {
 
   private val GAP_US: Long = 1800L * 1000000 // 30 min session gap
 
+  /** Gap-rule session labels over rows carrying `(user_id, event_id, t)`
+    * (extra columns pass through): appends `sid`, the per-user running
+    * count of session starts — a new session when the gap from the
+    * previous event exceeds `gapUs`. ONE definition shared by the
+    * sessionization query and every composition over sessions (q39,
+    * q98), so the session rule can't silently diverge between them.
+    * One user_id-clustered shuffle; downstream windows and aggregates
+    * reuse the same clustering. */
+  def sessionIds(events: org.apache.spark.sql.DataFrame,
+      gapUs: Long = GAP_US): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    events
+      .withColumn("pt", lag(col("t"), 1).over(w))
+      .withColumn("new_s",
+        when(col("pt").isNull || col("t") - col("pt") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .drop("pt", "new_s")
+  }
+
   /** Per-user ordered-funnel stage times over `(user_id, event_type, t)`
     * rows: appends one `t_<stage>` column per stage, the user's earliest
     * qualifying event STRICTLY AFTER the previous stage's time (the
@@ -176,18 +199,10 @@ object Eventing {
         |  CAST(count(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN sid END)
         |    AS BIGINT) AS n_purchase
         |FROM p""".stripMargin) { (s, d) =>
-      val wOrd = Window.partitionBy(col("user_id"))
-        .orderBy(col("t"), col("event_id"))
-      val sessions = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("t"))
-        .withColumn("pt", lag(col("t"), 1).over(wOrd))
-        .withColumn("sess",
-          sum(when(col("pt").isNull || col("t") - col("pt") > GAP_US, 1)
-            .otherwise(0))
-            .over(wOrd.rowsBetween(Window.unboundedPreceding,
-              Window.currentRow)))
-        .select(concat(col("user_id"), lit("#"), col("sess")).as("user_id"),
+      val sessions = sessionIds(Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("t")))
+        .select(concat(col("user_id"), lit("#"), col("sid")).as("user_id"),
           col("event_type"), col("t"))
       funnelStageTimes(sessions, Seq("view", "click", "purchase"))
         .agg(
@@ -317,18 +332,9 @@ object Eventing {
         |  max(t) - min(t) AS dur_us
         |FROM z
         |GROUP BY user_id, sid""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("t"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("t"))
-        .withColumn("pt", lag(col("t"), 1).over(w))
-        .withColumn("new_s",
-          when(col("pt").isNull || col("t") - col("pt") > GAP_US, 1)
-            .otherwise(0))
-        .withColumn("sid", sum(col("new_s"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
+      sessionIds(Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t")))
         .groupBy(col("user_id"), col("sid"))
         .agg(count(lit(1)).as("n_events"),
           (max(col("t")) - min(col("t"))).as("dur_us"))

@@ -152,7 +152,9 @@ object Multimodal {
       * frame-sample analog on the media type this container carries:
       * pick k evenly-strided frames (stride = n div k), fold the
       * sampled values. Runs inside the partition iterator like every
-      * codec stage. */
+      * codec stage. Clips shorter than k frames fail LOUDLY (the
+      * parser's style); a permissive ingest should filter or flag
+      * short clips before this stage rather than have it guess. */
     def frameSample(rows: Iterator[MediaRow],
         k: Int): Iterator[FrameSample] =
       rows.map { r =>

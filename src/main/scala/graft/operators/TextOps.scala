@@ -22,6 +22,24 @@ object TextOps {
   private def stopCount(arr: Column, words: Seq[String]): Column =
     size(filter(arr, t => t.isInCollection(words))).cast("long")
 
+  /** The frozen mixture-sampling rule shared by q92 (apply) and q100
+    * (capstone) — ONE definition so the two can't drift: per-source
+    * integer thresholds thr = min_tokens·65536 div source_tokens, and
+    * the 16-bit md5 doc bucket the thresholds gate. The rate table is
+    * a handful of rows (broadcast at every use). */
+  private def mixtureThresholds(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bySource = docs.groupBy(col("source"))
+      .agg(sum(size(tokens).cast("long")).as("n_tokens"))
+    bySource
+      .crossJoin(broadcast(bySource.agg(min(col("n_tokens")).as("mt"))))
+      .select(col("source"), expr("mt * 65536 div n_tokens").as("thr"))
+  }
+
+  private val mdBucket16: Column =
+    conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+
   val queries: Seq[Q] = Seq(
 
     // ----- the reference's word-count query (B1+B4) over documents -----
@@ -665,15 +683,8 @@ object TextOps {
         |FROM h JOIN r ON h.source = r.source
         |GROUP BY h.source""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val bySource = docs.groupBy(col("source"))
-        .agg(sum(size(tokens).cast("long")).as("n_tokens"))
-      val rates = bySource
-        .crossJoin(broadcast(bySource.agg(min(col("n_tokens")).as("mt"))))
-        .select(col("source"), expr("mt * 65536 div n_tokens").as("thr"))
-      val bucket = conv(substring(md5(col("doc_id").cast("string")
-        .cast("binary")), 1, 4), 16, 10).cast("long")
-      docs.select(col("doc_id"), col("source"), bucket.as("b"))
-        .join(broadcast(rates), "source")
+      docs.select(col("doc_id"), col("source"), mdBucket16.as("b"))
+        .join(broadcast(mixtureThresholds(docs)), "source")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("b") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
@@ -762,24 +773,20 @@ object TextOps {
       val keep = docs.select(col("doc_id"), Dedup.normFp.as("fp"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val sh = Dedup.shingles(s, d)
+      // both the eval-set branch and the probe read the shingle lineage
+      // — persist it (the catalog-managed per-query artifact, q30/q91
+      // rule) or the scan+split+explode runs once per branch
+      val sh = Dedup.shingles(s, d).persist()
       val bench = sh.filter(col("doc_id") % 97 === 0)
         .select(col("shingle")).distinct()
       val contaminated = sh.join(broadcast(bench), "shingle")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 4).select(col("doc_id"))
-      val bySource = docs.groupBy(col("source"))
-        .agg(sum(size(tokens).cast("long")).as("n_tokens"))
-      val rates = bySource
-        .crossJoin(broadcast(bySource.agg(min(col("n_tokens")).as("mt"))))
-        .select(col("source"), expr("mt * 65536 div n_tokens").as("thr"))
-      val bucket = conv(substring(md5(col("doc_id").cast("string")
-        .cast("binary")), 1, 4), 16, 10).cast("long")
       docs.filter(col("n_chars") >= 200)
         .join(keep, Seq("doc_id"), "left_semi")
         .join(contaminated, Seq("doc_id"), "left_anti")
-        .withColumn("b", bucket)
-        .join(broadcast(rates), "source")
+        .withColumn("b", mdBucket16)
+        .join(broadcast(mixtureThresholds(docs)), "source")
         .filter(col("b") < col("thr"))
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
