@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator behavior on ADVERSARIAL corpora, not just the organic
+  * fixtures: a web-scale corpus where every document shares boilerplate
+  * is the workload that turns naive near-dup detection quadratic — one
+  * shingle common to n docs contributes n² candidate pairs. The df-cap
+  * (Dedup.DF_CAP) exists exactly for this; these tests prove it on a
+  * corpus built to break an uncapped implementation.
+  */
+class AdversarialSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+  import spark.implicits._
+
+  /** 400 docs that ALL share an identical boilerplate prefix (every
+    * boilerplate shingle has df = 400 >> DF_CAP = 50), each with unique
+    * filler; docs 0/1 and 2/3 are planted near-duplicate pairs sharing
+    * their unique content too. */
+  private lazy val corpusDir: String = {
+    val boiler = "terms of service apply to all content on this site"
+    def filler(i: Int) = (0 until 12).map(j => s"u${i}w$j").mkString(" ")
+    val rows = (0 until 400).map { i =>
+      val uniq = i match {
+        case 1 => filler(0) + " extra"   // near-dup of doc 0
+        case 3 => filler(2) + " tail"    // near-dup of doc 2
+        case _ => filler(i)
+      }
+      val text = s"$boiler $uniq"
+      (i.toLong, text, "en", "webcrawl", text.length.toLong)
+    }
+    val dir = Files.createTempDirectory("graft-adversarial").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("boilerplate-saturated corpus: exact dedup finds no false duplicates") {
+    val groups = SparkEntry.queries("q29_exact_dedup")(spark, corpusDir)
+    // every doc is unique byte-wise → every fingerprint group has size 1
+    assert(groups.count() == 400)
+    assert(groups.filter(org.apache.spark.sql.functions.col("n_dups") > 1)
+      .count() == 0)
+  }
+
+  test("df-cap keeps MinHash-LSH candidates to the planted pairs") {
+    // UNCAPPED, the shared boilerplate puts all 400 docs in one bucket
+    // per band → ~80k candidate pairs. The cap drops df>50 shingles
+    // before any pairwise work, so only the planted near-dups (which
+    // share UNIQUE shingles) can collide on a full band signature.
+    val pairs = SparkEntry.queries("q30_minhash_lsh")(spark, corpusDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(pairs == Set((0L, 1L), (2L, 3L)),
+      s"expected exactly the planted pairs, got ${pairs.size}: " +
+        pairs.take(10).mkString(", "))
+  }
+
+  test("n-gram Jaccard ranks only the planted pairs above zero") {
+    val top = SparkEntry.queries("q32_ngram_jaccard")(spark, corpusDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    spark.catalog.clearCache()
+    val positive = top.filter(_._2 > 0).map(_._1).toSet
+    assert(positive == Set((0L, 1L), (2L, 3L)),
+      s"non-planted pairs scored > 0: ${positive -- Set((0L, 1L), (2L, 3L))}")
+  }
+}
