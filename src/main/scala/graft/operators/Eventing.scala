@@ -215,6 +215,45 @@ object Eventing {
             .as("n_purchase"))
     },
 
+    // ----- session co-occurrence (basket analysis over event types) --------
+    // Which behaviors happen in the SAME visit: distinct (session,
+    // type) rows self-joined within the session key. The distinct
+    // collapses each session to ≤|event types| rows BEFORE the
+    // self-join, so the pairwise step is bounded by |types|² per
+    // session — the same collapse-then-pair discipline as the dedup
+    // inverted indexes, reusing [[sessionIds]] for the labels.
+    Q("q101_session_cooccurrence",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id) AS pt FROM e),
+        |s AS (SELECT *, sum(CASE WHEN pt IS NULL OR t - pt > 1800000000
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM l),
+        |d AS (SELECT DISTINCT user_id, sid, event_type FROM s)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM d a JOIN d b
+        |  ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.event_type < b.event_type
+        |GROUP BY type_a, type_b""".stripMargin) { (s, d) =>
+      val dst = sessionIds(Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("t")))
+        .select(col("user_id"), col("sid"), col("event_type"))
+        .distinct()
+      val a = dst.select(col("user_id"), col("sid"),
+        col("event_type").as("type_a"))
+      val b = dst.select(col("user_id").as("u2"), col("sid").as("s2"),
+        col("event_type").as("type_b"))
+      a.join(b, col("user_id") === col("u2") && col("sid") === col("s2") &&
+          col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_sessions"))
+    },
+
     // ----- retention cohorts (first-seen day × activity offset) ------------
     // The standard growth table: users cohorted by first-active day,
     // counted on each later day they return. Integer day arithmetic
