@@ -169,7 +169,7 @@ object Eventing {
     // Product analytics ask the funnel question per SESSION, not per
     // lifetime: did the view→click→purchase sequence happen within one
     // visit? Sessions are labeled in-line (gap rule, running sum of
-    // session starts — the q39 semantics), the composite (user, sess)
+    // session starts — the q39 semantics), the composite (user, sid)
     // key becomes the funnel partition, and [[funnelStageTimes]] is
     // reused UNCHANGED on it — operators that compose beat operators
     // that are each a special case. Two window passes over the same
