@@ -17,6 +17,31 @@ class SinksSpec extends AnyFunSuite {
     new java.io.File(dir).listFiles().toSeq
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    // the daily-reprocess staple: INSERT OVERWRITE one day must not
+    // clobber the rest of the table. STATIC mode (Spark's default)
+    // deletes every partition first — dynamic scopes the overwrite to
+    // the partitions present in the incoming data.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    import org.apache.spark.sql.functions.col
+    import s.implicits.{localSeqToDatasetHolder => toDs}
+    val dir = Files.createTempDirectory("graft-dynpart").toString + "/t"
+    val seed = Seq((1L, "2024-01-01"), (2L, "2024-01-01"),
+      (3L, "2024-01-02"), (4L, "2024-01-03"))
+    toDs(seed).toDF("id", "day").write.partitionBy("day").parquet(dir)
+    // reprocess ONLY day 2 with corrected rows — the frames are built on
+    // the session carrying the dynamic conf, which governs the write
+    toDs(Seq((30L, "2024-01-02"), (31L, "2024-01-02"))).toDF("id", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val after = s.read.parquet(dir)
+      .select(col("id"), col("day").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after == Seq((1L, "2024-01-01"), (2L, "2024-01-01"),
+      (30L, "2024-01-02"), (31L, "2024-01-02"), (4L, "2024-01-03")).sorted,
+      s"days 1 and 3 must survive the day-2 overwrite: $after")
+  }
+
   test("writeCompacted bounds the output file count and keeps every row") {
     val scratch = Files.createTempDirectory("graft-compact").toString
     val small = s"$scratch/small"
