@@ -434,20 +434,12 @@ object Similarity {
         .select(col("vec_id"), quant(col("embedding")).as("sv"))
         .withColumn("xx", dot(col("sv"), col("sv")))
         .persist()
-      // materialize the cache BEFORE the first RDD-id snapshot:
-      // persist() only registers the entry, the backing RDD appears in
-      // getPersistentRDDs during the first job that reads it — if that
-      // job is the initial checkpoint below, e's cache id lands in
-      // centIds and the round-1 cleanup silently unpersists the shared
-      // corpus frame (every later round re-scans the parquet)
-      e.count()
-      val sc = s.sparkContext
-      def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-      var before = persistedIds
-      var cents = e.filter(col("vec_id").between(1, K))
-        .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv"))
-        .localCheckpoint()
-      var centIds = persistedIds -- before
+      // Iterative.checkpointed hands back the checkpoint's exact
+      // backing RDD, so the per-round cleanup can never sweep e's cache
+      // (or anything another concurrent query persists) by accident
+      var (cents, centRdd) = Iterative.checkpointed(
+        e.filter(col("vec_id").between(1, K))
+          .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv")))
       def assign(c: org.apache.spark.sql.DataFrame) =
         e.crossJoin(broadcast(c))
           .select(col("vec_id"), col("sv"), col("cid"),
@@ -467,15 +459,12 @@ object Similarity {
           .agg(expr(
             "transform(array_sort(collect_list(struct(pos, cval))), p -> p.cval)")
             .as("cvNew"))
-        before = persistedIds
-        val next = cents.join(upd, Seq("cid"), "left")
-          .select(col("cid"), coalesce(col("cvNew"), col("cv")).as("cv"))
-          .localCheckpoint()
-        val nextIds = persistedIds -- before
-        centIds.foreach(id =>
-          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        val (next, nextRdd) = Iterative.checkpointed(
+          cents.join(upd, Seq("cid"), "left")
+            .select(col("cid"), coalesce(col("cvNew"), col("cv")).as("cv")))
+        Iterative.release(centRdd)
         cents = next
-        centIds = nextIds
+        centRdd = nextRdd
       }
       assign(cents).groupBy(col("vec_id"))
         .agg(min(struct(col("d"), col("cid"))).as("m"))
