@@ -182,15 +182,36 @@ object Dedup {
        |FROM sigs, nr
        |CROSS JOIN unnest(range(0, CAST($NUM_HASHES // r AS INT))) AS u(b)""".stripMargin
 
-  /** 16-bit SimHash per doc: md5-nibble token hashes, per-bit ±1 sums,
-    * sign → bit. One explode + one aggregate, no joins. */
-  private def simhashes(s: SparkSession, d: String): DataFrame = {
-    val v = conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
+  /** SimHash fingerprint WIDTH grows with corpus size, same rule family
+    * as [[bandRows]]: the pigeonhole banding below always uses 4 bands
+    * (lossless for Hamming ≤ 3), so the expected size of a (band, key)
+    * inverted-index bucket is n / 2^(w/4). A 16-bit fingerprint (4-bit
+    * band keys) keeps that ≤ 64 only up to n = 1024; beyond it the
+    * width jumps to 60 bits (15-bit band keys — buckets stay tiny past
+    * 10^9 docs). 60, not the textbook 64 (Manku et al., WWW'07): 15 md5
+    * hex chars is the widest value that stays POSITIVE in both engines'
+    * signed 64-bit integers, so `>>` / `bit_count` / xor carry no
+    * cross-engine two's-complement hazard; the 4 dropped bits change
+    * nothing structurally. Integer-exact rule → Spark and the DuckDB
+    * oracle derive the identical width from the identical corpus count. */
+  private[graft] def simhashBits(n: Long): Int = if (n <= 1024L) 16 else 60
+
+  /** The same width derivation in DuckDB SQL (a CTE the simhash
+    * queries include), integer comparison only. */
+  private val NW_SQL =
+    "SELECT CASE WHEN (SELECT count(*) FROM documents) <= 1024 THEN 16 ELSE 60 END AS w"
+
+  /** `bits`-wide SimHash per doc: md5-prefix token hashes (bits/4 hex
+    * chars, so every width reads a prefix of the same digest stream),
+    * per-bit ±1 sums, sign → bit. One explode + one aggregate, no
+    * joins. `bits` comes from [[simhashBits]] at plan-build time. */
+  private def simhashes(s: SparkSession, d: String, bits: Int): DataFrame = {
+    val v = conv(substring(md5(col("tok").cast("binary")), 1, bits / 4), 16, 10)
       .cast("long")
-    val perBit = (0 until 16).map { b =>
+    val perBit = (0 until bits).map { b =>
       sum(shiftright(col("v"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b")
     }
-    val simhash = (0 until 16).map { b =>
+    val simhash = (0 until bits).map { b =>
       when(col(s"s_$b") > 0, 1L << b).otherwise(0L)
     }.reduce(_ + _)
     Tables.documents(s, d)
@@ -198,26 +219,39 @@ object Dedup {
       .select(col("doc_id"), v.as("v"))
       .groupBy(col("doc_id"))
       .agg(perBit.head, perBit.tail: _*)
-      .select(col("doc_id"), simhash.cast("long").as("simhash16"))
+      .select(col("doc_id"), simhash.cast("long").as("simhash"))
   }
 
-  /** 16-bit SimHash oracle SQL is mechanical (16 per-bit terms) —
-    * generated here so Spark and DuckDB stay in lockstep by construction. */
-  private def simhashOracle: String = {
-    val hexVal = (1 to 4).map { p =>
-      s"(strpos('0123456789abcdef', substr(hx, $p, 1)) - 1) * ${1 << ((4 - p) * 4)}"
+  /** SimHash oracle SQL at ONE fixed width — mechanical per-bit terms,
+    * generated so Spark and DuckDB stay in lockstep by construction. */
+  private def simhashSqlAt(bits: Int): String = {
+    val chars = bits / 4
+    val hexVal = (1 to chars).map { p =>
+      s"(strpos('0123456789abcdef', substr(hx, $p, 1)) - 1) * ${1L << ((chars - p) * 4)}"
     }.mkString(" + ")
-    val contrib = (0 until 16).map { b =>
-      s"CASE WHEN sum(((v >> $b) & 1) * 2 - 1) > 0 THEN ${1 << b} ELSE 0 END"
+    val contrib = (0 until bits).map { b =>
+      s"CASE WHEN sum(((v >> $b) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH t AS (
-       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-       |  FROM documents),
-       |h AS (SELECT doc_id, md5(tok) AS hx FROM t),
-       |v AS (SELECT doc_id, $hexVal AS v FROM h)
-       |SELECT doc_id, CAST($contrib AS BIGINT) AS simhash16
-       |FROM v GROUP BY doc_id""".stripMargin
+    s"""SELECT doc_id, CAST($contrib AS BIGINT) AS simhash
+       |FROM (SELECT doc_id, $hexVal AS v
+       |      FROM (SELECT doc_id, md5(tok) AS hx
+       |            FROM (SELECT doc_id,
+       |                    unnest(string_split(lower(text), ' ')) AS tok
+       |                  FROM documents) t0) h0) v0
+       |GROUP BY doc_id""".stripMargin
   }
+
+  /** Width-adaptive SimHash oracle: both width branches are generated
+    * statically and the corpus-count rule (the SQL twin of
+    * [[simhashBits]]) selects exactly one — no dynamic shift distances
+    * anywhere, so neither engine can hit shift-range edge semantics. */
+  private def simhashOracle: String =
+    s"""WITH nw0 AS ($NW_SQL),
+       |s16 AS (${simhashSqlAt(16)}),
+       |s60 AS (${simhashSqlAt(60)})
+       |SELECT * FROM s16 WHERE (SELECT w FROM nw0) = 16
+       |UNION ALL
+       |SELECT * FROM s60 WHERE (SELECT w FROM nw0) = 60""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -307,13 +341,21 @@ object Dedup {
 
     // ----- incremental dedup: a new batch against the standing corpus ------
     // Production dedup is rarely one-shot — every ingest batch must be
-    // checked against what's already kept. The delta (every 5th doc
-    // here) is small next to the corpus, so the probe BROADCASTS the
+    // checked against what's already kept. The probe BROADCASTS the
     // batch's fingerprint set and scans the corpus ONCE with no
     // corpus-side shuffle (same plan logic as q71's eval-set probe);
     // the corpus must never be the build side of this join. The hit
     // set that comes back is at most |batch| rows, joined back to the
     // batch broadcast-small.
+    //
+    // HARD precondition on the forced broadcasts (mergeUpsert rule):
+    // the batch is an INGEST UNIT, bounded by arrival rate — megabytes
+    // of md5 keys even at heavy ingest — never a constant fraction of
+    // the standing corpus. The every-5th-doc batch HERE is a fixture
+    // artifact (the gate corpus is 500–5 000 docs); a real 20%-of-
+    // corpus reprocess must instead run q29's full-corpus shuffle
+    // dedup, and a too-large batch fed here fails fast at broadcast
+    // build rather than silently shuffling 100 TB.
     Q("q83_incremental_dedup",
       """WITH fp AS (
         |  SELECT doc_id, lang,
@@ -388,52 +430,60 @@ object Dedup {
         .limit(20)
     },
 
-    // ----- SimHash: 16-bit frequency-weighted token fingerprint ------------
-    Q("q31_simhash", simhashOracle) { (s, d) => simhashes(s, d) },
+    // ----- SimHash: frequency-weighted token fingerprint -------------------
+    // Width derived from corpus count at plan-build (simhashBits): one
+    // metadata-cheap count(), the same derive-from-n rule as bandRows.
+    Q("q31_simhash", simhashOracle) { (s, d) =>
+      simhashes(s, d, simhashBits(Tables.documents(s, d).count()))
+    },
 
     // ----- SimHash near-dup pairs via pigeonhole banding -------------------
-    // 16 bits split into 4 nibbles: any pair with Hamming distance ≤ 3
-    // MUST agree on at least one whole nibble (pigeonhole), so the
-    // (band, nibble) inverted-index join finds every such pair with NO
-    // recall loss — the classic scalable simhash dedup. The Hamming
-    // cutoff is applied inside the join condition, before any shuffle
-    // of candidates. (Bucket width scales as n/16 per band; a larger
-    // corpus uses a wider fingerprint — 64 bits, 4×16-bit bands — the
-    // same construction.)
+    // w bits split into 4 bands of w/4: any pair with Hamming distance
+    // ≤ 3 MUST agree on at least one whole band (pigeonhole), so the
+    // (band, key) inverted-index join finds every such pair with NO
+    // recall loss — the classic scalable simhash dedup (Manku et al.).
+    // The Hamming cutoff is applied inside the join condition, before
+    // any shuffle of candidates. w derives from corpus count
+    // (simhashBits): 4-bit band keys up to 1 024 docs, 15-bit beyond,
+    // so bucket sizes — and with them the candidate volume — stay
+    // bounded as n grows instead of n²/16.
     Q("q49_simhash_neardup",
       s"""WITH sh AS ($simhashOracle),
+         |nws AS ($NW_SQL),
          |bands AS (
-         |  SELECT doc_id, simhash16,
-         |    b, CAST((simhash16 >> (4 * b)) & 15 AS INTEGER) AS nib
-         |  FROM sh CROSS JOIN unnest([0, 1, 2, 3]) AS u(b)),
+         |  SELECT doc_id, simhash,
+         |    b, CAST((simhash >> ((w // 4) * b)) & ((1::BIGINT << (w // 4)) - 1)
+         |            AS INTEGER) AS nib
+         |  FROM sh, nws CROSS JOIN unnest([0, 1, 2, 3]) AS u(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-         |    a.simhash16 AS sa, c.simhash16 AS sb
+         |    a.simhash AS sa, c.simhash AS sb
          |  FROM bands a JOIN bands c
          |    ON a.b = c.b AND a.nib = c.nib AND a.doc_id < c.doc_id
-         |      AND bit_count(xor(a.simhash16, c.simhash16)) <= 3)
+         |      AND bit_count(xor(a.simhash, c.simhash)) <= 3)
          |SELECT doc_a, doc_b,
          |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
          |FROM cand
          |ORDER BY hamming, doc_a, doc_b
          |LIMIT 20""".stripMargin) { (s, d) =>
+      val w = simhashBits(Tables.documents(s, d).count())
       // both self-join sides read the fingerprint table; without the
       // persist the full explode+aggregate lineage runs once per branch
-      val sh = simhashes(s, d).persist()
+      val sh = simhashes(s, d, w).persist()
       val bandCols = (0 until 4).map { b =>
         struct(lit(b).as("b"),
-          shiftright(col("simhash16"), 4 * b).bitwiseAND(15).cast("int")
-            .as("nib"))
+          shiftright(col("simhash"), (w / 4) * b)
+            .bitwiseAND((1L << (w / 4)) - 1).cast("int").as("nib"))
       }
       val bands = sh
-        .select(col("doc_id"), col("simhash16"),
+        .select(col("doc_id"), col("simhash"),
           explode(array(bandCols: _*)).as("bn"))
-        .select(col("doc_id"), col("simhash16"),
+        .select(col("doc_id"), col("simhash"),
           col("bn.b").as("b"), col("bn.nib").as("nib"))
       val a = bands.select(col("doc_id").as("doc_a"),
-        col("simhash16").as("sa"), col("b"), col("nib"))
+        col("simhash").as("sa"), col("b"), col("nib"))
       val c = bands.select(col("doc_id").as("doc_b"),
-        col("simhash16").as("sb"), col("b").as("b2"), col("nib").as("nib2"))
+        col("simhash").as("sb"), col("b").as("b2"), col("nib").as("nib2"))
       a.join(c, col("b") === col("b2") && col("nib") === col("nib2") &&
           col("doc_a") < col("doc_b") &&
           expr("bit_count(sa ^ sb)") <= 3)
@@ -470,15 +520,17 @@ object Dedup {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          |sh AS ($simhashOracle),
+         |nws AS ($NW_SQL),
          |shb AS (
-         |  SELECT doc_id, simhash16,
-         |    b, CAST((simhash16 >> (4 * b)) & 15 AS INTEGER) AS nib
-         |  FROM sh CROSS JOIN unnest([0, 1, 2, 3]) AS u(b)),
+         |  SELECT doc_id, simhash,
+         |    b, CAST((simhash >> ((w // 4) * b)) & ((1::BIGINT << (w // 4)) - 1)
+         |            AS INTEGER) AS nib
+         |  FROM sh, nws CROSS JOIN unnest([0, 1, 2, 3]) AS u(b)),
          |shp AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          |  FROM shb a JOIN shb c
          |    ON a.b = c.b AND a.nib = c.nib AND a.doc_id < c.doc_id
-         |      AND bit_count(xor(a.simhash16, c.simhash16)) <= 3),
+         |      AND bit_count(xor(a.simhash, c.simhash)) <= 3),
          |u AS (
          |  SELECT doc_a, doc_b, 1 AS ve, 0 AS vm, 0 AS vs FROM ex
          |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0 FROM mh
@@ -498,24 +550,25 @@ object Dedup {
         .join(fpT.select(col("doc_id").as("doc_b"), col("fp").as("fp2")),
           col("fp") === col("fp2") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
+      val n = docs.count()
       val sigs = minhashSigs(s, d).persist()
-      val mh = bandPairs(
-        bandSignatures(sigs, bandRows(docs.count())), _ < _)
-      val sh = simhashes(s, d).persist()
+      val mh = bandPairs(bandSignatures(sigs, bandRows(n)), _ < _)
+      val w = simhashBits(n)
+      val sh = simhashes(s, d, w).persist()
       val bandCols = (0 until 4).map { b =>
         struct(lit(b).as("b"),
-          shiftright(col("simhash16"), 4 * b).bitwiseAND(15).cast("int")
-            .as("nib"))
+          shiftright(col("simhash"), (w / 4) * b)
+            .bitwiseAND((1L << (w / 4)) - 1).cast("int").as("nib"))
       }
       val shb = sh
-        .select(col("doc_id"), col("simhash16"),
+        .select(col("doc_id"), col("simhash"),
           explode(array(bandCols: _*)).as("bn"))
-        .select(col("doc_id"), col("simhash16"),
+        .select(col("doc_id"), col("simhash"),
           col("bn.b").as("b"), col("bn.nib").as("nib"))
       val shp = shb.select(col("doc_id").as("doc_a"),
-          col("simhash16").as("sa"), col("b"), col("nib"))
+          col("simhash").as("sa"), col("b"), col("nib"))
         .join(shb.select(col("doc_id").as("doc_b"),
-          col("simhash16").as("sb"), col("b").as("b2"), col("nib").as("nib2")),
+          col("simhash").as("sb"), col("b").as("b2"), col("nib").as("nib2")),
           col("b") === col("b2") && col("nib") === col("nib2") &&
             col("doc_a") < col("doc_b") && expr("bit_count(sa ^ sb)") <= 3)
         .select(col("doc_a"), col("doc_b")).distinct()
@@ -572,15 +625,11 @@ object Dedup {
       // undirected candidate edges, one row per pair, big > small
       val edges0 = bandPairs(bandSignatures(sigs, rows), _ < _)
         .select(col("doc_b").as("big"), col("doc_a").as("small"))
-      val sc = s.sparkContext
       // localCheckpoint blocks live at the RDD level (outside the
-      // catalog cache manager), so track each round's newly-persisted
-      // RDD ids and free the superseded round explicitly.
-      def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-      var before = persistedIds
-      var edges = edges0.localCheckpoint()
+      // catalog cache manager); Iterative.checkpointed hands back the
+      // exact backing RDD so each superseded round is freed directly
+      var (edges, edgeRdd) = Iterative.checkpointed(edges0)
       sigs.unpersist(blocking = false)
-      var edgeIds = persistedIds -- before
       // Converged ⟺ the edge set is a star forest: every source has
       // exactly one target and no target is itself a source. Checked on
       // the just-materialized checkpoint, so the probe is a cheap scan,
@@ -613,16 +662,13 @@ object Dedup {
           .filter(col("small") =!= col("m"))
           .select(col("small").as("b2"), col("m").as("s2"))
         val viaBig = smins.select(col("big").as("b2"), col("m").as("s2"))
-        before = persistedIds
-        val next = viaSmalls.union(viaBig).distinct()
-          .select(col("b2").as("big"), col("s2").as("small"))
-          .localCheckpoint()
-        val nextIds = persistedIds -- before
+        val (next, nextRdd) = Iterative.checkpointed(
+          viaSmalls.union(viaBig).distinct()
+            .select(col("b2").as("big"), col("s2").as("small")))
         converged = isStarForest(next)
-        edgeIds.foreach(id =>
-          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        Iterative.release(edgeRdd)
         edges = next
-        edgeIds = nextIds
+        edgeRdd = nextRdd
         iter += 1
       }
       // a silent cap would return stale edges that LOOK like clusters;
@@ -678,43 +724,31 @@ object Dedup {
       val iters = 5
       val rows = bandRows(Tables.documents(s, d).count())
       val sigs = minhashSigs(s, d).persist()
-      val sc = s.sparkContext
-      def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-      var before = persistedIds
       // symmetric directed edges with the source's out-degree attached
       // once (the join constant of every iteration)
       val edgesRaw = bandPairs(bandSignatures(sigs, rows), _ =!= _)
         .select(col("doc_a").as("ea"), col("doc_b").as("eb"))
-      val edges = edgesRaw
-        .join(edgesRaw.groupBy(col("ea")).agg(count(lit(1)).as("deg")), "ea")
-        .localCheckpoint()
+      val (edges, edgeRdd) = Iterative.checkpointed(edgesRaw
+        .join(edgesRaw.groupBy(col("ea")).agg(count(lit(1)).as("deg")), "ea"))
       sigs.unpersist(blocking = false)
-      var edgeIds = persistedIds -- before
-      var ranks = Tables.documents(s, d)
-        .select(col("doc_id").as("node"), lit(1000000L).as("rank"))
-        .localCheckpoint()
-      var rankIds = persistedIds -- before -- edgeIds
+      var (ranks, rankRdd) = Iterative.checkpointed(Tables.documents(s, d)
+        .select(col("doc_id").as("node"), lit(1000000L).as("rank")))
       (1 to iters).foreach { _ =>
         val contrib = edges.join(ranks, col("ea") === col("node"))
           .select(col("eb"), expr("rank div deg").as("c"))
           .groupBy(col("eb")).agg(sum(col("c")).as("m"))
-        before = persistedIds
         // the checkpointed rank frame IS the node set — joining against
         // it instead of re-reading the corpus saves one full scan per
         // iteration
-        val next = ranks.select(col("node"))
+        val (next, nextRdd) = Iterative.checkpointed(ranks.select(col("node"))
           .join(contrib, col("node") === col("eb"), "left")
           .select(col("node"),
-            (lit(150000L) + expr("(850 * coalesce(m, 0)) div 1000")).as("rank"))
-          .localCheckpoint()
-        val nextIds = persistedIds -- before
-        rankIds.foreach(id =>
-          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+            (lit(150000L) + expr("(850 * coalesce(m, 0)) div 1000")).as("rank")))
+        Iterative.release(rankRdd)
         ranks = next
-        rankIds = nextIds
+        rankRdd = nextRdd
       }
-      edgeIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      Iterative.release(edgeRdd)
       ranks.select(col("node").as("doc_id"), col("rank").as("pagerank_micro"))
     },
 

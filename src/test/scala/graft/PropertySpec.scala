@@ -82,10 +82,15 @@ class PropertySpec extends AnyFunSuite {
     assert(Similarity.numBits(512) == 6 && Similarity.numBits(513) == 7)
     assert(Similarity.numBits(2048) == 8 && Similarity.numBits(2049) == 9)
     assert(Similarity.numBits(Long.MaxValue) == 16)
+    // simhash width: 16 bits (4-bit band keys) up to n = 1024, then 60
+    assert(Dedup.simhashBits(1) == 16)
+    assert(Dedup.simhashBits(1024) == 16 && Dedup.simhashBits(1025) == 60)
+    assert(Dedup.simhashBits(Long.MaxValue) == 60)
     // monotone: more data never means a WIDER bucket
     val ns = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
     assert(ns.map(Dedup.bandRows) == ns.map(Dedup.bandRows).sorted)
     assert(ns.map(Similarity.numBits) == ns.map(Similarity.numBits).sorted)
+    assert(ns.map(Dedup.simhashBits) == ns.map(Dedup.simhashBits).sorted)
   }
 
   test("funnel stages only count events strictly after the prior stage") {
