@@ -34,16 +34,29 @@ object Relational {
     sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(c)
 
   /** MERGE/upsert: `delta` rows win per `key`; `base` rows survive only
-    * where no delta key matches. The delta is assumed small next to the
-    * base (the CDC norm), so its key set is BROADCAST into the anti
-    * join — the base is scanned once with no shuffle. Both inputs must
-    * share `delta`'s schema. */
+    * where no delta key matches; the base is scanned exactly once. Both
+    * inputs must share `delta`'s schema.
+    *
+    * `broadcastDelta` is the size contract, and it is HARD: true (the
+    * CDC norm — a delta bounded by arrival rate, orders of magnitude
+    * smaller than the base) forces the key-set broadcast past
+    * Catalyst's conservative estimates, so the anti join needs no
+    * shuffle of the base; a delta that is actually a large base
+    * fraction then fails fast with a broadcast OOM instead of silently
+    * degrading. For bulk backfills where the delta genuinely rivals
+    * the base, pass false: the anti join falls back to Catalyst's
+    * choice — at that size a co-partitioned shuffle join IS the right
+    * plan, and forcing a broadcast would be the 100 TB failure mode. */
   def mergeUpsert(base: org.apache.spark.sql.DataFrame,
-      delta: org.apache.spark.sql.DataFrame, key: String)
-      : org.apache.spark.sql.DataFrame =
+      delta: org.apache.spark.sql.DataFrame, key: String,
+      broadcastDelta: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val keys = delta.select(col(key))
     delta.unionByName(
-      base.join(broadcast(delta.select(col(key))), Seq(key), "left_anti")
+      base.join(if (broadcastDelta) broadcast(keys) else keys,
+          Seq(key), "left_anti")
         .select(delta.columns.map(col).toIndexedSeq: _*))
+  }
 
   private def day(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
@@ -643,11 +656,17 @@ object Relational {
     // Entity resolution over dirty names: never levenshtein all pairs.
     // The scale recipe: (1) dedupe to the name VOCABULARY first (at
     // 100 TB the distinct names are orders of magnitude fewer than the
-    // rows carrying them), (2) generate candidates with a cheap
-    // blocking key (here the head noun — last token) via an
-    // inverted-index self-join, (3) run the quadratic-cost edit
-    // distance only inside blocks. Both engines implement the same
-    // classic Levenshtein, so the distance is cross-engine exact.
+    // rows carrying them), (2) generate candidates with MULTI-KEY
+    // blocking via [[fuzzyCandidates]] — (head noun, length band) with
+    // adjacent-band probing, lossless for the dist ≤ 6 predicate by
+    // length pigeonhole — so one hot head noun no longer makes a block
+    // of size n, (3) run the quadratic-cost edit distance only inside
+    // blocks. The oracle is DELIBERATELY the naive single-key
+    // formulation: the length-band machinery provably changes no
+    // result rows (candidates ⊇ all dist ≤ 6 pairs), so an independent
+    // simpler oracle is a stronger check than mirroring the blocking.
+    // Both engines implement the same classic Levenshtein, so the
+    // distance is cross-engine exact.
     Q("q93_fuzzy_join",
       """WITH names AS (SELECT DISTINCT p_name FROM part),
         |t AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk
@@ -660,12 +679,10 @@ object Relational {
         |FROM cand WHERE dist <= 6
         |ORDER BY dist, name_a, name_b
         |LIMIT 20""".stripMargin) { (s, d) =>
-      val t = Tables.part(s, d)
-        .select(col("p_name")).distinct()
-        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-      val a = t.select(col("p_name").as("name_a"), col("blk"))
-      val b = t.select(col("p_name").as("name_b"), col("blk").as("blk2"))
-      a.join(b, col("blk") === col("blk2") && col("name_a") < col("name_b"))
+      val names = Tables.part(s, d)
+        .select(col("p_name").as("name")).distinct()
+        .withColumn("blk", element_at(split(col("name"), " "), -1))
+      fuzzyCandidates(names, maxDist = 6)
         .select(col("name_a"), col("name_b"),
           levenshtein(col("name_a"), col("name_b")).as("dist"))
         .filter(col("dist") <= 6)
@@ -673,4 +690,37 @@ object Relational {
         .limit(20)
     }
   )
+
+  /** Candidate pairs for an edit-distance join, multi-key blocked.
+    *
+    * Input: `names` with a distinct `name` column and a caller-chosen
+    * coarse `blk` key (head noun, phonetic code, domain…). Output: all
+    * (name_a < name_b) pairs that share `blk` AND could be within
+    * `maxDist` edits — every true match survives, because ed(a, b) ≤ τ
+    * forces |len(a) − len(b)| ≤ τ, so with length bands of width τ+1 a
+    * matching pair's bands differ by at most 1. Each name is indexed
+    * under ⌊len/(τ+1)⌋ and ⌊len/(τ+1)⌋+1, the self-join is on
+    * (blk, band-key) equality, and DISTINCT collapses the ≤2-key
+    * multiplicity. Length-incompatible pairs never meet the verifier.
+    *
+    * Why multi-key matters at 100 TB: with single-key blocking the
+    * within-block verify is O(Σ|block|²) — one hot key value (a
+    * bounded vocabulary, a dominant domain) makes that n². The length
+    * band splits every hot block by a feature that edit distance
+    * CANNOT cross, bounding blocks by names-per-(key, band). When even
+    * that is hot (same noun, same length), escalate the blk key to
+    * LSH over name shingles — the q30 machinery composes here, at the
+    * price of probabilistic recall. */
+  private[graft] def fuzzyCandidates(names: DataFrame, maxDist: Int): DataFrame = {
+    val bandW = maxDist + 1
+    val band = floor(length(col("name")) / bandW).cast("int")
+    val keyed = names.select(col("name"), col("blk"),
+      explode(array(band, band + 1)).as("bandKey"))
+    keyed.select(col("name").as("name_a"), col("blk"), col("bandKey"))
+      .join(keyed.select(col("name").as("name_b"), col("blk").as("blk2"),
+        col("bandKey").as("bandKey2")),
+        col("blk") === col("blk2") && col("bandKey") === col("bandKey2") &&
+          col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b")).distinct()
+  }
 }

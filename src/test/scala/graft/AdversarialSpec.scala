@@ -69,4 +69,43 @@ class AdversarialSpec extends AnyFunSuite {
     assert(positive == Set((0L, 1L), (2L, 3L)),
       s"non-planted pairs scored > 0: ${positive -- Set((0L, 1L), (2L, 3L))}")
   }
+
+  test("fuzzy-join length bands bound blocks under a one-noun vocabulary") {
+    import org.apache.spark.sql.functions._
+    // Worst case for single-key blocking: EVERY name ends in the same
+    // head noun, so blk alone puts all n names in one block → n²/2
+    // verifier calls. Lengths spread 10..89, so (blk, length band)
+    // splits the hot block by a feature edit distance cannot cross.
+    val names = (0 until 400).map { i =>
+      ("x" * (10 + i % 80)) + s"$i widget"
+    }.toDF("name").withColumn("blk", element_at(split(col("name"), " "), -1))
+    val cand = graft.operators.Relational
+      .fuzzyCandidates(names, maxDist = 6)
+    // recall: candidates must cover every true dist ≤ 6 pair (the
+    // brute-force cross join is the test oracle — 400² is fine HERE)
+    val a = names.select(col("name").as("name_a"))
+    val b = names.select(col("name").as("name_b"))
+    val truth = a.crossJoin(b)
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 6)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = cand.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(truth.subsetOf(got),
+      s"lost ${truth.size - (truth & got).size} true pairs to blocking")
+    // scale: the largest (blk, band-key) block holds only the names of
+    // ~2 adjacent 7-char length bands, NOT all 400 — the quadratic
+    // verify is bounded by (names per band)², not n²
+    val bandW = 7
+    val maxBlock = names
+      .select(col("blk"),
+        explode(array(floor(length(col("name")) / bandW).cast("int"),
+          (floor(length(col("name")) / bandW) + 1).cast("int"))).as("k"))
+      .groupBy(col("blk"), col("k")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    // ~5 names per distinct length × ~7 lengths per band × 2 adjacent
+    // bands ≈ 70 names; 120 leaves slack for digit-length jitter while
+    // still proving the 400-name block was split an order of magnitude
+    assert(maxBlock <= 120,
+      s"hot block not split by length bands: max block $maxBlock of 400")
+  }
 }
