@@ -56,6 +56,18 @@ class CacheHygieneSpec extends AnyFunSuite {
       s"net persisted RDDs after q91+clearCache: ${persisted.size}")
   }
 
+  test("q100 manifest leaves only the catalog-managed shingle cache") {
+    reset()
+    SparkEntry.queries("q100_training_manifest")(spark, Spec.sfDir).count()
+    // the capstone persists exactly the shingle table (documented
+    // catalog-managed artifact, TextOps q100); nothing else may remain
+    assert(persisted.size == 1,
+      s"net persisted RDDs after q100: ${persisted.size}")
+    spark.catalog.clearCache()
+    assert(persisted.isEmpty,
+      s"net persisted RDDs after q100+clearCache: ${persisted.size}")
+  }
+
   test("q57 frees every superseded contraction round in-loop") {
     reset()
     SparkEntry.queries("q57_dup_clusters")(spark, Spec.sfDir).count()
