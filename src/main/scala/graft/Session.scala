@@ -34,6 +34,12 @@ object Session {
       // stragglers (the reference's wc_map_slow.sh scenario,
       // tests/test_manager_05.py:75-95).
       .config("spark.task.maxFailures", "4")
+      // NOTE Spark never starts the speculation thread on an in-process
+      // local[N] master (the drill in FaultDemo needs local-cluster for
+      // exactly that reason), so this setting is inert in the gate/bench
+      // environment and cannot interact with checkpoint-heavy queries
+      // there; it takes effect on real cluster masters, where a
+      // speculative copy can land on different hardware.
       .config("spark.speculation", "true")
       .config("spark.speculation.multiplier", "4")
       // AQE re-plans at runtime: skew-join splitting and partition
@@ -45,7 +51,19 @@ object Session {
       // (candidate verification in the LSH queries) and cost ~10% on the
       // heavy-query subset. At 100 TB the advisory size wins either way
       // because partitions are data-bound, not core-bound.
-    extra.foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
+    // `SPARK_GRAFT_CONF` is the CLI-level `--conf` escape hatch
+    // (semicolon-separated k=v pairs), applied LAST so an operator can
+    // override any shipped default for an isolation experiment or a
+    // deployment-specific tuning without a rebuild — the same contract
+    // spark-submit gives. Normal runs leave it unset.
+    val envConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry not k=v: $kv")
+        (kv.take(i), kv.drop(i + 1))
+      }
+    (extra.toSeq ++ envConf).foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
   }
 }
