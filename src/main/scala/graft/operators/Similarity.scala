@@ -124,6 +124,27 @@ object Similarity {
     (0 until NUM_TABLES).map(t => s"CAST(${codeTSql(t)} AS BIGINT)")
       .mkString("[", ", ", "]")
 
+  // ---- semantic-dedup / projection constants ------------------------------
+
+  /** Cluster count for q104, derived from corpus size: smallest K
+    * (≥ 8) with expected cluster population n/K ≤ 256, integer-exact
+    * so the oracle re-derives it verbatim ([[NK_SQL]]). */
+  private[graft] def sdK(n: Long): Long = math.max(8L, (n + 255L) / 256L)
+
+  private val NK_SQL =
+    "SELECT greatest(8, (count(*) + 255) // 256) AS k FROM embeddings"
+
+  private val RP_DIMS = 8
+
+  /** ±1 projection signs for q105 — deterministic md5 bits under a salt
+    * distinct from the LSH tables' [[signs]]. */
+  private val rpSigns: Array[Array[Int]] =
+    Array.tabulate(RP_DIMS, DIM) { (j, i) =>
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$j:$i".getBytes("UTF-8"))
+      if ((dg(0) & 1) == 1) 1 else -1
+    }
+
   val queries: Seq[Q] = Seq(
 
     // ----- brute-force cosine top-k (baseline; broadcast query side) -------
@@ -471,6 +492,105 @@ object Similarity {
         .select(col("m.cid").as("cid"), col("m.d").as("d"))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_vecs"), sum(col("d")).cast("long").as("inertia"))
+    },
+
+    // ----- semantic dedup: cluster-scoped embedding near-dup pairs ---------
+    // The IVF idea applied to DEDUP instead of search: coarse-assign
+    // every vector to its nearest of K centroids (one broadcast pass,
+    // the q82/q44 machinery), then compare pairs only WITHIN a cluster
+    // — the co-partitioned self-join on cid replaces q35's global LSH
+    // bucketing when an assignment already exists in the pipeline.
+    // K derives from corpus count ([[sdK]]): expected cluster size is
+    // ~n/K ≤ 256, so the per-cluster pairwise work is ~256·n — LINEAR,
+    // the same derive-from-n rule as numBits/bandRows/simhashBits.
+    // Centroids are the first K vectors (the deterministic stand-in
+    // for a trained q82 codebook; swap in refined centroids for better
+    // cluster balance, or salt a hot cid through Skew.saltedJoin).
+    // Distances are exact integers in the quantized space, so ordering
+    // is bit-identical across engines. Approximate by design: a pair
+    // split across cluster boundaries is missed — the standard IVF
+    // recall trade, bought back in search by nprobe (q44).
+    Q("q104_semantic_dedup", {
+      val dotSql = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $a[i] * $b[i]))"
+      s"""WITH nk AS ($NK_SQL),
+         |e AS MATERIALIZED (
+         |  SELECT vec_id, sv, ${dotSql("sv", "sv")} AS xx
+         |  FROM (SELECT vec_id, $QUANT_SQL AS sv FROM embeddings) q),
+         |c AS (SELECT vec_id AS cid, sv AS cv, xx AS cc FROM e, nk
+         |      WHERE vec_id BETWEEN 1 AND k),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, sv, xx, cid FROM (
+         |    SELECT e.vec_id, e.sv, e.xx, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY e.xx - 2 * ${dotSql("e.sv", "c.cv")} + c.cc, c.cid)
+         |        AS rn
+         |    FROM e CROSS JOIN c) t WHERE rn = 1)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  CAST(a.cid AS BIGINT) AS cid,
+         |  CAST(a.xx - 2 * ${dotSql("a.sv", "b.sv")} + b.xx AS BIGINT) AS d2
+         |FROM asg a JOIN asg b
+         |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |ORDER BY d2, vec_a, vec_b
+         |LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val k = sdK(embTable(s, d).count())
+      // quantized vectors + self-dots: read once, reused by assignment
+      // AND both pair sides — the per-query artifact (q35 rule)
+      val e = embTable(s, d)
+        .select(col("vec_id"), quant(col("embedding")).as("sv"))
+        .withColumn("xx", dot(col("sv"), col("sv")))
+        .persist()
+      val cents = e.filter(col("vec_id").between(1, k))
+        .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv"),
+          col("xx").as("cc"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("sv"), col("xx"),
+          col("cid"),
+          (col("xx") - lit(2) * dot(col("sv"), col("cv")) + col("cc"))
+            .as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(expr("min_by(cid, struct(dc, cid))").as("cid"),
+          expr("any_value(sv)").as("sv"), expr("any_value(xx)").as("xx"))
+      val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+        col("sv").as("sa"), col("xx").as("xa"))
+      val b = assigned.select(col("cid").as("cid2"),
+        col("vec_id").as("vec_b"), col("sv").as("sb"), col("xx").as("xb"))
+      a.join(b, col("cid") === col("cid2") && col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("cid").cast("long").as("cid"),
+          (col("xa") - lit(2) * dot(col("sa"), col("sb")) + col("xb"))
+            .cast("long").as("d2"))
+        .orderBy(col("d2"), col("vec_a"), col("vec_b"))
+        .limit(20)
+    },
+
+    // ----- random sign projection (dimensionality reduction) ---------------
+    // Matrix-free Johnson-Lindenstrauss-style reduction: each output
+    // coordinate is a ±1 sign projection of the quantized vector, the
+    // signs deterministic md5 bits inlined as literals into BOTH the
+    // Spark plan and the generated oracle (the LSH-code discipline,
+    // applied to projection VALUES instead of their signs). Everything
+    // is exact integer arithmetic on ≤ 2^53 magnitudes — no float sum
+    // ordering anywhere — and per-row with zero shuffles: the shape
+    // that runs at any corpus size. Completes the embedding toolkit:
+    // q85 compresses precision, this compresses dimensionality.
+    Q("q105_random_projection", {
+      val projs = (0 until RP_DIMS).map { j =>
+        val sArr = rpSigns(j).mkString("[", ",", "]")
+        s"""CAST(list_sum(list_transform(range(1, ${DIM + 1}),
+           |    i -> sv[i] * ($sArr)[i])) AS BIGINT) AS p$j""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT vec_id, $projs
+         |FROM (SELECT vec_id, $QUANT_SQL AS sv FROM embeddings) q"""
+        .stripMargin
+    }) { (s, d) =>
+      val e = embTable(s, d)
+        .select(col("vec_id"), quant(col("embedding")).as("sv"))
+      val projCols = (0 until RP_DIMS).map { j =>
+        dot(col("sv"), typedLit(rpSigns(j).toSeq.map(_.toDouble)))
+          .cast("long").as(s"p$j")
+      }
+      e.select(col("vec_id") +: projCols: _*)
     }
   )
 }

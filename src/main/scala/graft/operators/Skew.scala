@@ -93,6 +93,43 @@ object Skew {
         .agg(count(lit(1)).as("n_items"),
           sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
             .as("revenue"))
+    },
+
+    // ----- skew advisor: per-key heavy hitters + salt recommendation -------
+    // The diagnostic that decides WHEN q45's machinery is needed: one
+    // partial-aggregating count over the prospective join key, the
+    // top-10 heaviest keys, each with its row share in parts-per-
+    // million (exact integer division — a DOUBLE share would be
+    // engine-identical too, but ppm keeps the whole row integer) and
+    // the `numSalts` that would level it: the key's count relative to
+    // a perfectly uniform shuffle partition at 32 partitions, ceil'd,
+    // clamped to [1, 32]. Keys at salts = 1 don't need salting; a key
+    // at 32 is the q45 pathological case. The aggregate is the same
+    // map-side-combining shape as [[hotKeys]], so the advisor costs
+    // one scan + a 10-row sort at any corpus size.
+    Q("q108_skew_advisor",
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT key, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(least(32, greatest(1,
+        |    (cnt * 32 + total - 1) // total)) AS BIGINT) AS rec_salts
+        |FROM c, t
+        |ORDER BY cnt DESC, key
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("key"), col("cnt"),
+          expr("cnt * 1000000 div total").as("share_ppm"),
+          least(lit(32L), greatest(lit(1L),
+            expr("(cnt * 32 + total - 1) div total"))).as("rec_salts"))
+        .orderBy(col("cnt").desc, col("key"))
+        .limit(10)
     }
   )
 }

@@ -40,6 +40,12 @@ object TextOps {
     conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
       16, 10).cast("long")
 
+  /** Non-overlapping block width for q102's repeated-passage detector. */
+  private val REP_BLOCK = 16
+
+  /** q107 vocabulary size (see the query comment for why it is small). */
+  private val OOV_VOCAB_K = 16
+
   val queries: Seq[Q] = Seq(
 
     // ----- the reference's word-count query (B1+B4) over documents -----
@@ -881,6 +887,196 @@ object TextOps {
       import s.implicits._
       val lines = Tables.documents(s, d).select(col("text").as("value")).as[String]
       MapReduce.reduceCount(MapReduce.wcMapTr(lines))
+    },
+
+    // ----- cross-document repeated-passage detection -------------------------
+    // The intra-corpus boilerplate signal (the repeated-passage removal
+    // step of web-scale training pipelines): documents are cut into
+    // NON-overlapping 16-token blocks IN-ROW (zero shuffle — full
+    // blocks only, truncated tails carry no repeat signal), then ONE
+    // hash aggregate on the passage groups counts occurrences and
+    // distinct documents. No pairwise work exists anywhere: a passage
+    // shared by k docs costs k rows, not k², so the detector is linear
+    // in corpus size by construction — the shape q32 needs a df-cap to
+    // recover is the only shape this query ever has.
+    Q("q102_repeated_passages", {
+      val w = REP_BLOCK
+      s"""SELECT passage,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occur
+         |FROM (
+         |  SELECT doc_id, array_to_string(l[s * $w + 1 : s * $w + $w], ' ')
+         |    AS passage
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+         |        FROM documents) t
+         |  CROSS JOIN unnest(range(0, len(l) // $w)) AS u(s)) ch
+         |GROUP BY passage
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occur DESC, passage
+         |LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val w = REP_BLOCK
+      val nb = expr(s"size(toks) div $w")
+      val starts = when(nb >= 1, sequence(lit(0), (nb - 1).cast("int")))
+        .otherwise(array().cast("array<int>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"), col("toks"), explode(starts).as("sblk"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), col("sblk") * w + 1, lit(w)))
+            .as("passage"))
+        .groupBy(col("passage"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occur"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occur").desc, col("passage"))
+        .limit(20)
+    },
+
+    // ----- URL normalization + per-domain stats ------------------------------
+    // The web-pipeline canonicalization step: the corpus has no URL
+    // column, so a dirty one is INJECTED deterministically per doc
+    // (mixed-case scheme/host, default :443 port, utm_*/ref tracking
+    // params — the q78 injected-pattern discipline), then normalized:
+    // lowercase the scheme+authority (paths here are case-free), strip
+    // the default port, drop tracking parameters, collapse the
+    // trailing path slash. Grouping by the www-stripped registrable
+    // domain gives docs-per-domain and distinct canonical URLs — the
+    // crawl-frontier dedup stat. All per-row regex work fused into one
+    // scan + ONE hash aggregate; count(DISTINCT url) is exact (the
+    // domain partition is the natural key at any scale).
+    Q("q103_url_normalize",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Site' || (doc_id % 37) || '.COM:443/p/'
+        |      || (doc_id % 11) || '/?utm_source=feed&ref=' || (doc_id % 5)
+        |      || '&id=' || (doc_id % 100) AS url
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([^/]*//[^/]*)', 1)) AS auth,
+        |    regexp_extract(url, '^[^/]*//[^/]*(/.*)$', 1) AS rest
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(auth, ':443$', '')
+        |      || regexp_replace(regexp_replace(rest,
+        |           '(utm_[a-z]+|ref)=[^&]*&', ''), '/\?', '?') AS norm_url,
+        |    regexp_replace(regexp_replace(regexp_replace(auth,
+        |      '^[a-z]+://', ''), '^www\.', ''), ':443$', '') AS domain
+        |  FROM n)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT norm_url) AS BIGINT) AS n_urls
+        |FROM c GROUP BY domain""".stripMargin) { (s, d) =>
+      val url = concat(lit("HTTPS://WWW.Site"), col("doc_id") % 37,
+        lit(".COM:443/p/"), col("doc_id") % 11,
+        lit("/?utm_source=feed&ref="), col("doc_id") % 5,
+        lit("&id="), col("doc_id") % 100)
+      val auth = lower(regexp_extract(col("url"), "^([^/]*//[^/]*)", 1))
+      val rest = regexp_extract(col("url"), "^[^/]*//[^/]*(/.*)$", 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), auth.as("auth"), rest.as("rest"))
+        .select(
+          concat(regexp_replace(col("auth"), ":443$", ""),
+            regexp_replace(regexp_replace(col("rest"),
+              "(utm_[a-z]+|ref)=[^&]*&", ""), "/\\?", "?")).as("norm_url"),
+          regexp_replace(regexp_replace(regexp_replace(col("auth"),
+            "^[a-z]+://", ""), "^www\\.", ""), ":443$", "").as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("norm_url")).as("n_urls"))
+    },
+
+    // ----- split-leakage audit (near-dup fingerprints crossing splits) -------
+    // The q65 split is only sound if no near-duplicate content lands on
+    // both sides of a train/test boundary — the leakage audit every
+    // split must pass. Unit of leakage here: the 8-token-prefix
+    // fingerprint (a deliberately COARSER key than q29's full-text
+    // fingerprint, because near-dups that differ in a tail token are
+    // exactly what leaks). A group leaks iff its docs span > 1 split —
+    // detected as min(split) ≠ max(split) over the fingerprint
+    // partition, which needs ONE fp shuffle and no count-distinct
+    // window (Spark has none) or group-and-join-back (whose fp-keyed
+    // flag table would not be broadcastable at corpus scale).
+    Q("q106_split_leakage",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))
+        |      AS fp,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+        |  FROM documents),
+        |s AS (
+        |  SELECT fp, CASE WHEN b % 100 < 80 THEN 'train'
+        |                  WHEN b % 100 < 90 THEN 'val'
+        |                  ELSE 'test' END AS split
+        |  FROM f),
+        |m AS (
+        |  SELECT split,
+        |    CASE WHEN min(split) OVER (PARTITION BY fp)
+        |           <> max(split) OVER (PARTITION BY fp)
+        |         THEN 1 ELSE 0 END AS leaked
+        |  FROM s)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(leaked) AS BIGINT) AS n_leaked
+        |FROM m GROUP BY split""".stripMargin) { (s, d) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 2), 16, 10).cast("long") % 100
+      val fp = md5(concat_ws(" ",
+        slice(tokens, 1, 8)).cast("binary"))
+      val w = Window.partitionBy(col("fp"))
+      Tables.documents(s, d)
+        .select(fp.as("fp"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .select(col("split"),
+          when(min(col("split")).over(w) =!= max(col("split")).over(w), 1L)
+            .otherwise(0L).as("leaked"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("leaked")).as("n_leaked"))
+    },
+
+    // ----- out-of-vocabulary rate vs a frozen top-K vocabulary ---------------
+    // The tokenizer-coverage gate: freeze the corpus's top-K tokens
+    // (total order count DESC, token ASC — the boundary cannot flip
+    // between engines or reruns) as "the vocabulary", then score every
+    // document's OOV token rate. K is 16 here because the synthetic
+    // corpus has 31 distinct tokens; the plan is K-independent — a 50k
+    // vocab is still one broadcast. Vocabulary = one partial-agg count
+    // + top-K; scoring = explode + broadcast LEFT join + ONE doc_id
+    // hash aggregate that yields n_tokens and n_oov together (no
+    // second doc-keyed join). The rate is one exact-integer division.
+    Q("q107_oov_rate", {
+      val k = OOV_VOCAB_K
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS c
+         |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+         |          FROM documents) t
+         |    GROUP BY tok)
+         |  ORDER BY c DESC, tok LIMIT $k)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (v.tok IS NULL) AS BIGINT) AS n_oov,
+         |  CAST(count(*) FILTER (v.tok IS NULL) AS DOUBLE) / count(*)
+         |    AS oov_rate
+         |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |      FROM documents) t
+         |LEFT JOIN v ON t.tok = v.tok
+         |GROUP BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val vocab = docs.select(explode(tokens).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(OOV_VOCAB_K)
+        .select(col("tok"), lit(1).as("iv"))
+      docs.select(col("doc_id"), explode(tokens).as("tok"))
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
     }
   )
 }

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.{Session, Tables}
+
+/** Scale-evidence corpus generator: a 4× `documents`/`embeddings` pair
+  * derived deterministically from an input scale-factor directory, with
+  * a DENSER similarity graph than organic growth — every original
+  * yields 3 additional near-duplicate copies (one token perturbed per
+  * copy; first embedding dims nudged), so candidate-generation
+  * machinery faces MORE collisions per doc at 4× the rows. Sub-linear
+  * wall-clock growth on this corpus is therefore a conservative
+  * estimate of the organic-scale behavior.
+  *
+  * Usage: `runMain graft.tools.ScaleData <sfDir> <outDir>`. Only the
+  * two corpus tables are generated; relational tables are out of scope
+  * (the scale-sensitive queries touch only these).
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = Session.build("local[16]", 16, "graft-scaledata")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(
+        (col("doc_id") * 4 + col("k")).as("doc_id"),
+        // copy k>0 perturbs the token at position 7k mod |toks| by
+        // appending "~k" — 3 shingles change, the rest stay shared
+        when(col("k") === 0, col("text")).otherwise(
+          array_join(expr(
+            """transform(split(text, ' '),
+              |  (t, i) -> IF(i = CAST(k * 7 AS INT) % greatest(size(split(text, ' ')), 1),
+              |              concat(t, '~', k), t))""".stripMargin), " "))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(
+        (col("vec_id") * 4 + col("k")).as("vec_id"),
+        // nudge the first three dims by k/100 — cosine stays ~1, so
+        // each original plants 3 embedding near-dups
+        expr("""transform(embedding,
+               |  (x, i) -> IF(i < 3, CAST(x + k * 0.01 AS FLOAT), x))"""
+          .stripMargin).as("embedding"),
+        col("label"))
+    embs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+
+    println(s"[scaledata] wrote ${outDir}: " +
+      s"docs=${spark.read.parquet(s"$outDir/documents.parquet").count()} " +
+      s"vecs=${spark.read.parquet(s"$outDir/embeddings.parquet").count()}")
+    spark.stop()
+  }
+}

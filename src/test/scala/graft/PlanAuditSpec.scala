@@ -150,6 +150,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no skew split in adaptive plan:\n${finalPlan.take(600)}")
   }
 
+  test("semantic dedup broadcasts centroids and self-joins on cid") {
+    val p = plan("q104_semantic_dedup")
+    // assignment = K-row broadcast against the corpus; pair stage = a
+    // co-partitioned join on cid. A CartesianProduct anywhere means the
+    // cluster scoping collapsed into all-pairs
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("OOV scoring broadcasts the vocabulary and aggregates once") {
+    val p = plan("q107_oov_rate")
+    // the vocab probe must be a broadcast LEFT join — a shuffle here
+    // means the exploded token stream became a sort-merge side
+    assert("BroadcastHashJoin[^\n]*LeftOuter".r.findFirstIn(p).isDefined,
+      p.take(400))
+  }
+
+  test("repeated-passage detection has no pairwise stage") {
+    val p = plan("q102_repeated_passages")
+    // in-row blocking + one hash aggregate: no join of any kind may
+    // appear — a join would mean a k² candidate structure crept in
+    assert(!p.contains("Join"), p.take(400))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("skew advisor attaches totals by one-row broadcast") {
+    val p = plan("q108_skew_advisor")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files
