@@ -711,7 +711,7 @@ object Relational {
     * that is hot (same noun, same length), escalate the blk key to
     * LSH over name shingles — the q30 machinery composes here, at the
     * price of probabilistic recall. */
-  private[graft] def fuzzyCandidates(names: DataFrame, maxDist: Int): DataFrame = {
+  def fuzzyCandidates(names: DataFrame, maxDist: Int): DataFrame = {
     val bandW = maxDist + 1
     val band = floor(length(col("name")) / bandW).cast("int")
     val keyed = names.select(col("name"), col("blk"),

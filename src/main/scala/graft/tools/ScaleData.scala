@@ -46,11 +46,15 @@ object ScaleData {
         explode(sequence(lit(0), lit(3))).as("k"))
       .select(
         (col("vec_id") * 4 + col("k")).as("vec_id"),
-        // nudge the first three dims by k/100 — cosine stays ~1, so
-        // each original plants 3 embedding near-dups
+        // nudge EVERY dim by a deterministic ±0.02k — cosine stays
+        // ~0.999 (a genuine near-dup) while the copy's LSH sign
+        // projections shift enough to sometimes land in neighboring
+        // buckets, like real re-encodings do; perturbing only a few
+        // dims would leave all four copies bit-identical in code space
+        // and overstate bucket densification 4x
         expr("""transform(embedding,
-               |  (x, i) -> IF(i < 3, CAST(x + k * 0.01 AS FLOAT), x))"""
-          .stripMargin).as("embedding"),
+               |  (x, i) -> CAST(x + k * 0.02 * IF((i * 7 + k * 13) % 2 = 0, 1, -1)
+               |                 AS FLOAT))""".stripMargin).as("embedding"),
         col("label"))
     embs.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
