@@ -183,6 +183,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // The scan-side lever AQE/broadcast don't cover: when a selective
+    // dim filter feeds a SHUFFLE join, Spark can inject a bloom filter
+    // of the dim keys into the fact scan, dropping non-joining rows
+    // before the shuffle — at 100 TB that is the difference between
+    // shuffling the full fact table and shuffling the ~matching slice.
+    // Thresholds are session confs, scaled to fixture size here.
+    import org.apache.spark.sql.functions._
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "1KB")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    s.range(0, 200000).select(col("id").as("k"),
+      (col("id") % 1000).as("v")).write.parquet(s"$dir/fact")
+    s.range(0, 20000).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name")).write.parquet(s"$dir/dim")
+    val joined = s.read.parquet(s"$dir/fact")
+      .join(s.read.parquet(s"$dir/dim").filter(col("k") % 100 === 0), "k")
+    // creation side plans a bloom_filter_agg over the filtered dim keys;
+    // the fact side applies it as a might_contain predicate
+    val p = joined.queryExecution.optimizedPlan.toString
+    assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+      "no runtime bloom filter injected into the fact scan side")
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files
