@@ -46,6 +46,9 @@ object TextOps {
   /** q107 vocabulary size (see the query comment for why it is small). */
   private val OOV_VOCAB_K = 16
 
+  /** q110's k-anonymity policy floor (a policy constant by design). */
+  private val PRIVACY_K = 30
+
   val queries: Seq[Q] = Seq(
 
     // ----- the reference's word-count query (B1+B4) over documents -----
@@ -1077,6 +1080,59 @@ object TextOps {
           sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+    },
+
+    // ----- k-anonymity small-group gate --------------------------------------
+    // The privacy/representation check before a corpus ships: any
+    // (lang, source) stratum smaller than the policy floor K is a
+    // re-identification and over-memorization risk, and downstream
+    // per-stratum statistics on it are meaningless. K is POLICY, not
+    // scale-derived — the point is that the report never silently
+    // changes meaning as the corpus grows — so the output keeps every
+    // stratum with a below_k flag instead of filtering (an empty
+    // "violations" list and a passing audit are indistinguishable
+    // otherwise). One partial-aggregating groupBy; |strata| rows.
+    Q("q110_privacy_smallgroups",
+      s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(CASE WHEN count(*) < $PRIVACY_K THEN 1 ELSE 0 END AS BIGINT)
+         |    AS below_k
+         |FROM documents GROUP BY lang, source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          when(col("n_docs") < PRIVACY_K, 1L).otherwise(0L).as("below_k"))
+    },
+
+    // ----- dataset card: per-source summary a corpus release ships with ------
+    // One scan, one aggregate: docs, distinct languages, exact token
+    // mass, exact-dup rate (1 − distinct normalized fingerprints /
+    // docs), and mean length — the numbers every dataset card states.
+    // The two count(DISTINCT)s plan as one multi-phase Expand
+    // aggregate, still a single pass over the corpus; both divisions
+    // are exact-integer → double, so the card is bit-identical across
+    // engines. Composes q24/q29/q86's expressions rather than
+    // re-deriving them.
+    Q("q111_dataset_card",
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |    AS n_tokens,
+        |  1.0 - CAST(count(DISTINCT
+        |      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+        |      AS DOUBLE) / count(*) AS dup_rate,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(tokens).cast("long")).as("n_tokens"),
+          (lit(1.0) - countDistinct(Dedup.normFp).cast("double")
+            / count(lit(1))).as("dup_rate"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("mean_chars"))
     }
   )
 }

@@ -70,6 +70,32 @@ class AdversarialSpec extends AnyFunSuite {
       s"non-planted pairs scored > 0: ${positive -- Set((0L, 1L), (2L, 3L))}")
   }
 
+  test("repeated-passage detector flags long boilerplate at linear cost") {
+    import org.apache.spark.sql.functions._
+    // 300 docs sharing a 32-token boilerplate prefix (two full 16-token
+    // blocks) + unique filler. The detector must (a) surface the
+    // boilerplate blocks with n_docs = 300 — the q32-style df-cap
+    // CANNOT be applied here, repeated content is the signal, and the
+    // no-pairwise shape is what keeps 300 shared blocks costing 300
+    // rows — and (b) not flag any unique-filler block.
+    val boiler = (0 until 32).map(i => s"tos$i").mkString(" ")
+    val rows = (0 until 300).map { i =>
+      val text = s"$boiler " + (0 until 9).map(j => s"u${i}f$j").mkString(" ")
+      (i.toLong, text, "en", "webcrawl", text.length.toLong)
+    }
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-boiler").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val top = SparkEntry.queries("q102_repeated_passages")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly the two full boilerplate blocks, each in all 300 docs
+    assert(top.length == 2, s"expected 2 passages, got ${top.length}")
+    assert(top.forall { case (p, nd, no) =>
+      nd == 300 && no == 300 && p.startsWith("tos") })
+  }
+
   test("fuzzy-join length bands bound blocks under a one-noun vocabulary") {
     import org.apache.spark.sql.functions._
     // Worst case for single-key blocking: EVERY name ends in the same
