@@ -222,6 +222,21 @@ object Dedup {
       .select(col("doc_id"), simhash.cast("long").as("simhash"))
   }
 
+  /** (band, key) rows of a simhash frame: the 4 pigeonhole bands of
+    * w/4 bits each — ONE banding shared by q49 and q91 so the two
+    * consumers cannot drift (the bandSignatures rule). */
+  private def simhashBands(sh: DataFrame, w: Int): DataFrame = {
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("b"),
+        shiftright(col("simhash"), (w / 4) * b)
+          .bitwiseAND((1L << (w / 4)) - 1).cast("int").as("nib"))
+    }
+    sh.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bn"))
+      .select(col("doc_id"), col("simhash"),
+        col("bn.b").as("b"), col("bn.nib").as("nib"))
+  }
+
   /** SimHash oracle SQL at ONE fixed width — mechanical per-bit terms,
     * generated so Spark and DuckDB stay in lockstep by construction. */
   private def simhashSqlAt(bits: Int): String = {
@@ -470,16 +485,7 @@ object Dedup {
       // both self-join sides read the fingerprint table; without the
       // persist the full explode+aggregate lineage runs once per branch
       val sh = simhashes(s, d, w).persist()
-      val bandCols = (0 until 4).map { b =>
-        struct(lit(b).as("b"),
-          shiftright(col("simhash"), (w / 4) * b)
-            .bitwiseAND((1L << (w / 4)) - 1).cast("int").as("nib"))
-      }
-      val bands = sh
-        .select(col("doc_id"), col("simhash"),
-          explode(array(bandCols: _*)).as("bn"))
-        .select(col("doc_id"), col("simhash"),
-          col("bn.b").as("b"), col("bn.nib").as("nib"))
+      val bands = simhashBands(sh, w)
       val a = bands.select(col("doc_id").as("doc_a"),
         col("simhash").as("sa"), col("b"), col("nib"))
       val c = bands.select(col("doc_id").as("doc_b"),
@@ -555,16 +561,7 @@ object Dedup {
       val mh = bandPairs(bandSignatures(sigs, bandRows(n)), _ < _)
       val w = simhashBits(n)
       val sh = simhashes(s, d, w).persist()
-      val bandCols = (0 until 4).map { b =>
-        struct(lit(b).as("b"),
-          shiftright(col("simhash"), (w / 4) * b)
-            .bitwiseAND((1L << (w / 4)) - 1).cast("int").as("nib"))
-      }
-      val shb = sh
-        .select(col("doc_id"), col("simhash"),
-          explode(array(bandCols: _*)).as("bn"))
-        .select(col("doc_id"), col("simhash"),
-          col("bn.b").as("b"), col("bn.nib").as("nib"))
+      val shb = simhashBands(sh, w)
       val shp = shb.select(col("doc_id").as("doc_a"),
           col("simhash").as("sa"), col("b"), col("nib"))
         .join(shb.select(col("doc_id").as("doc_b"),

@@ -448,39 +448,47 @@ object Eventing {
     // exceeds mean + 3σ of the hourly distribution. The σ comparison is
     // done WITHOUT floats or sqrt: with n buckets, sum s, and sum of
     // squares s2, `c > mean + 3σ` ⟺ `n·c − s > 0 ∧ (n·c − s)² >
-    // 9·(n·s2 − s²)` — every term an exact BIGINT (≤ ~1e11 at any
-    // plausible hourly-count magnitude relative to bucket counts), so
-    // both engines flag bit-identical hours where q67-style float
-    // stddev could flip a boundary bucket. Hourly counts are ONE
-    // partial-aggregating groupBy; the three global sums are one more
-    // aggregate over |hours| rows, attached back by a one-row
-    // broadcast — the q86/q90 pattern. Scales as the event log does:
-    // the anomaly pass costs one scan.
+    // 9·(n·s2 − s²)`. Every squared/product term is computed in wide
+    // exact integers — Spark DECIMAL(38,0), DuckDB HUGEINT (int128);
+    // DuckDB's decimal multiply caps total precision at 38 so decimal
+    // squaring would not bind there — because BIGINT overflows at web
+    // scale (hourly counts of 1e9 over 1e4 buckets put s2 at ~1e22 and
+    // the squared deviation at ~1e26; Spark would wrap silently and
+    // DuckDB would error — differently). Both engines flag
+    // bit-identical hours where q67-style float stddev could flip a
+    // boundary bucket.
+    // Hourly counts are ONE partial-aggregating groupBy; the three
+    // global sums are one more aggregate over |hours| rows, attached
+    // back by a one-row broadcast — the q86/q90 pattern. Scales as the
+    // event log does: the anomaly pass costs one scan.
     Q("q109_volume_anomaly",
       """WITH h AS (
-        |  SELECT epoch_us(ts) // 3600000000 AS bucket, count(*)::BIGINT AS c
+        |  SELECT epoch_us(ts) // 3600000000 AS bucket,
+        |    count(*)::HUGEINT AS c
         |  FROM events GROUP BY bucket),
-        |st AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
-        |         sum(c * c)::BIGINT AS s2 FROM h)
+        |st AS (SELECT count(*)::HUGEINT AS n, sum(c) AS s,
+        |         sum(c * c) AS s2 FROM h)
         |SELECT strftime(make_timestamp(bucket * 3600000000),
         |    '%Y-%m-%d %H:%M') AS hour_ts,
-        |  c AS n_events
+        |  c::BIGINT AS n_events
         |FROM h, st
         |WHERE n * c - s > 0
         |  AND (n * c - s) * (n * c - s) > 9 * (n * s2 - s * s)
         |ORDER BY hour_ts""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
       val h = Tables.events(s, d)
         .select(expr("unix_micros(ts) div 3600000000").as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
-      val st = h.agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        .groupBy(col("bucket")).agg(count(lit(1)).cast(dec).as("c"))
+      val st = h.agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("s2"))
+      val dev = (col("n") * col("c") - col("s")).cast(dec)
       h.crossJoin(broadcast(st))
-        .filter(col("n") * col("c") - col("s") > 0 &&
-          (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))
-            > lit(9) * (col("n") * col("s2") - col("s") * col("s")))
+        .filter(dev > 0 &&
+          dev * dev > lit(9) * (col("n") * col("s2") - col("s") * col("s"))
+            .cast(dec))
         .select(date_format(timestamp_micros(col("bucket") * 3600000000L),
             "yyyy-MM-dd HH:mm").as("hour_ts"),
-          col("c").as("n_events"))
+          col("c").cast("long").as("n_events"))
         .orderBy(col("hour_ts"))
     }
   )

@@ -544,6 +544,9 @@ object Similarity {
       val cents = e.filter(col("vec_id").between(1, k))
         .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv"),
           col("xx").as("cc"))
+      // persisted: BOTH pair-join sides read the assignment, and the
+      // n×K distance aggregation is the dominant cost — without the
+      // persist it runs once per branch (the q49 rule)
       val assigned = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("sv"), col("xx"),
           col("cid"),
@@ -552,6 +555,7 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(expr("min_by(cid, struct(dc, cid))").as("cid"),
           expr("any_value(sv)").as("sv"), expr("any_value(xx)").as("xx"))
+        .persist()
       val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
         col("sv").as("sa"), col("xx").as("xa"))
       val b = assigned.select(col("cid").as("cid2"),

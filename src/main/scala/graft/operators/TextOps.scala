@@ -964,7 +964,7 @@ object TextOps {
         |  SELECT doc_id,
         |    regexp_replace(auth, ':443$', '')
         |      || regexp_replace(regexp_replace(rest,
-        |           '(utm_[a-z]+|ref)=[^&]*&', ''), '/\?', '?') AS norm_url,
+        |           '(utm_[a-z]+|ref)=[^&]*&', '', 'g'), '/\?', '?') AS norm_url,
         |    regexp_replace(regexp_replace(regexp_replace(auth,
         |      '^[a-z]+://', ''), '^www\.', ''), ':443$', '') AS domain
         |  FROM n)

@@ -23,18 +23,23 @@ object ScaleData {
     val spark = Session.build("local[16]", 16, "graft-scaledata")
     spark.sparkContext.setLogLevel("WARN")
 
+    // token array projected as a column FIRST: a split() referenced
+    // inside the transform lambda would re-evaluate per element
+    // (no CSE across higher-order functions — the Dedup.shingles rule)
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"),
+        col("lang"), col("source"),
         explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("pidx",
+        expr("CAST(k * 7 AS INT) % greatest(size(toks), 1)"))
       .select(
         (col("doc_id") * 4 + col("k")).as("doc_id"),
         // copy k>0 perturbs the token at position 7k mod |toks| by
         // appending "~k" — 3 shingles change, the rest stay shared
         when(col("k") === 0, col("text")).otherwise(
           array_join(expr(
-            """transform(split(text, ' '),
-              |  (t, i) -> IF(i = CAST(k * 7 AS INT) % greatest(size(split(text, ' ')), 1),
-              |              concat(t, '~', k), t))""".stripMargin), " "))
+            "transform(toks, (t, i) -> IF(i = pidx, concat(t, '~', k), t))"),
+            " "))
           .as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
