@@ -1133,6 +1133,110 @@ object TextOps {
             / count(lit(1))).as("dup_rate"),
           (sum(col("n_chars")).cast("double") / count(lit(1)))
             .as("mean_chars"))
+    },
+
+    // ----- daily / weekly active users ---------------------------------------
+    // The staple activity metric, shaped for scale: the event log
+    // collapses to the distinct (day, user) frame ONCE (one hash
+    // aggregate — a count-distinct window cannot express WAU and Spark
+    // has none anyway); DAU is a count per day, and WAU comes from
+    // each activity row COVERING the next 7 days' windows via an
+    // in-row explode of 7 offsets — linear ×7 row growth plus one
+    // distinct, instead of a per-day 7-day self-join or re-scan of the
+    // log. Days with zero events are absent by definition (q90 is the
+    // gap-filling op).
+    Q("q112_active_users",
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |grid AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+        |cover AS (
+        |  SELECT DISTINCT du.day + o.o AS day, du.user_id
+        |  FROM du CROSS JOIN unnest(range(0, 7)) AS o(o)),
+        |wau AS (
+        |  SELECT c.day, count(*) AS wau
+        |  FROM cover c SEMI JOIN grid g ON c.day = g.day
+        |  GROUP BY c.day)
+        |SELECT strftime(make_timestamp(dau.day * 86400000000),
+        |    '%Y-%m-%d') AS day_ts,
+        |  CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY day_ts""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("user_id"))
+        .distinct()
+        .persist() // read by DAU, the cover explode, and the grid
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val grid = du.select(col("day")).distinct()
+      val wau = du
+        .select(explode(sequence(lit(0), lit(6))).as("o"), col("day"),
+          col("user_id"))
+        .select((col("day") + col("o")).as("day"), col("user_id"))
+        .distinct()
+        .join(grid, Seq("day"), "left_semi")
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(date_format(timestamp_micros(col("day") * 86400000000L),
+            "yyyy-MM-dd").as("day_ts"),
+          col("dau"), col("wau"))
+        .orderBy(col("day_ts"))
+    },
+
+    // ----- language confusion matrix -----------------------------------------
+    // The evaluation view of q26: declared vs detected language as a
+    // confusion matrix with per-cell counts and the row share — how a
+    // language-ID gate is actually judged before it filters a corpus.
+    // Reuses q26's exact stopword detector expressions (shared
+    // helpers, so gate and evaluation cannot drift), adds one
+    // (declared, detected) hash aggregate and a declared-total window
+    // over the |langs|² matrix frame. Share is an exact-integer
+    // division.
+    Q("q113_lang_confusion",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS BIGINT) AS en_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS BIGINT) AS de_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS BIGINT) AS fr_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','los','y','las'))) AS BIGINT) AS es_cnt
+        |  FROM t),
+        |p AS (
+        |  SELECT lang AS declared,
+        |    CASE WHEN en_cnt >= de_cnt AND en_cnt >= fr_cnt AND en_cnt >= es_cnt THEN 'en'
+        |         WHEN de_cnt >= fr_cnt AND de_cnt >= es_cnt THEN 'de'
+        |         WHEN fr_cnt >= es_cnt THEN 'fr'
+        |         ELSE 'es' END AS detected
+        |  FROM c),
+        |m AS (SELECT declared, detected, count(*) AS n
+        |      FROM p GROUP BY declared, detected)
+        |SELECT declared, detected, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY declared)
+        |    AS row_share
+        |FROM m""".stripMargin) { (s, d) =>
+      val toks = tokens
+      val en = stopCount(toks, Seq("the", "a", "and", "of"))
+      val de = stopCount(toks, Seq("der", "die", "und", "das"))
+      val fr = stopCount(toks, Seq("le", "la", "et", "les"))
+      val es = stopCount(toks, Seq("el", "los", "y", "las"))
+      val w = Window.partitionBy(col("declared"))
+      Tables.documents(s, d)
+        .select(col("lang").as("declared"),
+          en.as("en_cnt"), de.as("de_cnt"), fr.as("fr_cnt"), es.as("es_cnt"))
+        .select(col("declared"),
+          when(col("en_cnt") >= col("de_cnt") && col("en_cnt") >= col("fr_cnt")
+              && col("en_cnt") >= col("es_cnt"), "en")
+            .when(col("de_cnt") >= col("fr_cnt")
+              && col("de_cnt") >= col("es_cnt"), "de")
+            .when(col("fr_cnt") >= col("es_cnt"), "fr")
+            .otherwise("es").as("detected"))
+        .groupBy(col("declared"), col("detected"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("declared"), col("detected"), col("n"),
+          (col("n").cast("double") / sum(col("n")).over(w)).as("row_share"))
     }
   )
 }
