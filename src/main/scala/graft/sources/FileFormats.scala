@@ -58,6 +58,13 @@ object FileFormats {
       case "orc" =>
         src.write.mode("overwrite").orc(dir)
         s.read.schema(src.schema).orc(dir)
+      case "xml" =>
+        // native XML data source (integrated into Spark 4); rowTag is
+        // mandatory on both sides
+        src.write.mode("overwrite").option("rowTag", "row")
+          .format("xml").save(dir)
+        s.read.schema(src.schema).option("rowTag", "row")
+          .format("xml").load(dir)
     }
   }
 
@@ -129,6 +136,22 @@ object FileFormats {
           count(col("parsed.id")).as("n_valid"),
           (count(lit(1)) - count(col("parsed.id"))).as("n_corrupt"),
           sum(col("parsed.id")).as("sum_valid_ids"))
+    },
+
+    // ----- XML: the markup-format connector --------------------------------
+    // Spark 4 ships the XML data source natively (the spark-xml
+    // lineage); the round-trip proves writer/reader fidelity the same
+    // way q42/q43/q68 do. A text format again — checked aggregates
+    // stick to int/string carriers.
+    Q("q114_xml_source",
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  min(p_name) AS first_name,
+        |  CAST(max(p_partkey) AS BIGINT) AS max_partkey
+        |FROM part GROUP BY p_brand""".stripMargin) { (s, d) =>
+      roundTrip(s, d, "part", "xml")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), min(col("p_name")).as("first_name"),
+          max(col("p_partkey")).as("max_partkey"))
     },
 
     Q("q43_json_source",
