@@ -595,6 +595,58 @@ object Similarity {
           .cast("long").as(s"p$j")
       }
       e.select(col("vec_id") +: projCols: _*)
+    },
+
+    // ----- cross-modal cluster profile (documents ⋈ embedding clusters) ----
+    // The curation report that needs BOTH modalities: coarse-assign
+    // every embedding to its nearest centroid (q104's one-broadcast
+    // pass, same sdK derivation), join the matching documents on id,
+    // and profile each cluster's (lang) composition with doc counts
+    // and exact mean length. The doc⋈vector join is co-partitioned on
+    // the id — at corpus scale both sides are big, so it's ONE shuffle
+    // join, never a broadcast; the cluster table rides along as a
+    // column, costing nothing extra. The report is |K|·|langs| rows.
+    Q("q115_cluster_profile", {
+      val dotSql = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $a[i] * $b[i]))"
+      s"""WITH nk AS ($NK_SQL),
+         |e AS MATERIALIZED (
+         |  SELECT vec_id, sv, ${dotSql("sv", "sv")} AS xx
+         |  FROM (SELECT vec_id, $QUANT_SQL AS sv FROM embeddings) q),
+         |c AS (SELECT vec_id AS cid, sv AS cv, xx AS cc FROM e, nk
+         |      WHERE vec_id BETWEEN 1 AND k),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY e.xx - 2 * ${dotSql("e.sv", "c.cv")} + c.cc, c.cid)
+         |        AS rn
+         |    FROM e CROSS JOIN c) t WHERE rn = 1)
+         |SELECT a.cid, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS mean_chars
+         |FROM asg a JOIN documents d ON d.doc_id = a.vec_id
+         |GROUP BY a.cid, d.lang""".stripMargin
+    }) { (s, d) =>
+      val k = sdK(embTable(s, d).count())
+      val e = embTable(s, d)
+        .select(col("vec_id"), quant(col("embedding")).as("sv"))
+        .withColumn("xx", dot(col("sv"), col("sv")))
+      val cents = e.filter(col("vec_id").between(1, k))
+        .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv"),
+          col("xx").as("cc"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (col("xx") - lit(2) * dot(col("sv"), col("cv")) + col("cc"))
+            .as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(expr("min_by(cid, struct(dc, cid))").as("cid"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(assigned, col("doc_id") === col("vec_id"))
+        .groupBy(col("cid"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("mean_chars"))
     }
   )
 }

@@ -1237,6 +1237,50 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
         .select(col("declared"), col("detected"), col("n"),
           (col("n").cast("double") / sum(col("n")).over(w)).as("row_share"))
+    },
+
+    // ----- bigram conditional-probability table (count-based LM) -------------
+    // The statistical-LM / tokenizer-diagnostics table: P(w2 | w1) =
+    // c(w1 w2) / c(w1), where c(w1) is recovered as the SUM of the
+    // aggregated bigram counts per w1 — no second corpus scan, and the
+    // window that computes it runs over the |vocab|²-bounded count
+    // table, not the corpus. One in-row bigram explode + ONE hash
+    // aggregate, min-count 5 to drop noise, exact-integer division so
+    // the probabilities are bit-identical across engines. Top-20 under
+    // a total order.
+    Q("q116_bigram_lm",
+      """WITH bg AS (
+        |  SELECT l[i] AS w1, l[i + 1] AS w2, count(*) AS c12
+        |  FROM (SELECT string_split(lower(text), ' ') AS l FROM documents) t
+        |  CROSS JOIN unnest(range(1, len(l))) AS u(i)
+        |  GROUP BY w1, w2),
+        |c1 AS (
+        |  SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS cw1
+        |  FROM bg)
+        |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+        |  CAST(c12 AS DOUBLE) / cw1 AS p_cond
+        |FROM c1 WHERE c12 >= 5
+        |ORDER BY c12 DESC, w1, w2
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val t = col("toks")
+      val bigrams = zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      val w = Window.partitionBy(col("w1"))
+      Tables.documents(s, d)
+        .select(tokens.as("toks"))
+        .select(explode(bigrams).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .select(col("w1"), col("w2"), col("c12"),
+          sum(col("c12")).over(w).as("cw1"))
+        .filter(col("c12") >= 5)
+        .select(col("w1"), col("w2"), col("c12"),
+          (col("c12").cast("double") / col("cw1")).as("p_cond"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 }

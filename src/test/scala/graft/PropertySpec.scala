@@ -86,6 +86,9 @@ class PropertySpec extends AnyFunSuite {
     assert(Dedup.simhashBits(1) == 16)
     assert(Dedup.simhashBits(1024) == 16 && Dedup.simhashBits(1025) == 60)
     assert(Dedup.simhashBits(Long.MaxValue) == 60)
+    // semantic-dedup clusters: K ≥ 8 with expected population n/K ≤ 256
+    assert(Similarity.sdK(1) == 8 && Similarity.sdK(2048) == 8)
+    assert(Similarity.sdK(2049) == 9 && Similarity.sdK(8000) == 32)
     // monotone: more data never means a WIDER bucket
     val ns = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
     assert(ns.map(Dedup.bandRows) == ns.map(Dedup.bandRows).sorted)
