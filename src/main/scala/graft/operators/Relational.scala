@@ -652,6 +652,55 @@ object Relational {
         .agg(count(lit(1)).as("n_keys"))
     },
 
+    // ----- SCD type-2 dimension build (CDC log → validity intervals) --------
+    // The warehouse-ETL staple: a change log of (key, ts, value)
+    // versions becomes a slowly-changing-dimension table where each
+    // version carries [effective_from, effective_to] and a current
+    // flag. The log is synthesized deterministically (every 50th order
+    // gets 3 versions, 30 days apart, price bumped 10 per version —
+    // the q78/q103 injected-input discipline). One window pass per key
+    // (lead over the version order, which is unique per key by
+    // construction) = ONE key shuffle at any log size; the open
+    // interval closes with the sentinel date. Prices stay bit-exact:
+    // double + small-int increments are exact IEEE in both engines.
+    Q("q117_scd2_build",
+      """WITH log AS (
+        |  SELECT o_orderkey AS key,
+        |    o_orderdate + INTERVAL (k * 30) DAY AS vts,
+        |    o_totalprice + k * 10 AS price
+        |  FROM orders CROSS JOIN unnest([0, 1, 2]) AS u(k)
+        |  WHERE o_orderkey % 50 = 0),
+        |v AS (
+        |  SELECT key, price, vts,
+        |    lead(vts) OVER (PARTITION BY key ORDER BY vts) AS nxt
+        |  FROM log)
+        |SELECT key, price,
+        |  strftime(vts, '%Y-%m-%d') AS effective_from,
+        |  CASE WHEN nxt IS NULL THEN '9999-12-31'
+        |       ELSE strftime(nxt - INTERVAL 1 DAY, '%Y-%m-%d') END
+        |    AS effective_to,
+        |  CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM v""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("key")).orderBy(col("vts"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("key"), col("o_orderdate"),
+          col("o_totalprice"), explode(sequence(lit(0), lit(2))).as("k"))
+        .select(col("key"),
+          (col("o_totalprice") + col("k") * 10).as("price"),
+          expr("o_orderdate + make_interval(0, 0, 0, k * 30, 0, 0, 0)")
+            .as("vts"))
+        .withColumn("nxt", lead(col("vts"), 1).over(w))
+        .select(col("key"), col("price"),
+          date_format(col("vts"), "yyyy-MM-dd").as("effective_from"),
+          when(col("nxt").isNull, "9999-12-31")
+            .otherwise(date_format(
+              expr("nxt - make_interval(0, 0, 0, 1, 0, 0, 0)"),
+              "yyyy-MM-dd")).as("effective_to"),
+          when(col("nxt").isNull, 1L).otherwise(0L).as("is_current"))
+    },
+
     // ----- fuzzy string join (blocking + edit-distance verify) --------------
     // Entity resolution over dirty names: never levenshtein all pairs.
     // The scale recipe: (1) dedupe to the name VOCABULARY first (at

@@ -154,6 +154,45 @@ object FileFormats {
           max(col("p_partkey")).as("max_partkey"))
     },
 
+    // ----- parquet schema evolution (mergeSchema read) ---------------------
+    // Long-lived 100 TB datasets are written over years by evolving
+    // jobs; readers must handle files with different (compatible)
+    // schemas in one scan. Two batches of orders land in the SAME
+    // directory — the first written before an `o_orderpriority` column
+    // existed, the second after — and a mergeSchema read unions the
+    // file schemas, nulling the missing column for legacy files. The
+    // query accounts for every row (evolved + legacy = total), so a
+    // reader that dropped legacy files or mis-aligned columns is a
+    // hash mismatch. mergeSchema costs a footer read per file — a
+    // one-time planning cost, not a data pass.
+    Q("q118_schema_evolution",
+      """WITH m AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |      AS o_orderpriority
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(o_orderpriority) AS BIGINT) AS n_evolved,
+        |  CAST(count(*) - count(o_orderpriority) AS BIGINT) AS n_legacy,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM m""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory(scratchRoot, "orders_evolving").toString + "/t"
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("append").parquet(dir)
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .agg(count(lit(1)).as("n_total"),
+          count(col("o_orderpriority")).as("n_evolved"),
+          (count(lit(1)) - count(col("o_orderpriority"))).as("n_legacy"),
+          max(col("o_orderkey")).as("max_key"))
+    },
+
     Q("q43_json_source",
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
         |  min(s_name) AS first_name,
