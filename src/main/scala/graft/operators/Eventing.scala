@@ -490,6 +490,47 @@ object Eventing {
             "yyyy-MM-dd HH:mm").as("hour_ts"),
           col("c").cast("long").as("n_events"))
         .orderBy(col("hour_ts"))
+    },
+
+    // ----- last-touch attribution --------------------------------------------
+    // The marketing-analytics staple: every purchase is attributed to
+    // the user's most recent PRIOR non-purchase event. One user_id
+    // window over the (micros, event_id)-ordered timeline — the unique
+    // order both engines share — where the attribution is a running
+    // MAX of the conditional (t, event_id, type) struct over the
+    // preceding frame: struct ordering gives "latest ts, ties to
+    // higher id" deterministically, and purchases with no prior touch
+    // surface with NULL attribution instead of vanishing. ONE user_id
+    // shuffle; timestamps are exact BIGINT micros end to end.
+    Q("q121_last_touch",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, event_id, event_type, t,
+        |    max(CASE WHEN event_type <> 'purchase'
+        |             THEN (t, event_id, event_type) END)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prior
+        |  FROM e)
+        |SELECT user_id, event_id AS purchase_id, t AS purchase_t,
+        |  prior[3] AS attr_type, prior[1] AS attr_t
+        |FROM a WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("t"))
+        .withColumn("prior",
+          max(when(col("event_type") =!= "purchase",
+            struct(col("t"), col("event_id"), col("event_type")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("t").as("purchase_t"),
+          col("prior.event_type").as("attr_type"),
+          col("prior.t").as("attr_t"))
     }
   )
 }

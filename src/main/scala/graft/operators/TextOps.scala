@@ -1281,6 +1281,59 @@ object TextOps {
           (col("c12").cast("double") / col("cw1")).as("p_cond"))
         .orderBy(col("c12").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // ----- dedup survivor remap table ----------------------------------------
+    // The artifact downstream systems need AFTER dedup: references to
+    // removed documents (links, labels, provenance) must be remapped
+    // to their group's survivor. Grouping key = the q106 8-token-prefix
+    // near-dup fingerprint (the full-text fp has no collisions on this
+    // corpus); survivor = min doc_id (q29's rule). One fp hash
+    // aggregate + one co-partitioned fp join; identity rows are
+    // filtered so the map carries only real redirects — at corpus
+    // scale that is a tiny fraction of n.
+    Q("q119_dedup_remap",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))
+        |      AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, min(doc_id) AS survivor_id FROM f GROUP BY fp)
+        |SELECT f.doc_id, g.survivor_id
+        |FROM f JOIN g ON f.fp = g.fp
+        |WHERE f.doc_id <> g.survivor_id""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(tokens, 1, 8)).cast("binary")).as("fp"))
+      val g = f.groupBy(col("fp")).agg(min(col("doc_id")).as("survivor_id"))
+      f.join(g, Seq("fp"))
+        .filter(col("doc_id") =!= col("survivor_id"))
+        .select(col("doc_id"), col("survivor_id"))
+    },
+
+    // ----- equi-depth length statistics (optimizer-style histogram) ----------
+    // The column-statistics builder: decile boundaries of the document
+    // length distribution via ntile over a UNIQUE order (n_chars,
+    // doc_id — ties cannot flip buckets between engines). An equi-depth
+    // histogram needs a global order; at cluster scale that is one
+    // range-partitioned sort of (n_chars, doc_id) pairs — two narrow
+    // columns, not documents — and the output is always exactly 10
+    // rows. The per-bucket min/max/count is a partial aggregate.
+    Q("q120_length_stats",
+      """WITH b AS (
+        |  SELECT n_chars,
+        |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+        |  FROM documents)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS lo,
+        |  CAST(max(n_chars) AS BIGINT) AS hi
+        |FROM b GROUP BY bucket""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("n_chars"), ntile(10).over(w).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("lo"),
+          max(col("n_chars")).as("hi"))
     }
   )
 }
