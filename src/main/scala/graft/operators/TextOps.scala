@@ -1263,9 +1263,11 @@ object TextOps {
         |ORDER BY c12 DESC, w1, w2
         |LIMIT 20""".stripMargin) { (s, d) =>
       val t = col("toks")
+      // size(t) ≥ 1 always (split of "" is [""]), so size - 1 is a
+      // valid slice length — the exact q28 bigram construction
       val bigrams = zip_with(
-        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))
       val w = Window.partitionBy(col("w1"))
       Tables.documents(s, d)
@@ -1312,25 +1314,49 @@ object TextOps {
     },
 
     // ----- equi-depth length statistics (optimizer-style histogram) ----------
-    // The column-statistics builder: decile boundaries of the document
-    // length distribution via ntile over a UNIQUE order (n_chars,
-    // doc_id — ties cannot flip buckets between engines). An equi-depth
-    // histogram needs a global order; at cluster scale that is one
-    // range-partitioned sort of (n_chars, doc_id) pairs — two narrow
-    // columns, not documents — and the output is always exactly 10
-    // rows. The per-bucket min/max/count is a partial aggregate.
+    // The column-statistics builder: exact decile buckets of the
+    // document length distribution under the UNIQUE (n_chars, doc_id)
+    // order. A naive global-ntile window would move EVERY row through
+    // one partition (Spark warns "Moving all data to a single
+    // partition") — the anti-pattern at 100 TB. Instead the global
+    // rank decomposes into scale-safe pieces: rows-before comes from a
+    // cumulative window over the AGGREGATED per-length count frame
+    // (|distinct lengths| rows, tiny by nature), the within-length
+    // tiebreak is a row_number PARTITIONED by n_chars (scales), and
+    // the standard ntile rule (first N mod 10 buckets get one extra
+    // row) is integer arithmetic on rank — verified equal to DuckDB's
+    // ntile by the oracle, which deliberately KEEPS the window
+    // formulation as an independent statement of the semantics.
     Q("q120_length_stats",
       """WITH b AS (
         |  SELECT n_chars,
         |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS bucket
         |  FROM documents)
-        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(n_chars) AS BIGINT) AS lo,
         |  CAST(max(n_chars) AS BIGINT) AS hi
         |FROM b GROUP BY bucket""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("n_chars"), col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("n_chars"), ntile(10).over(w).as("bucket"))
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val (q, r) = (n / 10, n % 10)
+      val perLen = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+      val cum = perLen
+        .withColumn("before",
+          coalesce(sum(col("cnt")).over(Window.orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("n_chars"), col("before"))
+      val rnW = Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))
+      // ntile(10): buckets 1..r hold q+1 rows, buckets r+1..10 hold q
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(cum, Seq("n_chars"))
+        .withColumn("rk", col("before") + row_number().over(rnW))
+        .select(col("n_chars"),
+          when(col("rk") <= lit(r * (q + 1)),
+            expr(s"(rk + ${q}L) div ${q + 1}L"))
+            .otherwise(expr(
+              s"${r}L + ((rk - ${r * (q + 1)}L) + ${q - 1}L) div ${q}L"))
+            .as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("lo"),
           max(col("n_chars")).as("hi"))

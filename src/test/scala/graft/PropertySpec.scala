@@ -96,6 +96,35 @@ class PropertySpec extends AnyFunSuite {
     assert(ns.map(Dedup.simhashBits) == ns.map(Dedup.simhashBits).sorted)
   }
 
+  test("q120's rank→ntile decomposition matches ntile on non-divisible n") {
+    // the fixture corpora all have n % 10 = 0, so the extra-row branch
+    // (first r buckets hold q+1 rows) never fires there — exercise it
+    // on n = 23 (q = 2, r = 3) with heavy length ties
+    import Spec.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ntile").toString
+    val rows = (1 to 23).map { i =>
+      (i.toLong, s"t$i", "en", "web", (i % 5).toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q120_length_stats")(Spec.spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    val exp = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select(col("n_chars"), ntile(10).over(w).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("lo"),
+        max(col("n_chars")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == exp.toSeq,
+      s"decomposed buckets ${got.toSeq} != ntile ${exp.toSeq}")
+  }
+
   test("funnel stages only count events strictly after the prior stage") {
     import Spec.spark.implicits._
     // user 1: full ordered funnel; user 2: purchase BEFORE the first
