@@ -531,6 +531,44 @@ object Eventing {
           col("t").as("purchase_t"),
           col("prior.event_type").as("attr_type"),
           col("prior.t").as("attr_t"))
+    },
+
+    // ----- behavior transition matrix (first-order Markov estimate) ---------
+    // P(next event type | current type) over per-user timelines: the
+    // sequence-model view of the event log (journey analysis, anomaly
+    // priors, simulator calibration). `lead` over the unique
+    // (micros, event_id) order per user — ONE user_id shuffle — then a
+    // |types|²-bounded hash aggregate; the row-share division happens
+    // AFTER aggregation on exact integers, so the probabilities are
+    // bit-identical across engines (the q113 discipline). Timeline
+    // ends (lead = NULL) drop out: rows are transitions, not events.
+    Q("q122_transition_matrix",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS nxt
+        |  FROM e),
+        |m AS (SELECT cur, nxt, count(*) AS n FROM s
+        |      WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+        |SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur) AS p
+        |FROM m""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val shareW = Window.partitionBy(col("cur"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("t"), col("event_id"))
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("cur"), col("nxt"), col("n"),
+          (col("n").cast("double") / sum(col("n")).over(shareW)).as("p"))
     }
   )
 }

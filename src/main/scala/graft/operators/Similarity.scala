@@ -647,6 +647,84 @@ object Similarity {
         .agg(count(lit(1)).as("n_docs"),
           (sum(col("n_chars")).cast("double") / count(lit(1)))
             .as("mean_chars"))
+    },
+
+    // ----- ANN recall evaluation (LSH candidates vs exact top-10) ----------
+    // The number an ANN index is judged by before it ships: for a
+    // 10-query panel, recall@10 of the q34 LSH candidate generator
+    // against the exact brute-force top-10. Exact side: a 10-row query
+    // broadcast over one corpus scan, ranked by a row_number window
+    // PARTITIONED by query (never global). Candidate side: the q34
+    // probe machinery (own code + Hamming-1 multiprobe per table,
+    // broadcast probe set). The hit count is a semi join of the two
+    // id sets; queries whose candidates miss everything surface with
+    // recall 0 via the left join rather than dropping out. Evaluation
+    // cost is one corpus scan per side at any corpus size; recall is
+    // an exact-integer division.
+    Q("q123_ann_recall", {
+      val dotSql = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $a[i] * $b[i]))"
+      s"""WITH e AS (
+         |  SELECT vec_id, $QUANT_SQL AS ev FROM embeddings),
+         |nb AS ($NB_SQL),
+         |c AS MATERIALIZED (SELECT vec_id, ev, $codesArraySql AS cs FROM e),
+         |q AS (SELECT vec_id AS qid, ev AS qv, cs AS qcs FROM c
+         |      WHERE vec_id < 10),
+         |x AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rk
+         |  FROM (SELECT q.qid, c.vec_id,
+         |      ${dotSql("c.ev", "q.qv")}
+         |        / (sqrt(list_sum(list_transform(c.ev, x -> x * x)))
+         |           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+         |    FROM c CROSS JOIN q WHERE c.vec_id <> q.qid) t0),
+         |hits AS (
+         |  SELECT x.qid, count(*) AS n_hits
+         |  FROM x JOIN c cv ON cv.vec_id = x.vec_id
+         |  JOIN q ON q.qid = x.qid CROSS JOIN nb
+         |  WHERE x.rk <= 10 AND len(list_filter(range(1, ${NUM_TABLES + 1}),
+         |    t -> bit_count(xor(cv.cs[t] & msk, q.qcs[t] & msk)) <= 1)) > 0
+         |  GROUP BY x.qid)
+         |SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10 AS recall_at_10
+         |FROM q LEFT JOIN hits h ON q.qid = h.qid""".stripMargin
+    }) { (s, d) =>
+      val nbits = numBits(embTable(s, d).count())
+      val e = embTable(s, d)
+        .select(col("vec_id"), quant(col("embedding")).as("ev"))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("ev").as("qv"))
+      val exact = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot(col("ev"), col("qv")) / (norm(col("ev")) * norm(col("qv"))))
+            .as("cos"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val codes = e.select(col("vec_id"),
+          explode(array(codeStructs(col("ev"), nbits): _*)).as("tc"))
+        .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+      val probes = qs.select(col("qid"),
+          explode(array(codeStructs(col("qv"), nbits): _*)).as("tc"))
+        .select(col("qid"), col("tc.t").as("qt"),
+          explode(array(col("tc.code") +: (0 until nbits)
+            .map(b => col("tc.code").bitwiseXOR(lit(1L << b))): _*))
+            .as("pcode"))
+      val cand = codes
+        .join(broadcast(probes), col("t") === col("qt") &&
+          col("code") === col("pcode"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id")).distinct()
+      val hits = exact.join(cand, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10)
+            .as("recall_at_10"))
     }
   )
 }
