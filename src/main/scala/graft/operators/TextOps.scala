@@ -1313,6 +1313,90 @@ object TextOps {
         .select(col("doc_id"), col("survivor_id"))
     },
 
+    // ----- content-defined chunking (rolling-hash boundaries) ----------------
+    // q102's fixed blocks miss a shared passage the moment one token is
+    // inserted upstream of it — every later block boundary shifts. CDC
+    // chunking (the rsync/dedup-storage idea, token-level) cuts where a
+    // ROLLING HASH of the last 4 tokens hits 0 mod 16, so boundaries
+    // are decided by CONTENT: an insertion perturbs only the chunks it
+    // touches and every later boundary re-synchronizes. The hash is
+    // exact 48-bit integer arithmetic (4 × 12-bit md5-prefix token
+    // hashes, base 2^12 — no modular reduction needed, positive in
+    // both engines), chunking is pure in-row array work, and the
+    // cross-doc repeat detection is the same single hash aggregate as
+    // q102 — no pairwise stage, linear by construction.
+    Q("q124_cdc_chunks", {
+      val (k, div) = (4, 16)
+      s"""SELECT chunk_fp,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occur
+         |FROM (
+         |  SELECT doc_id,
+         |    md5(array_to_string(
+         |      l[st[j] + 1 :
+         |        CASE WHEN j < len(st) THEN st[j + 1] ELSE len(l) END],
+         |      ' ')) AS chunk_fp
+         |  FROM (
+         |    SELECT doc_id, l,
+         |      list_prepend(0, list_filter(
+         |        range(1, greatest(len(l) - ${k - 1}, 1)),
+         |        p -> (((th[p + 1] * 4096 + th[p + 2]) * 4096 + th[p + 3])
+         |               * 4096 + th[p + 4]) % $div = 0)) AS st
+         |    FROM (
+         |      SELECT doc_id, l,
+         |        list_transform(l, t ->
+         |          (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 256
+         |          + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 16
+         |          + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1)) AS th
+         |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+         |            FROM documents) t0) t1) t2
+         |  CROSS JOIN unnest(range(1, len(st) + 1)) AS u(j)) ch
+         |GROUP BY chunk_fp
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occur DESC, chunk_fp
+         |LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val (k, div) = (4, 16)
+      // 12-bit md5-prefix token hashes, materialized as a column FIRST
+      // (the Dedup.shingles lambda-CSE rule)
+      val th = transform(col("toks"),
+        t => conv(substring(md5(t.cast("binary")), 1, 3), 16, 10)
+          .cast("long"))
+      val roll = (p: Column) =>
+        ((element_at(col("th"), p + 1) * 4096 +
+          element_at(col("th"), p + 2)) * 4096 +
+          element_at(col("th"), p + 3)) * 4096 +
+          element_at(col("th"), p + 4)
+      // chunk starts: position 0 always, plus every p ≥ 1 whose
+      // rolling hash of tokens (p+1 .. p+4) is 0 mod div. Guarded
+      // sequence: n < k+1 has no interior positions (a bare
+      // sequence(1, n-k) would DESCEND for n-k < 1 — the q70 trap)
+      val interior = when(size(col("toks")) >= k + 1,
+        sequence(lit(1), size(col("toks")) - k))
+        .otherwise(array().cast("array<int>"))
+      val starts = concat(array(lit(0)),
+        filter(interior, p => roll(p) % div === 0))
+      val chunks = transform(sequence(lit(0), size(col("st")) - 1), j => {
+        val b = element_at(col("st"), j + 1)
+        val e = when(j < size(col("st")) - 1, element_at(col("st"), j + 2))
+          .otherwise(size(col("toks")))
+        concat_ws(" ", slice(col("toks"), b + 1, e - b))
+      })
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens.as("toks"))
+        .withColumn("th", th)
+        .withColumn("st", starts)
+        .select(col("doc_id"), explode(chunks).as("chunk"))
+        .select(col("doc_id"),
+          md5(col("chunk").cast("binary")).as("chunk_fp"))
+        .groupBy(col("chunk_fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occur"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occur").desc, col("chunk_fp"))
+        .limit(20)
+    },
+
     // ----- equi-depth length statistics (optimizer-style histogram) ----------
     // The column-statistics builder: exact decile buckets of the
     // document length distribution under the UNIQUE (n_chars, doc_id)

@@ -96,6 +96,35 @@ class AdversarialSpec extends AnyFunSuite {
       nd == 300 && no == 300 && p.startsWith("tos") })
   }
 
+  test("CDC chunking survives the prefix insertion that breaks fixed blocks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 1 is doc 0 with ONE token inserted at the front. Fixed
+    // 16-token blocks (q102) all shift and never line up; content-
+    // defined boundaries re-synchronize inside the shared suffix, so
+    // q124 must still surface shared chunks. Remaining docs are unique
+    // filler so the planted pair is the only possible repeat.
+    val base = (0 until 80).map(i => s"b$i").mkString(" ")
+    val rows = Seq(
+      (0L, base),
+      (1L, s"inserted $base")
+    ) ++ (2 until 100).map(i =>
+      (i.toLong, (0 until 40).map(j => s"u${i}f$j").mkString(" ")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cdc").toString
+    rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val cdc = SparkEntry.queries("q124_cdc_chunks")(spark, dir).collect()
+    assert(cdc.nonEmpty,
+      "CDC found no shared chunk across the shifted copies")
+    assert(cdc.forall(_.getLong(1) == 2L))
+    val fixed = SparkEntry.queries("q102_repeated_passages")(spark, dir)
+      .collect()
+    assert(fixed.isEmpty,
+      s"fixed blocking unexpectedly matched shifted content: ${fixed.toSeq}")
+  }
+
   test("fuzzy-join length bands bound blocks under a one-noun vocabulary") {
     import org.apache.spark.sql.functions._
     // Worst case for single-key blocking: EVERY name ends in the same
