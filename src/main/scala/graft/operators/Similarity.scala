@@ -145,6 +145,30 @@ object Similarity {
       if ((dg(0) & 1) == 1) 1 else -1
     }
 
+  /** Multi-table LSH candidates for a panel of query vectors: the
+    * corpus's (t, code) inverted index joined against each query's
+    * broadcast probe set (own code + every Hamming-1 neighbor per
+    * table). Returns DISTINCT (qid, vec_id) pairs, self-matches
+    * excluded — ONE generator shared by q34 (a 1-query panel) and the
+    * q123 recall evaluation, so the evaluated candidates can never
+    * drift from the served ones. */
+  private def lshCandidates(e: DataFrame, qs: DataFrame,
+      nbits: Int): DataFrame = {
+    val codes = e.select(col("vec_id"),
+        explode(array(codeStructs(col("ev"), nbits): _*)).as("tc"))
+      .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+    val probes = qs.select(col("qid"),
+        explode(array(codeStructs(col("qv"), nbits): _*)).as("tc"))
+      .select(col("qid"), col("tc.t").as("qt"),
+        explode(array(col("tc.code") +: (0 until nbits)
+          .map(b => col("tc.code").bitwiseXOR(lit(1L << b))): _*))
+          .as("pcode"))
+    codes.join(broadcast(probes), col("t") === col("qt") &&
+        col("code") === col("pcode"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- brute-force cosine top-k (baseline; broadcast query side) -------
@@ -199,20 +223,10 @@ object Similarity {
       val nbits = numBits(embTable(s, d).count())
       val e = embTable(s, d)
         .select(col("vec_id"), col("label"), quant(col("embedding")).as("ev"))
-      val codes = e.select(col("vec_id"),
-          explode(array(codeStructs(col("ev"), nbits): _*)).as("tc"))
-        .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
       val qr = e.filter(col("vec_id") === 0)
-      val probes = qr
-        .select(explode(array(codeStructs(col("ev"), nbits): _*)).as("tc"))
-        .select(col("tc.t").as("qt"),
-          explode(array(col("tc.code") +: (0 until nbits)
-            .map(b => col("tc.code").bitwiseXOR(lit(1L << b))): _*)).as("pcode"))
-      val cand = codes
-        .join(broadcast(probes), col("t") === col("qt") &&
-          col("code") === col("pcode"))
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id")).distinct()
+      val cand = lshCandidates(e,
+        qr.select(col("vec_id").as("qid"), col("ev").as("qv")), nbits)
+        .select(col("vec_id"))
       cand
         .join(e, "vec_id")
         .crossJoin(broadcast(qr.select(col("ev").as("qv"))))
@@ -704,20 +718,7 @@ object Similarity {
             .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rk") <= 10)
         .select(col("qid"), col("vec_id"))
-      val codes = e.select(col("vec_id"),
-          explode(array(codeStructs(col("ev"), nbits): _*)).as("tc"))
-        .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
-      val probes = qs.select(col("qid"),
-          explode(array(codeStructs(col("qv"), nbits): _*)).as("tc"))
-        .select(col("qid"), col("tc.t").as("qt"),
-          explode(array(col("tc.code") +: (0 until nbits)
-            .map(b => col("tc.code").bitwiseXOR(lit(1L << b))): _*))
-            .as("pcode"))
-      val cand = codes
-        .join(broadcast(probes), col("t") === col("qt") &&
-          col("code") === col("pcode"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id")).distinct()
+      val cand = lshCandidates(e, qs, nbits)
       val hits = exact.join(cand, Seq("qid", "vec_id"), "left_semi")
         .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
       qs.select(col("qid"))

@@ -1316,17 +1316,23 @@ object TextOps {
     // ----- content-defined chunking (rolling-hash boundaries) ----------------
     // q102's fixed blocks miss a shared passage the moment one token is
     // inserted upstream of it — every later block boundary shifts. CDC
-    // chunking (the rsync/dedup-storage idea, token-level) cuts where a
-    // ROLLING HASH of the last 4 tokens hits 0 mod 16, so boundaries
-    // are decided by CONTENT: an insertion perturbs only the chunks it
-    // touches and every later boundary re-synchronizes. The hash is
-    // exact 48-bit integer arithmetic (4 × 12-bit md5-prefix token
-    // hashes, base 2^12 — no modular reduction needed, positive in
-    // both engines), chunking is pure in-row array work, and the
-    // cross-doc repeat detection is the same single hash aggregate as
-    // q102 — no pairwise stage, linear by construction.
+    // chunking (the rsync/dedup-storage idea, token-level) cuts before
+    // position p when the ROLLING HASH of the 4 tokens that OPEN the
+    // next chunk (p+1..p+4, a leading window) hits 0 mod 17, so
+    // boundaries are decided by CONTENT: an insertion perturbs only
+    // the chunks it touches and every later boundary re-synchronizes.
+    // The divisor MUST be coprime to the 2^12 base or the congruence
+    // collapses to the last token alone (4096 ≡ 0 mod any power of
+    // two, so a mod-16 cut would let one adversarial token control the
+    // whole chunk structure); 17 keeps all four window tokens live and
+    // the same ~1/17 cut rate. The hash is exact 48-bit integer
+    // arithmetic (4 × 12-bit md5-prefix token hashes — no modular
+    // reduction needed, positive in both engines), chunking is pure
+    // in-row array work, and the cross-doc repeat detection is the
+    // same single hash aggregate as q102 — no pairwise stage, linear
+    // by construction.
     Q("q124_cdc_chunks", {
-      val (k, div) = (4, 16)
+      val (k, div) = (4, 17)
       s"""SELECT chunk_fp,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(count(*) AS BIGINT) AS n_occur
@@ -1356,7 +1362,7 @@ object TextOps {
          |ORDER BY n_docs DESC, n_occur DESC, chunk_fp
          |LIMIT 20""".stripMargin
     }) { (s, d) =>
-      val (k, div) = (4, 16)
+      val (k, div) = (4, 17)
       // 12-bit md5-prefix token hashes, materialized as a column FIRST
       // (the Dedup.shingles lambda-CSE rule)
       val th = transform(col("toks"),
@@ -1368,7 +1374,8 @@ object TextOps {
           element_at(col("th"), p + 3)) * 4096 +
           element_at(col("th"), p + 4)
       // chunk starts: position 0 always, plus every p ≥ 1 whose
-      // rolling hash of tokens (p+1 .. p+4) is 0 mod div. Guarded
+      // rolling hash of the leading window (p+1 .. p+4) is 0 mod div.
+      // Guarded
       // sequence: n < k+1 has no interior positions (a bare
       // sequence(1, n-k) would DESCEND for n-k < 1 — the q70 trap)
       val interior = when(size(col("toks")) >= k + 1,
