@@ -569,6 +569,44 @@ object Eventing {
         .agg(count(lit(1)).as("n"))
         .select(col("cur"), col("nxt"), col("n"),
           (col("n").cast("double") / sum(col("n")).over(shareW)).as("p"))
+    },
+
+    // ----- burstiness report (per-type Fano factor of hourly counts) --------
+    // Is a stream Poisson-like or bursty? The Fano factor
+    // (variance/mean of hourly counts) answers per event type:
+    // ~1 ⇒ Poisson-like, ≫1 ⇒ bursty (campaign spikes, retries,
+    // bots) — the prior monitoring thresholds like q109's 3σ rule
+    // assume. Per (type, hour) counts are one partial-aggregating
+    // groupBy; moments n, s, s2 per type are one more over |types ×
+    // hours| rows. fano = (n·s2 − s²)/(n·s) is a SINGLE division of
+    // exact BIGINTs (magnitudes bounded by buckets·count² ≈ 1e22 need
+    // the wide carrier — DECIMAL(38,0)/HUGEINT, the q109 rule), so
+    // the report is bit-identical across engines.
+    Q("q126_burstiness",
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |    count(*)::HUGEINT AS c
+        |  FROM events GROUP BY event_type, bucket),
+        |m AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |        sum(c) AS s, sum(c * c) AS s2
+        |      FROM h GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+        |  CAST(s AS BIGINT) AS n_events,
+        |  CAST(n * s2 - s * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS fano
+        |FROM m""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).cast(dec).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("event_type"), col("n").cast("long").as("n_hours"),
+          col("s").cast("long").as("n_events"),
+          ((col("n") * col("s2") - col("s") * col("s")).cast("double")
+            / (col("n") * col("s")).cast("double")).as("fano"))
     }
   )
 }

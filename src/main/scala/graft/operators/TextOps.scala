@@ -1404,6 +1404,49 @@ object TextOps {
         .limit(20)
     },
 
+    // ----- corpus drift detection (token-distribution L1 distance) -----------
+    // The ingest-monitoring gate: has the token distribution shifted
+    // between two corpus snapshots? Snapshots here are the doc_id
+    // parity halves (deterministic stand-ins for consecutive ingest
+    // snapshots). L1 = Σ_w |p1(w) − p2(w)| is computed WITHOUT any
+    // float accumulation: with per-token counts c1, c2 and totals
+    // N1, N2, the sum Σ|c1·N2 − c2·N1| is exact BIGINT (magnitudes
+    // ≤ vocab · N²), and the single division by N1·N2 happens once at
+    // the end — a float per-token p would make the total order-
+    // dependent and break cross-engine equality. One token aggregate
+    // with conditional partial sums (the corpus is scanned once), a
+    // FULL OUTER-free shape: both halves live in the same groupBy row.
+    Q("q125_corpus_drift",
+      """WITH c AS (
+        |  SELECT tok,
+        |    count(*) FILTER (par = 0)::BIGINT AS c1,
+        |    count(*) FILTER (par = 1)::BIGINT AS c2
+        |  FROM (SELECT doc_id % 2 AS par,
+        |          unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents) t
+        |  GROUP BY tok),
+        |n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens_vocab,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS l1_num,
+        |  CAST(sum(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / (n1 * n2) AS l1
+        |FROM c, n
+        |GROUP BY n1, n2""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select((col("doc_id") % 2).as("par"), explode(tokens).as("tok"))
+        .groupBy(col("tok"))
+        .agg(sum(when(col("par") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("par") === 1, 1L).otherwise(0L)).as("c2"))
+      val n = c.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      c.crossJoin(broadcast(n))
+        .groupBy(col("n1"), col("n2"))
+        .agg(count(lit(1)).as("n_tokens_vocab"),
+          sum(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+            .as("l1_num"))
+        .select(col("n_tokens_vocab"), col("n1"), col("n2"), col("l1_num"),
+          (col("l1_num").cast("double") / (col("n1") * col("n2"))).as("l1"))
+    },
+
     // ----- equi-depth length statistics (optimizer-style histogram) ----------
     // The column-statistics builder: exact decile buckets of the
     // document length distribution under the UNIQUE (n_chars, doc_id)
