@@ -652,6 +652,47 @@ object Relational {
         .agg(count(lit(1)).as("n_keys"))
     },
 
+    // ----- six-table star join (TPC-H Q5 shape) ----------------------------
+    // The join-reorder stress test: lineitem ⋈ orders ⋈ customer ⋈
+    // supplier ⋈ nation ⋈ region with the Q5 constraint that the
+    // supplying and buying nation coincide, revenue per nation over a
+    // date window. Declared as a flat plan and left to Catalyst: the
+    // dimension chain (region → nation → customer/supplier) broadcasts
+    // end to end, so the only shuffles are the two fact-side joins —
+    // at 100 TB the plan is lineitem-scan-bound, as it should be. The
+    // date filter pushes to the orders scan (the Q5 selectivity
+    // driver). Revenue through DECIMAL (order-independent exactness).
+    Q("q128_star_join",
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+    },
+
     // ----- SCD type-2 dimension build (CDC log → validity intervals) --------
     // The warehouse-ETL staple: a change log of (key, ts, value)
     // versions becomes a slowly-changing-dimension table where each

@@ -1404,6 +1404,44 @@ object TextOps {
         .limit(20)
     },
 
+    // ----- weighted document sampling (token-mass-proportional) --------------
+    // Sampling documents UNIFORMLY biases a token-budgeted corpus
+    // toward short documents; sampling each doc with probability
+    // proportional to its token count approximates uniform TOKEN
+    // sampling while keeping whole documents. The acceptance test is
+    // pure integers: keep iff md5bucket16 · max_tok < 65536 · n_tok
+    // (P(keep) = n_tok/max_tok, frozen by the q92 md5-bucket rule) —
+    // no doubles anywhere, so the sample is identical across engines,
+    // reruns, and partitionings, and the global max attaches as a
+    // one-row broadcast (the q86 pattern). One scan + one aggregate.
+    Q("q127_weighted_sample",
+      """WITH t AS (
+        |  SELECT source,
+        |    len(string_split(lower(text), ' '))::BIGINT AS n_tok,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS b
+        |  FROM documents),
+        |mx AS (SELECT max(n_tok) AS mt FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN b * mt < 65536 * n_tok THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN b * mt < 65536 * n_tok THEN n_tok ELSE 0 END)
+        |    AS BIGINT) AS tokens_kept
+        |FROM t, mx GROUP BY source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("source"), size(tokens).cast("long").as("n_tok"),
+          mdBucket16.as("b"))
+      val mx = t.agg(max(col("n_tok")).as("mt"))
+      val keep = col("b") * col("mt") < lit(65536L) * col("n_tok")
+      t.crossJoin(broadcast(mx))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("n_tok")).otherwise(0L)).as("tokens_kept"))
+    },
+
     // ----- corpus drift detection (token-distribution L1 distance) -----------
     // The ingest-monitoring gate: has the token distribution shifted
     // between two corpus snapshots? Snapshots here are the doc_id

@@ -183,6 +183,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("star join broadcasts the dimension chain and pushes the date filter") {
+    val p = plan("q128_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the o_orderdate window must reach the orders scan as a pushed
+    // filter, not run post-scan over the full table
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined
+      || "PushedFilters: \\[[^\\]]*GreaterThanOrEqual".r.findFirstIn(p)
+        .isDefined, p.linesIterator.filter(_.contains("PushedFilters"))
+        .take(5).mkString("\n"))
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // The scan-side lever AQE/broadcast don't cover: when a selective
     // dim filter feeds a SHUFFLE join, Spark can inject a bloom filter
