@@ -642,9 +642,13 @@ object Similarity {
          |GROUP BY a.cid, d.lang""".stripMargin
     }) { (s, d) =>
       val k = sdK(embTable(s, d).count())
+      // persisted: the quantized frame feeds the centroid filter AND
+      // the assignment probe — re-scanning the corpus per branch is
+      // the 100 TB waste the q49 rule exists for
       val e = embTable(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("sv"))
         .withColumn("xx", dot(col("sv"), col("sv")))
+        .persist()
       val cents = e.filter(col("vec_id").between(1, k))
         .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv"),
           col("xx").as("cc"))
@@ -704,8 +708,12 @@ object Similarity {
          |FROM q LEFT JOIN hits h ON q.qid = h.qid""".stripMargin
     }) { (s, d) =>
       val nbits = numBits(embTable(s, d).count())
+      // persisted: the quantized frame feeds the query panel, the
+      // exact ranking, and the candidate index — three branches, one
+      // corpus scan (the q49 rule)
       val e = embTable(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("ev"))
+        .persist()
       val qs = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("ev").as("qv"))
       val exact = e.crossJoin(broadcast(qs))

@@ -68,6 +68,21 @@ class CacheHygieneSpec extends AnyFunSuite {
       s"net persisted RDDs after q100+clearCache: ${persisted.size}")
   }
 
+  test("q104/q115/q123 leave only their catalog-managed quantized frames") {
+    for (q <- Seq("q104_semantic_dedup", "q115_cluster_profile",
+        "q123_ann_recall")) {
+      reset()
+      SparkEntry.queries(q)(spark, Spec.sfDir).count()
+      // q104 persists the quantized frame AND the assignment; the
+      // others persist the quantized frame only — all catalog-managed
+      assert(persisted.size <= 2, s"net persisted RDDs after $q: " +
+        s"${persisted.size}")
+      spark.catalog.clearCache()
+      assert(persisted.isEmpty,
+        s"net persisted RDDs after $q+clearCache: ${persisted.size}")
+    }
+  }
+
   test("q57 frees every superseded contraction round in-loop") {
     reset()
     SparkEntry.queries("q57_dup_clusters")(spark, Spec.sfDir).count()
