@@ -580,8 +580,11 @@ object Relational {
     // The delta (every 10th order re-priced, status 'U') is tiny next to
     // the base, so the anti join broadcasts the delta's key set — the
     // base is scanned ONCE with no shuffle; on a bucketed base even the
-    // general case is co-located. Result is audited per status so a
-    // lost, duplicated, or non-overridden key shifts a count or a sum.
+    // general case is co-located. The every-10th fraction is a fixture
+    // stand-in for a CDC batch; mergeUpsert's broadcastDelta contract
+    // (see its doc) is HARD — a delta that rivals the base must pass
+    // false and take the shuffle join. Result is audited per status so
+    // a lost, duplicated, or non-overridden key shifts a count or a sum.
     Q("q80_merge_upsert",
       """WITH delta AS (
         |  SELECT o_orderkey, 'U' AS o_orderstatus,
