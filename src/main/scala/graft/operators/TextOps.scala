@@ -1448,17 +1448,23 @@ object TextOps {
     // parity halves (deterministic stand-ins for consecutive ingest
     // snapshots). L1 = Σ_w |p1(w) − p2(w)| is computed WITHOUT any
     // float accumulation: with per-token counts c1, c2 and totals
-    // N1, N2, the sum Σ|c1·N2 − c2·N1| is exact BIGINT (magnitudes
-    // ≤ vocab · N²), and the single division by N1·N2 happens once at
-    // the end — a float per-token p would make the total order-
-    // dependent and break cross-engine equality. One token aggregate
-    // with conditional partial sums (the corpus is scanned once), a
-    // FULL OUTER-free shape: both halves live in the same groupBy row.
+    // N1, N2, the sum Σ|c1·N2 − c2·N1| is exact in wide integers —
+    // Spark DECIMAL(38,0), DuckDB HUGEINT (the q109 rule) — because
+    // the per-token products reach vocab · N², past BIGINT once each
+    // half holds ~3e9 tokens (web scale); a silent 64-bit wrap here
+    // would diverge engines without failing. The single division by
+    // N1·N2 happens once at the end, double·double on both engines so
+    // the rounding agrees — a float per-token p would make the total
+    // order-dependent and break cross-engine equality. One token
+    // aggregate with conditional partial sums (the corpus is scanned
+    // once), a FULL OUTER-free shape: both halves live in the same
+    // groupBy row. n1/n2 stay BIGINT in the OUTPUT (token totals fit
+    // 2^63 at any plausible scale); only products/sums are widened.
     Q("q125_corpus_drift",
       """WITH c AS (
         |  SELECT tok,
-        |    count(*) FILTER (par = 0)::BIGINT AS c1,
-        |    count(*) FILTER (par = 1)::BIGINT AS c2
+        |    count(*) FILTER (par = 0)::HUGEINT AS c1,
+        |    count(*) FILTER (par = 1)::HUGEINT AS c2
         |  FROM (SELECT doc_id % 2 AS par,
         |          unnest(string_split(lower(text), ' ')) AS tok
         |        FROM documents) t
@@ -1466,10 +1472,12 @@ object TextOps {
         |n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c)
         |SELECT CAST(count(*) AS BIGINT) AS n_tokens_vocab,
         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-        |  CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS l1_num,
-        |  CAST(sum(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / (n1 * n2) AS l1
+        |  CAST(sum(abs(c1 * n2 - c2 * n1)) AS DECIMAL(38,0)) AS l1_num,
+        |  CAST(sum(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS l1
         |FROM c, n
         |GROUP BY n1, n2""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
       val c = Tables.documents(s, d)
         .select((col("doc_id") % 2).as("par"), explode(tokens).as("tok"))
         .groupBy(col("tok"))
@@ -1479,10 +1487,12 @@ object TextOps {
       c.crossJoin(broadcast(n))
         .groupBy(col("n1"), col("n2"))
         .agg(count(lit(1)).as("n_tokens_vocab"),
-          sum(abs(col("c1") * col("n2") - col("c2") * col("n1")))
-            .as("l1_num"))
+          sum(abs(col("c1").cast(dec) * col("n2").cast(dec)
+            - col("c2").cast(dec) * col("n1").cast(dec)))
+            .cast(dec).as("l1_num"))
         .select(col("n_tokens_vocab"), col("n1"), col("n2"), col("l1_num"),
-          (col("l1_num").cast("double") / (col("n1") * col("n2"))).as("l1"))
+          (col("l1_num").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double"))).as("l1"))
     },
 
     // ----- equi-depth length statistics (optimizer-style histogram) ----------

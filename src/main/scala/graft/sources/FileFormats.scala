@@ -39,6 +39,14 @@ object FileFormats {
     root
   }
 
+  /** sfDir → written-once evolved orders layout for q118 (see the
+    * query's comment for why this memoizes while roundTrip does not:
+    * q118's directory must hold exactly two schema generations, so
+    * re-writing per invocation would both skew the timed read and grow
+    * scratch unboundedly in a long session). */
+  private val evolvedOrdersDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Write `table` out in `fmt`, read it back with the original schema.
     * The directory is per-invocation (fresh subdir of the scratch
     * root) — a fixed path would race between concurrent suites
@@ -164,7 +172,11 @@ object FileFormats {
     // query accounts for every row (evolved + legacy = total), so a
     // reader that dropped legacy files or mis-aligned columns is a
     // hash mismatch. mergeSchema costs a footer read per file — a
-    // one-time planning cost, not a data pass.
+    // one-time planning cost, not a data pass. The evolved layout is a
+    // deterministic function of the source table, so the write happens
+    // once per (JVM, sfDir) and is memoized — a long-lived bench/verify
+    // loop must neither re-pay the write inside the timed read path nor
+    // accumulate a two-column orders copy per invocation.
     Q("q118_schema_evolution",
       """WITH m AS (
         |  SELECT o_orderkey, o_totalprice,
@@ -176,16 +188,19 @@ object FileFormats {
         |  CAST(count(*) - count(o_orderpriority) AS BIGINT) AS n_legacy,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM m""".stripMargin) { (s, d) =>
-      val orders = Tables.orders(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory(scratchRoot, "orders_evolving").toString + "/t"
-      orders.filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .write.mode("append").parquet(dir)
-      orders.filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          col("o_orderpriority"))
-        .write.mode("append").parquet(dir)
+      val dir = evolvedOrdersDir.computeIfAbsent(d, { sfDir =>
+        val orders = Tables.orders(s, sfDir)
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchRoot, "orders_evolving").toString + "/t"
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("append").parquet(out)
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("append").parquet(out)
+        out
+      })
       s.read.option("mergeSchema", "true").parquet(dir)
         .agg(count(lit(1)).as("n_total"),
           count(col("o_orderpriority")).as("n_evolved"),

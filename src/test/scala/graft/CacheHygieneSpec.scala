@@ -83,6 +83,21 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("Iterative.checkpointed finds the backing RDD on a trivial frame") {
+    // Iterative reads the localCheckpoint backing RDD out of the plan's
+    // LogicalRDD node — a private Spark plan shape. If a Spark upgrade
+    // changes it, fail HERE on a one-row frame, not mid-q69 at runtime.
+    reset()
+    import spark.implicits._
+    val (out, rdd) = operators.Iterative.checkpointed(Seq(1, 2, 3).toDF("x"))
+    assert(out.count() == 3)
+    operators.Iterative.release(rdd)
+    // release is async (blocking=false); force it before the shared-
+    // session asserts in other tests can observe the block
+    persisted.values.foreach(_.unpersist(blocking = true))
+    assert(persisted.isEmpty)
+  }
+
   test("q57 frees every superseded contraction round in-loop") {
     reset()
     SparkEntry.queries("q57_dup_clusters")(spark, Spec.sfDir).count()
