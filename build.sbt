@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Opt-in GC logging for bench-stall forensics (VERDICT r5 #1):
+  // SPARK_GRAFT_GCLOG=/path/gc.log
+  sys.env.get("SPARK_GRAFT_GCLOG").map(p => s"-Xlog:gc*:file=$p").toSeq ++
+  // Opt-in extra JVM flags for isolation experiments (e.g. a GC choice)
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+"))

@@ -27,12 +27,50 @@ import java.nio.file.{Files, Paths}
   * plausible total.
   */
 object Bench {
+
+  /** Per-rep attribution listener (opt-in, `SPARK_GRAFT_BENCH_PROFILE=1`):
+    * sums task-reported GC/run/spill between `snap()` calls so a wall-time
+    * stall can be attributed to GC vs compute vs spill instead of guessed
+    * at. Driver == executor JVM at local[N], so the GC MXBean delta also
+    * covers pauses that landed outside any task.
+    */
+  private final class Profiler extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val gc = new AtomicLong; val run = new AtomicLong; val spill = new AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        gc.addAndGet(m.jvmGCTime); run.addAndGet(m.executorRunTime)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    private def beanGcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    private var lastBean = beanGcMs
+    /** (taskGcMs, taskRunMs, spillBytes, driverGcDeltaMs) since last call. */
+    def snap(): (Long, Long, Long, Long) = {
+      val b = beanGcMs; val d = b - lastBean; lastBean = b
+      (gc.getAndSet(0), run.getAndSet(0), spill.getAndSet(0), d)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = Session.build(s"local[$cpus]", cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    val profiler =
+      if (sys.env.get("SPARK_GRAFT_BENCH_PROFILE").contains("1")) {
+        val p = new Profiler; spark.sparkContext.addSparkListener(p); Some(p)
+      } else None
+    // Deterministic block release at the query boundary (see clearCache
+    // note below). SPARK_GRAFT_KEEP_RDDS=1 disables it for leak A/B runs.
+    val freeRdds = !sys.env.get("SPARK_GRAFT_KEEP_RDDS").contains("1")
 
     // Optional comma-separated subset for local iteration (shared
     // contract), e.g. SPARK_GRAFT_ONLY=q30_minhash_lsh,q32_ngram_jaccard
@@ -49,16 +87,36 @@ object Bench {
     }
     // (name, per-rep seconds sorted ascending, first error if any)
     val results = selected.map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
             Some(e.toString.linesIterator.next().take(200))
         }
+        val wall = (System.nanoTime() - t0) / 1e9
         // release per-query persisted artifacts (signature/shingle/code
         // tables) — a long session must not accumulate dead cache
         spark.catalog.clearCache()
-        ((System.nanoTime() - t0) / 1e9, err)
+        // localCheckpoint blocks (the iterative queries' FINAL round)
+        // live outside the catalog, so clearCache misses them; they are
+        // otherwise reclaimed only when a *driver GC* collects the RDD
+        // reference and the async ContextCleaner catches up — on a large
+        // heap that can be minutes, during which the dead blocks squeeze
+        // unified memory for every later query. Single-threaded boundary,
+        // so a blanket sweep can only touch finished queries' blocks.
+        if (freeRdds)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        profiler.foreach { p =>
+          val (tgc, trun, sp, dgc) = p.snap()
+          val stored = spark.sparkContext.getRDDStorageInfo
+          System.err.println(
+            f"[prof] $name rep=$rep wall=$wall%.3f taskGcMs=$tgc " +
+            f"taskRunMs=$trun spillMB=${sp / (1 << 20)} gcBeanMs=$dgc " +
+            f"rddBlocks=${stored.length} " +
+            f"rddMB=${stored.map(i => i.memSize + i.diskSize).sum / (1 << 20)}")
+        }
+        (wall, err)
       }
       (name, runs.map(_._1).sorted, runs.flatMap(_._2).headOption)
     }

@@ -18,8 +18,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release per-query persisted artifacts between queries
+      // release per-query persisted artifacts between queries; the RDD
+      // sweep frees localCheckpoint blocks (outside the catalog — the
+      // iterative queries' final round) that otherwise wait on a driver
+      // GC + async ContextCleaner. Single-threaded boundary: only
+      // finished queries' blocks can be touched.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -28,7 +28,7 @@ object Dedup {
     * normalization changes. Each query's oracle SQL states the same
     * expression; the per-query hash gate breaks loudly if either side
     * drifts. */
-  private[operators] val normFp: Column =
+  private[graft] val normFp: Column =
     md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
 
   /** Word-trigram shingles, 0-based `get` indexing; docs with <3 tokens
@@ -624,23 +624,43 @@ object Dedup {
         .select(col("doc_b").as("big"), col("doc_a").as("small"))
       // localCheckpoint blocks live at the RDD level (outside the
       // catalog cache manager); Iterative.checkpointed hands back the
-      // exact backing RDD so each superseded round is freed directly
-      var (edges, edgeRdd) = Iterative.checkpointed(edges0)
-      sigs.unpersist(blocking = false)
+      // exact backing RDD so each superseded round is freed directly.
+      // Checkpoints are LAZY here: the convergence probe right below is
+      // always the frame's first action, so probe + checkpoint
+      // materialization share ONE job per round (VERDICT r5 #5 — the
+      // eager variant paid a second action per round purely for the
+      // probe).
+      var (edges, edgeRdd) = Iterative.checkpointed(edges0, eager = false)
       // Converged ⟺ the edge set is a star forest: every source has
-      // exactly one target and no target is itself a source. Checked on
-      // the just-materialized checkpoint, so the probe is a cheap scan,
-      // not a lineage recompute. (big > small invariantly, so a star's
-      // center is its component minimum by construction.)
+      // exactly one target and no target is itself a source. ONE
+      // aggregation pass: each edge is keyed by both endpoints (the
+      // big side carrying its target, the small side a null marker),
+      // so per key `count(small)` = appearances as a source,
+      // `count(*) − count(small)` = appearances as a target, and
+      // min≠max spots a source with two distinct targets — the two
+      // violation kinds fall out of one shuffle with no join and no
+      // union-of-aggregates (the earlier two-branch probe spawned ~5
+      // AQE jobs per round; this shape spawns ~2). `count` (not
+      // `isEmpty`) so the probe reads EVERY partition in one job —
+      // exactly what materializing the lazy checkpoint needs anyway,
+      // whereas an empty-result `take(1)` escalates through several
+      // partial jobs. (big > small invariantly, so a star's center is
+      // its component minimum by construction.)
       def isStarForest(e: DataFrame): Boolean = {
-        val par = e.groupBy(col("big"))
-          .agg(min(col("small")).as("mn"), max(col("small")).as("mx"))
-        par.filter(col("mn") =!= col("mx")).select(col("big"))
-          .union(par.select(col("big"))
-            .join(e.select(col("small").as("big")), Seq("big"), "left_semi"))
-          .isEmpty
+        e.select(col("big").as("k"), col("small"))
+          .unionAll(e.select(col("small").as("k"),
+            lit(null).cast("long").as("small")))
+          .groupBy(col("k"))
+          .agg(min(col("small")).as("mn"), max(col("small")).as("mx"),
+            count(col("small")).as("nsrc"), count(lit(1)).as("nall"))
+          .filter(col("mn") =!= col("mx") ||
+            (col("nsrc") > 0 && col("nall") > col("nsrc")))
+          .count() == 0L
       }
       var converged = isStarForest(edges)
+      // safe only after the probe materialized the checkpoint — a
+      // pre-probe unpersist would force the band self-join to recompute
+      sigs.unpersist(blocking = false)
       val maxIters = 30 // ≫ the proven O(log n) bound for any real corpus
       var iter = 0
       while (!converged && iter < maxIters) {
@@ -661,7 +681,8 @@ object Dedup {
         val viaBig = smins.select(col("big").as("b2"), col("m").as("s2"))
         val (next, nextRdd) = Iterative.checkpointed(
           viaSmalls.union(viaBig).distinct()
-            .select(col("b2").as("big"), col("s2").as("small")))
+            .select(col("b2").as("big"), col("s2").as("small")),
+          eager = false)
         converged = isStarForest(next)
         Iterative.release(edgeRdd)
         edges = next

@@ -19,9 +19,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 private[graft] object Iterative {
 
-  /** `df.localCheckpoint()` plus the exact persisted RDD backing it. */
-  def checkpointed(df: DataFrame): (DataFrame, RDD[_]) = {
-    val out = df.localCheckpoint()
+  /** `df.localCheckpoint()` plus the exact persisted RDD backing it.
+    *
+    * `eager = false` defers materialization to the CALLER's next action
+    * on the returned frame — the caller promises to run one (q57 runs
+    * its convergence probe, which reads every partition via `count`, so
+    * probe + checkpoint share a single job instead of paying one each;
+    * Spark's `LocalRDDCheckpointData` self-heals any partition a
+    * partial action missed). Leaving the frame action-less would leak
+    * nothing (release still unpersists) but would silently recompute
+    * the lineage on every downstream read.
+    */
+  def checkpointed(df: DataFrame, eager: Boolean = true): (DataFrame, RDD[_]) = {
+    val out = df.localCheckpoint(eager)
     val backing = out.queryExecution.analyzed.collect {
       case l: LogicalRDD => l.rdd
     }

@@ -31,4 +31,49 @@ class ObservabilitySpec extends AnyFunSuite {
     // the before/after pair is informative, not degenerate
     assert(nOut < nIn)
   }
+
+  test("q57 pays one action per contraction round (probe rides the checkpoint)") {
+    // VERDICT r5 #5: the eager-checkpoint variant ran a materializing
+    // action AND a star-forest probe action per round — two SQL
+    // executions where one suffices. The probe is now the checkpoint's
+    // materializer (lazy localCheckpoint + count-based probe), so each
+    // round contributes exactly ONE SQL execution. Raw Spark jobs are
+    // NOT the right meter under AQE (every materialized query stage is
+    // its own job, so the contraction's shuffle count dominates);
+    // distinct `spark.sql.execution.id` values count actions exactly.
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val id = j.properties.getProperty("spark.sql.execution.root.id",
+          j.properties.getProperty("spark.sql.execution.id"))
+        if (id != null) execIds.add(id)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("q57_dup_clusters")(spark, Spec.sfDir).count()
+      // listener events are posted asynchronously; wait for the count
+      // to go quiet (the bus has no public drain hook)
+      var prev = -1
+      while (prev != jobs.get()) { prev = jobs.get(); Thread.sleep(300) }
+      // Measured at this fixture: 7 executions = the corpus count
+      // feeding bandRows + the initial probe + one per contraction
+      // round (4 here) + the final labeled count. The eager variant
+      // adds a checkpoint-materializing execution per round (~11
+      // total). Slack of 3 for fixture drift; a probe that stops
+      // riding the checkpoint doubles the per-round term and fails
+      // this bound.
+      val n = execIds.size
+      assert(n <= 10, s"q57 ran $n SQL executions (${jobs.get()} jobs) — " +
+        "probe no longer sharing the checkpoint's materialization?")
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
 }
