@@ -67,6 +67,7 @@ object Similarity {
   // by construction.
 
   private val NUM_TABLES = 8
+  private val MAX_TABLES = 16
   private val MAX_BITS = 16
   private val TARGET_BUCKET = 8
   private val DIM = 64
@@ -75,6 +76,60 @@ object Similarity {
     * monotone in n). n ≤ 512 → 6 bits · n ≤ 2 048 → 8 · n ≤ 65 536 → 13. */
   private[graft] def numBits(n: Long): Int =
     (1 to MAX_BITS).find(b => n <= (TARGET_BUCKET.toLong << b)).getOrElse(MAX_BITS)
+
+  // ---- recall-target knob -------------------------------------------------
+  // An ANN index ships against a recall SLA, not whatever the defaults
+  // give. [[annConfig]] picks the CHEAPEST (tables, probe radius) whose
+  // modeled recall meets the target, under the standard random-
+  // hyperplane collision model: a true neighbor agrees with the query
+  // on any one sign bit with probability p = 1 − θ/π; one table of b
+  // bits probed to Hamming radius r catches it with
+  // P(b, r) = Σ_{i≤r} C(b,i) p^(b−i) (1−p)^i, and T independent tables
+  // give recall 1 − (1 − P)^T. We model p conservatively at 0.6 —
+  // the implied p of the measured sf0.1 panel is ≈0.66 (back-solved
+  // from the round-5 recall 0.4–0.8 at (8 tables, r=1)), so the
+  // modeled recall UNDER-promises and the measured number lands above
+  // the target. Cost = tables · Σ_{i≤r} C(b,i) probe buckets (each
+  // expected ≤ TARGET_BUCKET wide by [[numBits]]'s invariant), so the
+  // knob trades probe volume for recall explicitly.
+  //
+  // The derivation runs ONLY at plan-build time in Scala (pure function
+  // of the data-independent model); the oracle gets the resulting
+  // integers embedded as a per-width lookup ([[cfgSql]]) — both engines
+  // then resolve the same config from the same data-derived code width,
+  // with no floating point anywhere near the cross-engine boundary.
+  private[graft] val TARGET_RECALL = 0.9
+  private val P_AGREE = 0.6
+  private val MAX_RADIUS = 6
+
+  /** Cheapest (tables ∈ {8, 16}, radius ≤ MAX_RADIUS) meeting
+    * TARGET_RECALL under the collision model, cost = probe count;
+    * falls back to the maximal config if the model can't reach the
+    * target at this width (never happens for b ≤ 16 and target 0.9). */
+  private[graft] def annConfig(b: Int): (Int, Int) = {
+    def choose(n: Int, k: Int): Double =
+      (1 to k).map(i => (n - i + 1).toDouble / i).product
+    def pTable(r: Int): Double = (0 to r).map(i =>
+      choose(b, i) * math.pow(P_AGREE, b - i) * math.pow(1 - P_AGREE, i)).sum
+    def probes(r: Int): Long = (0 to r).map(choose(b, _).round).sum
+    val ok = for {
+      nt <- Seq(NUM_TABLES, MAX_TABLES)
+      r <- 0 to math.min(b, MAX_RADIUS)
+      if 1 - math.pow(1 - pTable(r), nt) >= TARGET_RECALL
+    } yield (nt, r)
+    if (ok.isEmpty) (MAX_TABLES, math.min(b, MAX_RADIUS))
+    else ok.minBy { case (nt, r) => (nt * probes(r), nt) }
+  }
+
+  /** [[annConfig]] as a SQL lookup over the data-derived width `nb`:
+    * the exact integers the Scala derivation produces, for every
+    * possible width, so both engines resolve the same (nt, rr). */
+  private def cfgSql: String = {
+    val nts = (1 to MAX_BITS).map(b => s"WHEN $b THEN ${annConfig(b)._1}")
+    val rrs = (1 to MAX_BITS).map(b => s"WHEN $b THEN ${annConfig(b)._2}")
+    s"""SELECT CASE nb ${nts.mkString(" ")} END AS nt,
+       |  CASE nb ${rrs.mkString(" ")} END AS rr FROM nb""".stripMargin
+  }
 
   /** [[numBits]] as SQL: the derived width `nb` and the low-bits mask
     * `msk` every code comparison applies. */
@@ -89,7 +144,7 @@ object Similarity {
   private val IVF_NPROBE = 6
 
   private val signs: Array[Array[Array[Int]]] =
-    Array.tabulate(NUM_TABLES, MAX_BITS, DIM) { (t, b, i) =>
+    Array.tabulate(MAX_TABLES, MAX_BITS, DIM) { (t, b, i) =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$t:$b:$i".getBytes("UTF-8"))
       if ((d(0) & 1) == 1) 1 else -1
@@ -104,9 +159,12 @@ object Similarity {
       when(proj > 0, 1L << b).otherwise(0L)
     }.reduce(_ + _)
 
-  /** All NUM_TABLES codes as (t, code) structs for one embedding. */
-  private def codeStructs(ev: Column, nbits: Int): Seq[Column] =
-    (0 until NUM_TABLES).map { t =>
+  /** The first `numTables` codes as (t, code) structs for one
+    * embedding (the ±1 matrices are salted per table, so the first 8
+    * are bit-identical whether or not the wider set is in play). */
+  private def codeStructs(ev: Column, nbits: Int,
+      numTables: Int = NUM_TABLES): Seq[Column] =
+    (0 until numTables).map { t =>
       struct(lit(t).as("t"), codeT(ev, t, nbits).as("code"))
     }
 
@@ -120,9 +178,11 @@ object Similarity {
          |    i -> ev[i] * ($sArr)[i])) > 0 THEN ${1L << b} ELSE 0 END)""".stripMargin
     }.mkString("(", " + ", ")")
 
-  private def codesArraySql: String =
-    (0 until NUM_TABLES).map(t => s"CAST(${codeTSql(t)} AS BIGINT)")
+  private def codesArraySqlN(numTables: Int): String =
+    (0 until numTables).map(t => s"CAST(${codeTSql(t)} AS BIGINT)")
       .mkString("[", ", ", "]")
+
+  private def codesArraySql: String = codesArraySqlN(NUM_TABLES)
 
   // ---- semantic-dedup / projection constants ------------------------------
 
@@ -147,22 +207,30 @@ object Similarity {
 
   /** Multi-table LSH candidates for a panel of query vectors: the
     * corpus's (t, code) inverted index joined against each query's
-    * broadcast probe set (own code + every Hamming-1 neighbor per
-    * table). Returns DISTINCT (qid, vec_id) pairs, self-matches
-    * excluded — ONE generator shared by q34 (a 1-query panel) and the
-    * q123 recall evaluation, so the evaluated candidates can never
-    * drift from the served ones. */
-  private def lshCandidates(e: DataFrame, qs: DataFrame,
-      nbits: Int): DataFrame = {
+    * broadcast probe set (own code + every Hamming-≤radius neighbor
+    * per table, generated by XOR against a plan-time literal mask
+    * set). Returns DISTINCT (qid, vec_id) pairs, self-matches
+    * excluded — ONE generator shared by q34 (the latency default:
+    * 8 tables, radius 1) and the q123 recall evaluation (the
+    * [[annConfig]]-derived setting), parameterized rather than forked
+    * so the two configurations can never drift structurally. The
+    * probe side stays a broadcast at any radius: ≤ tables · Σ C(b,i)
+    * rows per query (≈7 k at the maximal b=16/r=5 config), dwarfed by
+    * the corpus side it joins against. */
+  private def lshCandidates(e: DataFrame, qs: DataFrame, nbits: Int,
+      numTables: Int = NUM_TABLES, radius: Int = 1): DataFrame = {
     val codes = e.select(col("vec_id"),
-        explode(array(codeStructs(col("ev"), nbits): _*)).as("tc"))
+        explode(array(codeStructs(col("ev"), nbits, numTables): _*)).as("tc"))
       .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+    // all XOR masks of Hamming weight ≤ radius over nbits bits —
+    // data-independent, so a driver-side literal (≤ 2^16 enumeration)
+    val masks: Seq[Long] = (0L until (1L << nbits))
+      .filter(m => java.lang.Long.bitCount(m) <= radius)
     val probes = qs.select(col("qid"),
-        explode(array(codeStructs(col("qv"), nbits): _*)).as("tc"))
+        explode(array(codeStructs(col("qv"), nbits, numTables): _*)).as("tc"))
       .select(col("qid"), col("tc.t").as("qt"),
-        explode(array(col("tc.code") +: (0 until nbits)
-          .map(b => col("tc.code").bitwiseXOR(lit(1L << b))): _*))
-          .as("pcode"))
+        explode(transform(typedLit(masks),
+          m => col("tc.code").bitwiseXOR(m))).as("pcode"))
     codes.join(broadcast(probes), col("t") === col("qt") &&
         col("code") === col("pcode"))
       .filter(col("vec_id") =!= col("qid"))
@@ -669,23 +737,30 @@ object Similarity {
 
     // ----- ANN recall evaluation (LSH candidates vs exact top-10) ----------
     // The number an ANN index is judged by before it ships: for a
-    // 10-query panel, recall@10 of the q34 LSH candidate generator
-    // against the exact brute-force top-10. Exact side: a 10-row query
-    // broadcast over one corpus scan, ranked by a row_number window
-    // PARTITIONED by query (never global). Candidate side: the q34
-    // probe machinery (own code + Hamming-1 multiprobe per table,
-    // broadcast probe set). The hit count is a semi join of the two
-    // id sets; queries whose candidates miss everything surface with
-    // recall 0 via the left join rather than dropping out. Evaluation
-    // cost is one corpus scan per side at any corpus size; recall is
-    // an exact-integer division.
+    // 10-query panel, recall@10 of the LSH candidate generator at the
+    // RECALL-TARGETED configuration — the (tables, probe radius) that
+    // [[annConfig]] derives from TARGET_RECALL = 0.9 and the data-
+    // derived code width, the way [[numBits]] derives the width from
+    // n. (q34 serves the latency default, 8 tables / radius 1, through
+    // the same parameterized generator; this query is the SLA check a
+    // real index ships against.) Exact side: a 10-row query broadcast
+    // over one corpus scan, ranked by a row_number window PARTITIONED
+    // by query (never global). Candidate side: the shared probe
+    // machinery at the derived config (own code + Hamming-≤rr
+    // multiprobe per table, broadcast probe set). The hit count is a
+    // semi join of the two id sets; queries whose candidates miss
+    // everything surface with recall 0 via the left join rather than
+    // dropping out. Evaluation cost is one corpus scan per side at any
+    // corpus size; recall is an exact-integer division.
     Q("q123_ann_recall", {
       val dotSql = (a: String, b: String) =>
         s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $a[i] * $b[i]))"
       s"""WITH e AS (
          |  SELECT vec_id, $QUANT_SQL AS ev FROM embeddings),
          |nb AS ($NB_SQL),
-         |c AS MATERIALIZED (SELECT vec_id, ev, $codesArraySql AS cs FROM e),
+         |cfg AS ($cfgSql),
+         |c AS MATERIALIZED (SELECT vec_id, ev,
+         |  ${codesArraySqlN(MAX_TABLES)} AS cs FROM e),
          |q AS (SELECT vec_id AS qid, ev AS qv, cs AS qcs FROM c
          |      WHERE vec_id < 10),
          |x AS (
@@ -699,15 +774,16 @@ object Similarity {
          |hits AS (
          |  SELECT x.qid, count(*) AS n_hits
          |  FROM x JOIN c cv ON cv.vec_id = x.vec_id
-         |  JOIN q ON q.qid = x.qid CROSS JOIN nb
-         |  WHERE x.rk <= 10 AND len(list_filter(range(1, ${NUM_TABLES + 1}),
-         |    t -> bit_count(xor(cv.cs[t] & msk, q.qcs[t] & msk)) <= 1)) > 0
+         |  JOIN q ON q.qid = x.qid CROSS JOIN nb CROSS JOIN cfg
+         |  WHERE x.rk <= 10 AND len(list_filter(range(1, nt + 1),
+         |    t -> bit_count(xor(cv.cs[t] & msk, q.qcs[t] & msk)) <= rr)) > 0
          |  GROUP BY x.qid)
          |SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10 AS recall_at_10
          |FROM q LEFT JOIN hits h ON q.qid = h.qid""".stripMargin
     }) { (s, d) =>
       val nbits = numBits(embTable(s, d).count())
+      val (nt, rr) = annConfig(nbits)
       // persisted: the quantized frame feeds the query panel, the
       // exact ranking, and the candidate index — three branches, one
       // corpus scan (the q49 rule)
@@ -726,7 +802,7 @@ object Similarity {
             .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rk") <= 10)
         .select(col("qid"), col("vec_id"))
-      val cand = lshCandidates(e, qs, nbits)
+      val cand = lshCandidates(e, qs, nbits, nt, rr)
       val hits = exact.join(cand, Seq("qid", "vec_id"), "left_semi")
         .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
       qs.select(col("qid"))
