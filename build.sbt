@@ -28,10 +28,37 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing: FIXED (Xms = Xmx), CAPPED at 12 GiB regardless of a
+// larger SPARK_DRIVER_MEM, and PRE-TOUCHED at JVM start. Root cause
+// (round-6 forensics, SURVEY §11): this container's memory backend
+// services first-touch page faults slowly and DEGRADES as the guest's
+// touched high-water mark grows (measured: 4 GiB pre-touch 2.4 s,
+// 12 GiB 23-65 s, 24 GiB > 8 min), so any JVM whose committed heap
+// keeps growing mid-run — exactly what G1 does under a 91 GiB Xmx,
+// expanding and re-siting young regions adaptively — stalls whichever
+// query allocates across the virgin-page frontier next, for 10-230 s
+// at a time (the roaming heavy-query outlier every round has chased).
+// Thread dumps during those stalls show sys-time-dominated young GCs
+// (User=0.00s Sys=7.80s) and near-idle CPUs. A fixed 12 GiB heap
+// stays under the degradation knee, covers the workload's ~12 GiB
+// peak RSS at sf0.1/local[32], and with AlwaysPreTouch the whole
+// first-touch cost lands at JVM startup, OUTSIDE every per-query
+// timer; G1 never shrinks below Xms, so pages fault once and stay
+// resident. An explicit -Xmx/-Xms in SPARK_GRAFT_JVM_EXTRA still
+// overrides (it is appended last).
+val graftHeap: String = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  val mb = try {
+    if (req.endsWith("g")) req.dropRight(1).toLong * 1024
+    else if (req.endsWith("m")) req.dropRight(1).toLong
+    else req.toLong / (1024 * 1024) // bare bytes
+  } catch { case _: NumberFormatException => 8192L }
+  s"${math.min(mb, 12 * 1024L)}m"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$graftHeap", s"-Xms$graftHeap", "-XX:+AlwaysPreTouch",
 ) ++
   // Opt-in GC logging for bench-stall forensics (VERDICT r5 #1):
   // SPARK_GRAFT_GCLOG=/path/gc.log

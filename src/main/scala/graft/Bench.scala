@@ -51,10 +51,31 @@ object Bench {
         .asScala.map(_.getCollectionTime.max(0L)).sum
     }
     private var lastBean = beanGcMs
-    /** (taskGcMs, taskRunMs, spillBytes, driverGcDeltaMs) since last call. */
-    def snap(): (Long, Long, Long, Long) = {
+    /** Whole-process kernel-side counters from /proc/self/stat — major
+      * faults and user/system jiffies. Round-6 forensics: this host's
+      * memory backend services first-touch faults at ~tens of MB/s, so
+      * per-rep majflt/stime deltas are what separate "the query is
+      * slow" from "the VM stalled the query". */
+    private def procStat: (Long, Long, Long) = try {
+      // fields (1-based): 10 minflt, 12 majflt, 14 utime, 15 stime —
+      // comm (field 2) can contain spaces, so split after the ')'
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      val f = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      // after the split, field 3 (state) is f(0), so stat field N
+      // (1-based) is f(N - 3): minflt=10, majflt=12, utime=14, stime=15
+      (f(7).toLong + f(9).toLong, f(9).toLong, f(11).toLong + f(12).toLong)
+    } catch { case _: Exception => (0L, 0L, 0L) }
+    private var lastStat = procStat
+    /** (taskGcMs, taskRunMs, spillBytes, driverGcDeltaMs,
+      * faultDelta, majFaultDelta, cpuJiffiesDelta) since last call. */
+    def snap(): (Long, Long, Long, Long, Long, Long, Long) = {
       val b = beanGcMs; val d = b - lastBean; lastBean = b
-      (gc.getAndSet(0), run.getAndSet(0), spill.getAndSet(0), d)
+      val st = procStat
+      val (df, dmj, dcpu) =
+        (st._1 - lastStat._1, st._2 - lastStat._2, st._3 - lastStat._3)
+      lastStat = st
+      (gc.getAndSet(0), run.getAndSet(0), spill.getAndSet(0), d, df, dmj, dcpu)
     }
   }
 
@@ -71,6 +92,15 @@ object Bench {
     // Deterministic block release at the query boundary (see clearCache
     // note below). SPARK_GRAFT_KEEP_RDDS=1 disables it for leak A/B runs.
     val freeRdds = !sys.env.get("SPARK_GRAFT_KEEP_RDDS").contains("1")
+
+    // NOTE the heap itself is pre-touched at JVM start (-Xms = -Xmx
+    // + -XX:+AlwaysPreTouch, build.sbt): on this host first-touch page
+    // faults are slow enough (SURVEY §11) that an in-loop frontier
+    // crossing used to stall whichever query allocated next for
+    // 10-230 s. An earlier in-process pre-touch here (32 threads of
+    // byte[] churn after session construction) re-touched pages 2-3x
+    // through GC evacuation and starved the executor heartbeat —
+    // JVM-level pre-touch happens before any of that can exist.
 
     // Optional comma-separated subset for local iteration (shared
     // contract), e.g. SPARK_GRAFT_ONLY=q30_minhash_lsh,q32_ngram_jaccard
@@ -108,13 +138,14 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
         profiler.foreach { p =>
-          val (tgc, trun, sp, dgc) = p.snap()
+          val (tgc, trun, sp, dgc, flt, mjf, cpu) = p.snap()
           val stored = spark.sparkContext.getRDDStorageInfo
           System.err.println(
             f"[prof] $name rep=$rep wall=$wall%.3f taskGcMs=$tgc " +
             f"taskRunMs=$trun spillMB=${sp / (1 << 20)} gcBeanMs=$dgc " +
             f"rddBlocks=${stored.length} " +
-            f"rddMB=${stored.map(i => i.memSize + i.diskSize).sum / (1 << 20)}")
+            f"rddMB=${stored.map(i => i.memSize + i.diskSize).sum / (1 << 20)} " +
+            f"faults=$flt majflt=$mjf cpuJf=$cpu")
         }
         (wall, err)
       }
@@ -138,9 +169,15 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(r => med(r._2)).sum
+    // Sum of per-query MINIMA: the intrinsic-cost estimator under this
+    // host's one-sided noise (SURVEY §11 — external fault-service
+    // bursts only ever ADD time). value stays the median total; the
+    // min total quantifies how much of a given run was environment.
+    val minTotal = results.map(_._2.head).sum
     val nFailed = results.count(_._3.isDefined)
     val common =
-      s""""unit":"sec","failed":$nFailed,"n":${results.size},"reps":$reps,""" +
+      s""""unit":"sec","min_total":${ms(minTotal)},""" +
+      s""""failed":$nFailed,"n":${results.size},"reps":$reps,""" +
       s""""sf":${jstr(sfDir)},"cpus":$cpus,""" +
       s""""xmx_mb":${Runtime.getRuntime.maxMemory / (1 << 20)}"""
     val full =

@@ -45,6 +45,16 @@ object Session {
       // AQE re-plans at runtime: skew-join splitting and partition
       // coalescing are the 100 TB safety nets for every shuffle here.
       .config("spark.sql.adaptive.enabled", "true")
+      // The whole-stage-codegen class cache defaults to 100 entries —
+      // sized for a repetitive production job, not a 128-query session:
+      // this engine's full bench/verify pass generates thousands of
+      // distinct codegen units, so the LRU thrashes and every rerun
+      // pays Janino compilation again (driver-side, single-threaded —
+      // observed as multi-second stalls with every executor idle,
+      // round-6 forensics). Static conf, so it must be set here, at
+      // first-session construction. ~50 KB per cached class keeps even
+      // the full corpus under ~250 MB.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // NOTE deliberately keeping coalescePartitions.parallelismFirst at
       // its default (true): measured at sf0.1/local[32], size-based
       // coalescing (false) serialized the CPU-heavy post-shuffle stages
