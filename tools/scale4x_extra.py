@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Extend a graft.tools.ScaleData 4x corpus dir with the remaining
+fixture tables, so the event/warehouse queries (q121/q122/q126/q128...)
+can be scale-verified too.
+
+Usage: python3 tools/scale4x_extra.py <sfDir> <outDir>
+
+- events: 4x rows — each original plus 3 copies with distinct event_id
+  and a +k-second shift, SAME user_id, so per-user timelines densify
+  4x (the stress sessionization/attribution actually face at scale).
+  Written via DuckDB because the column must stay TIMESTAMP_NS: the
+  fixture contract (graft.Tables.events) reads raw parquet nanos, and
+  Spark cannot write nanosecond timestamps.
+- lineitem: 4x rows — verbatim replicas (volume scaling; the star
+  join's groups quadruple their weights deterministically).
+- all other tables: copied as-is (dimensions don't scale).
+
+This is verification tooling in the compare.py sense (driver-side
+DuckDB), not part of the Spark library.
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+SMALL = ["region", "nation", "customer", "supplier", "part", "orders"]
+
+
+def main(sfdir, outdir):
+    os.makedirs(outdir, exist_ok=True)
+    con = duckdb.connect()
+    # events via pyarrow: DuckDB 1.0's parquet writer downcasts
+    # TIMESTAMP_NS to micros, but the fixture contract (graft.Tables
+    # .events) requires the column stay TIMESTAMP(NANOS).
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sfdir}/events.parquet")
+    assert ev.schema.field("ts").type == pa.timestamp("ns"), ev.schema
+    parts = []
+    for k in range(4):
+        t = ev.to_pandas()
+        t["event_id"] = t["event_id"] * 4 + k
+        t["ts"] = t["ts"] + np.timedelta64(k, "s")
+        parts.append(t)
+    import pandas as pd
+    allev = pd.concat(parts).sort_values("event_id")
+    pq.write_table(
+        pa.Table.from_pandas(allev, schema=ev.schema, preserve_index=False),
+        f"{outdir}/events.parquet")
+    con.sql(f"""
+        COPY (
+          SELECT t.* FROM '{sfdir}/lineitem.parquet' t, range(0, 4) AS k(k)
+        ) TO '{outdir}/lineitem.parquet' (FORMAT PARQUET)""")
+    for name in SMALL:
+        src = f"{sfdir}/{name}.parquet"
+        dst = f"{outdir}/{name}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy(src, dst)
+    # Flatten ScaleData's Spark-written directory tables to single files
+    # so DuckDB's "<dir>/<name>.parquet" view pattern (compare.py) reads
+    # them; Spark reads either layout.
+    for name in ("documents", "embeddings"):
+        d = f"{outdir}/{name}.parquet"
+        if os.path.isdir(d):
+            parts = [p for p in os.listdir(d) if p.endswith(".parquet")]
+            assert len(parts) == 1, (name, parts)
+            tmp = f"{outdir}/.{name}.parquet.tmp"
+            shutil.move(os.path.join(d, parts[0]), tmp)
+            shutil.rmtree(d)
+            shutil.move(tmp, d)
+    n_ev = con.sql(f"SELECT count(*) FROM '{outdir}/events.parquet'").fetchone()[0]
+    n_li = con.sql(f"SELECT count(*) FROM '{outdir}/lineitem.parquet'").fetchone()[0]
+    print(f"[scale4x_extra] {outdir}: events={n_ev} lineitem={n_li}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
