@@ -76,6 +76,30 @@ object Graft {
         .withColumn("blk", element_at(split(col("name"), " "), -1)),
       maxDist = 6)
       .createOrReplaceTempView("fuzzy_name_candidates")
+
+    // The deduplicated corpus (q74 survivor rule: smallest doc_id per
+    // normalized-content fingerprint), full rows — the table most
+    // downstream SQL actually wants to read.
+    val docs = Tables.documents(spark, sfDir)
+    docs.join(
+        docs.select(col("doc_id"), operators.Dedup.normFp.as("fp"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .createOrReplaceTempView("dedup_corpus")
+
+    // MERGE/upsert applied to the q80 CDC fixture (every 10th order
+    // re-priced, status 'U'; delta wins per key, base scanned once) —
+    // the post-merge current state as a queryable view.
+    val orders = Tables.orders(spark, sfDir)
+    operators.Relational.mergeUpsert(
+      orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice")),
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 100).as("o_totalprice")),
+      key = "o_orderkey")
+      .createOrReplaceTempView("orders_current")
   }
 
   /** Scalar-function registration alone (no `sfDir` needed): native
@@ -91,6 +115,17 @@ object Graft {
     reg.createOrReplaceTempFunction("graft_norm_fp",
       (children: Seq[Expression]) => Md5(Cast(StringTrim(RegExpReplace(
         Lower(children.head), Literal("\\s+"), Literal(" "))), BinaryType)),
+      "built-in")
+    // vec_cosine(a, b): cosine similarity composed over the codegen'd
+    // dot product — the expression every ANN consumer writes by hand.
+    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+    import graft.functions.VecOps.DotProduct
+    reg.createOrReplaceTempFunction("vec_cosine",
+      (children: Seq[Expression]) => {
+        val Seq(a, b) = children
+        Divide(DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+      },
       "built-in")
   }
 }

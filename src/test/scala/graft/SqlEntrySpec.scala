@@ -74,11 +74,37 @@ class SqlEntrySpec extends AnyFunSuite {
     assert(top.exceptAll(oracle).isEmpty && oracle.exceptAll(top).isEmpty)
   }
 
-  test("vec_dot is SQL-callable on any registered session") {
+  test("vec_dot and vec_cosine are SQL-callable on any registered session") {
     val s = registered
     val v = s.sql(
       "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
       .head().getDouble(0)
     assert(v == 32.0)
+    val c = s.sql(
+      "SELECT vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+    val o = s.sql(
+      "SELECT vec_cosine(array(1.0D, 0.0D), array(0.0D, 2.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(o) < 1e-12)
+  }
+
+  test("dedup_corpus and orders_current views match their operators") {
+    val s = registered
+    // dedup_corpus row count == q29's group count (one survivor each)
+    val nGroups = s.sql("SELECT count(DISTINCT fp) FROM doc_fingerprints")
+      .head().getLong(0)
+    assert(s.sql("SELECT count(*) FROM dedup_corpus").head().getLong(0)
+      == nGroups)
+    // orders_current: same key count as orders; every 10th key updated
+    val row = s.sql(
+      """SELECT count(*) AS n,
+        |  sum(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END) AS upd
+        |FROM orders_current""".stripMargin).head()
+    val base = Tables.orders(s, Spec.sfDir)
+    assert(row.getLong(0) == base.count())
+    assert(row.getLong(1) ==
+      base.filter(col("o_orderkey") % 10 === 0).count())
   }
 }
