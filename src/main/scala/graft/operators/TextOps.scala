@@ -1459,7 +1459,14 @@ object TextOps {
     // aggregate with conditional partial sums (the corpus is scanned
     // once), a FULL OUTER-free shape: both halves live in the same
     // groupBy row. n1/n2 stay BIGINT in the OUTPUT (token totals fit
-    // 2^63 at any plausible scale); only products/sums are widened.
+    // 2^63 at any plausible scale); only products/sums are widened —
+    // and the wide sum is emitted as its exact DIGIT STRING, not as a
+    // decimal column: decimal is the one type the two engines' result
+    // paths represent differently downstream (round 6: DuckDB→pandas
+    // renders DECIMAL as float64, parquet decimal128 arrives as
+    // Decimal objects — identical value, different hash). The string
+    // carrier is lossless and representation-stable on both sides;
+    // the decimal math itself stays internal, the q109/q126 pattern.
     Q("q125_corpus_drift",
       """WITH c AS (
         |  SELECT tok,
@@ -1472,7 +1479,7 @@ object TextOps {
         |n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c)
         |SELECT CAST(count(*) AS BIGINT) AS n_tokens_vocab,
         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-        |  CAST(sum(abs(c1 * n2 - c2 * n1)) AS DECIMAL(38,0)) AS l1_num,
+        |  CAST(sum(abs(c1 * n2 - c2 * n1)) AS VARCHAR) AS l1_num,
         |  CAST(sum(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
         |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS l1
         |FROM c, n
@@ -1489,9 +1496,10 @@ object TextOps {
         .agg(count(lit(1)).as("n_tokens_vocab"),
           sum(abs(col("c1").cast(dec) * col("n2").cast(dec)
             - col("c2").cast(dec) * col("n1").cast(dec)))
-            .cast(dec).as("l1_num"))
-        .select(col("n_tokens_vocab"), col("n1"), col("n2"), col("l1_num"),
-          (col("l1_num").cast("double")
+            .cast(dec).as("l1_dec"))
+        .select(col("n_tokens_vocab"), col("n1"), col("n2"),
+          col("l1_dec").cast("string").as("l1_num"),
+          (col("l1_dec").cast("double")
             / (col("n1").cast("double") * col("n2").cast("double"))).as("l1"))
     },
 

@@ -6,34 +6,70 @@ Usage: python3 tools/compare.py <verifyOutDir> <sfDir>
 Reads each <name>.parquet result that graft.Verify wrote, runs the
 matching oracle SQL from oracle_sql.json in DuckDB against the raw
 parquet tables in <sfDir>, and compares: column names (sorted), row
-count, and value-hash over rows sorted by all columns.
+count, and a canonical value form over rows sorted by all columns.
+
+The fetch paths deliberately mimic the driver's pandas comparator
+(round 6 lesson): the oracle side comes from DuckDB via `.df()`
+(pandas), the Spark side from parquet via pyarrow→pandas. This is
+what makes REPRESENTATION differences visible locally — e.g. a
+DECIMAL output column arrives as float64 from DuckDB's `.df()` but
+as Python Decimal objects from pyarrow's decimal128, so identical
+values canon differently and the row fails here exactly as it fails
+on the driver. Raw `fetchall()` (both sides → Decimal) hid that
+class and let q125 pass locally while the driver failed it.
 """
-import json, sys, math
+import json, math, os, sys
+from decimal import Decimal
+
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def cell(v):
+    """Canonical string for one pandas cell, preserving type identity.
+
+    Type matters, not just value: Decimal('1') must differ from 1.0
+    (the driver hashes them differently), so the canonical form keeps
+    the Python-side type visible via repr for non-primitive types.
+    """
+    import numpy as np
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise TypeError(f"nested value in result column: {v!r:.80}")
+    if v is None or v is pd.NaT:
+        return "None"
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (np.integer, int)):
+        return repr(int(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, str):
+        return repr(v)
+    # Decimal, bytes, date, and anything exotic: repr keeps the type
+    # tag (e.g. "Decimal('10117764')") so a representation divergence
+    # between the two fetch paths cannot cancel out.
+    return repr(v)
+
+
+def canon(df):
+    cols = sorted(df.columns)
     out = []
-    for row in rows:
+    for row in df[cols].itertuples(index=False, name=None):
         vals = []
-        for i in order:
-            v = row[i]
-            # the driver's pandas-based comparator cannot sort nested
-            # values (round 3: q73's list column → "unhashable type");
-            # reject them here so the local gate is at least as strict
-            if isinstance(v, (list, tuple, dict)):
-                raise TypeError(f"nested value in result column: {v!r:.80}")
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("NaN")
-                else:
-                    vals.append(repr(v))
-            else:
-                vals.append(repr(v))
+        for v in row:
+            # pd.isna on scalars only (it raises on lists — let cell
+            # reject those); NaN floats keep their "NaN" form via cell
+            try:
+                na = v is None or v is pd.NaT
+            except Exception:
+                na = False
+            vals.append("None" if na else cell(v))
         out.append(tuple(vals))
     out.sort()
     return out
@@ -45,32 +81,34 @@ def main(outdir, sfdir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
-    import os
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
     for name in names:
-        got_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        gcols = [c.lower() for c in got_rel.columns]
-        grows = got_rel.fetchall()
+        # Spark side: pyarrow→pandas, the driver's read path for the
+        # Verify parquet dumps.
+        got = pd.read_parquet(os.path.join(outdir, name))
+        got.columns = [c.lower() for c in got.columns]
         if name not in oracle:
             n_noracle += 1
-            print(f"  ~ {name}: no oracle, rows={len(grows)}"
-                  + ("  [EMPTY!]" if not grows else ""))
+            print(f"  ~ {name}: no oracle, rows={len(got)}"
+                  + ("  [EMPTY!]" if not len(got) else ""))
             continue
         try:
-            exp_rel = con.sql(oracle[name])
-            ecols = [c.lower() for c in exp_rel.columns]
-            erows = exp_rel.fetchall()
+            # Oracle side: DuckDB via .df() — pandas conversion applies
+            # the same type coercions the driver sees (DECIMAL→float64).
+            exp = con.sql(oracle[name]).df()
+            exp.columns = [c.lower() for c in exp.columns]
         except Exception as e:
             print(f"  ✗ {name}: oracle SQL failed: {e}")
             n_fail += 1
             continue
-        if sorted(gcols) != sorted(ecols):
-            print(f"  ✗ {name}: columns differ got={sorted(gcols)} exp={sorted(ecols)}")
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"  ✗ {name}: columns differ got={sorted(got.columns)}"
+                  f" exp={sorted(exp.columns)}")
             n_fail += 1
             continue
         try:
-            g, e = canon(grows, gcols), canon(erows, ecols)
+            g, e = canon(got), canon(exp)
         except TypeError as err:
             print(f"  ✗ {name}: {err}")
             n_fail += 1
