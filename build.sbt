@@ -49,11 +49,16 @@ val jdk17AddOpens = Seq(
 val graftHeap: String = {
   val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
   val mb = try {
-    if (req.endsWith("g")) req.dropRight(1).toLong * 1024
+    if (req.endsWith("t")) req.dropRight(1).toLong * 1024 * 1024
+    else if (req.endsWith("g")) req.dropRight(1).toLong * 1024
     else if (req.endsWith("m")) req.dropRight(1).toLong
+    else if (req.endsWith("k")) req.dropRight(1).toLong / 1024
     else req.toLong / (1024 * 1024) // bare bytes
   } catch { case _: NumberFormatException => 8192L }
-  s"${math.min(mb, 12 * 1024L)}m"
+  // Floor: a sub-MiB request (bare bytes < 2^20, or a small 'k' value)
+  // would truncate to -Xmx0m and the JVM refuses to start; no real
+  // driver wants less than 1 GiB anyway, so clamp instead of failing.
+  s"${math.min(math.max(mb, 1024L), 12 * 1024L)}m"
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -215,8 +215,12 @@ object Similarity {
     * [[annConfig]]-derived setting), parameterized rather than forked
     * so the two configurations can never drift structurally. The
     * probe side stays a broadcast at any radius: ≤ tables · Σ C(b,i)
-    * rows per query (≈7 k at the maximal b=16/r=5 config), dwarfed by
-    * the corpus side it joins against. */
+    * rows per query — at the maximal tables=16/b=16/r=5 config that is
+    * 16 · 6 885 ≈ 110 k rows per query vector (the mask set alone is
+    * ≈7 k; the broadcast volume carries the tables factor), still a
+    * few MiB per query panel and dwarfed by the corpus side it joins
+    * against — size any radius/table increase against
+    * tables·masks·queries, not masks alone. */
   private def lshCandidates(e: DataFrame, qs: DataFrame, nbits: Int,
       numTables: Int = NUM_TABLES, radius: Int = 1): DataFrame = {
     val codes = e.select(col("vec_id"),

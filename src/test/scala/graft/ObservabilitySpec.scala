@@ -55,17 +55,22 @@ class ObservabilitySpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(l)
     try {
       SparkEntry.queries("q57_dup_clusters")(spark, Spec.sfDir).count()
-      // listener events are posted asynchronously; wait for the count
-      // to go quiet (the bus has no public drain hook)
-      var prev = -1
-      while (prev != jobs.get()) { prev = jobs.get(); Thread.sleep(300) }
+      // listener events are posted asynchronously; drain the bus
+      // deterministically via the package-private waitUntilEmpty
+      // (GraftTestHooks) instead of polling the job counter with
+      // sleeps — slow delivery made the poll a flake risk.
+      org.apache.spark.GraftTestHooks
+        .waitListenerBusEmpty(spark.sparkContext, 30000)
       // Measured at this fixture: 7 executions = the corpus count
       // feeding bandRows + the initial probe + one per contraction
       // round (4 here) + the final labeled count. The eager variant
       // adds a checkpoint-materializing execution per round (~11
       // total). Slack of 3 for fixture drift; a probe that stops
       // riding the checkpoint doubles the per-round term and fails
-      // this bound.
+      // this bound. To RE-MEASURE after a Spark upgrade or fixture
+      // change: print execIds.size from a known-good build, confirm
+      // it equals 2 + rounds + 1 (count + per-round probe + final),
+      // and reset the bound to that value + 3.
       val n = execIds.size
       assert(n <= 10, s"q57 ran $n SQL executions (${jobs.get()} jobs) — " +
         "probe no longer sharing the checkpoint's materialization?")

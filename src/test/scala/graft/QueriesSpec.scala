@@ -22,18 +22,26 @@ class QueriesSpec extends AnyFunSuite {
       val df = q.fn(spark, Spec.sfDir)
       val n = df.count()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
-      // Result sinks are compared row-wise by external harnesses (and
-      // consumed by exports/BI) that can't sort or hash nested values —
-      // q73 shipped an array<struct> column in round 3 and was the only
-      // red row. Nested shapes belong INSIDE plans, serialized at the
-      // sink.
-      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-      val nested = df.schema.fields.filter(f =>
-        f.dataType.isInstanceOf[ArrayType] ||
-          f.dataType.isInstanceOf[MapType] ||
-          f.dataType.isInstanceOf[StructType])
-      assert(nested.isEmpty,
-        s"${q.name} emits nested columns: ${nested.map(_.name).mkString(",")}")
+      // OUTPUT-TYPE CONTRACT: result sinks are compared row-wise by
+      // external harnesses (and consumed by exports/BI) whose two fetch
+      // paths — parquet via pyarrow→pandas, SQL oracles via DuckDB
+      // .df() — only agree on the representation of this closed type
+      // set. Outside it, identical VALUES can hash differently: nested
+      // columns are unsortable/unhashable (q73, round 3), and DECIMAL
+      // arrives as float64 from one path but Decimal objects from the
+      // other (q125, round 6 — the suite's only red row). Wide/exotic
+      // shapes belong INSIDE plans; at the sink, carry exact wide
+      // integers as digit strings (q125) or keep them internal
+      // (q109/q126). Intentionally NOT in the set: decimal, binary,
+      // float32, short/byte, array/map/struct.
+      import org.apache.spark.sql.types._
+      val stable: Set[DataType] = Set(LongType, IntegerType, DoubleType,
+        StringType, BooleanType, DateType, TimestampType)
+      val offending = df.schema.fields.filterNot(f => stable(f.dataType))
+      assert(offending.isEmpty,
+        s"${q.name} emits non-driver-stable output columns: " +
+          offending.map(f => s"${f.name}:${f.dataType.simpleString}")
+            .mkString(","))
     }
   }
 

@@ -11,8 +11,13 @@ Usage: python3 tools/scale4x_extra.py <sfDir> <outDir>
   Written via DuckDB because the column must stay TIMESTAMP_NS: the
   fixture contract (graft.Tables.events) reads raw parquet nanos, and
   Spark cannot write nanosecond timestamps.
-- lineitem: 4x rows — verbatim replicas (volume scaling; the star
-  join's groups quadruple their weights deterministically).
+- lineitem: 4x rows — replicas with l_linenumber offset per copy
+  (+10*k; fixture linenumbers are 1..7) so the (l_orderkey,
+  l_linenumber) key stays UNIQUE: verbatim replicas would let any
+  query whose determinism relies on tie-breaking by that key
+  (row_number / order-by) diverge between Spark and the DuckDB
+  oracle on this synthetic data — a false verification failure.
+  Group weights still quadruple deterministically.
 - all other tables: copied as-is (dimensions don't scale).
 
 This is verification tooling in the compare.py sense (driver-side
@@ -52,7 +57,9 @@ def main(sfdir, outdir):
         f"{outdir}/events.parquet")
     con.sql(f"""
         COPY (
-          SELECT t.* FROM '{sfdir}/lineitem.parquet' t, range(0, 4) AS k(k)
+          SELECT t.* REPLACE (
+            CAST(t.l_linenumber + 10 * k.k AS INTEGER) AS l_linenumber)
+          FROM '{sfdir}/lineitem.parquet' t, range(0, 4) AS k(k)
         ) TO '{outdir}/lineitem.parquet' (FORMAT PARQUET)""")
     for name in SMALL:
         src = f"{sfdir}/{name}.parquet"
