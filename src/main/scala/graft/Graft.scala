@@ -100,6 +100,67 @@ object Graft {
           (col("o_totalprice") + 100).as("o_totalprice")),
       key = "o_orderkey")
       .createOrReplaceTempView("orders_current")
+
+    // ---- streaming-operator views (batch/stream dual plans) -------------
+    // The Streams operators are defined on a DataFrame and build the
+    // SAME logical plan bounded or unbounded; registering their batch
+    // instantiation over the fixture events makes the streaming surface
+    // SQL-visible (the last Scala-only corner). In production the same
+    // functions apply to a readStream frame — README "Streaming from
+    // SQL" has the foreachBatch recipe. CDC-apply is already SQL-visible
+    // as `orders_current` (mergeUpsert — the foreachBatch body of the
+    // StreamingSpec CDC test).
+    val ev = Tables.events(spark, sfDir)
+    streaming.Streams.dedupEvents(ev)
+      .createOrReplaceTempView("events_dedup")
+    streaming.Streams.tumblingCounts(ev, "1 hour")
+      .createOrReplaceTempView("event_windows_1h")
+    // Gap-rule session frames in the Streams.Session shape (user_id,
+    // n_events, start_ts, end_ts): the bounded equivalent of
+    // Streams.sessionize under the standard 30-minute gap, built from
+    // the same sessionIds labeling every batch sessionization query
+    // uses — one user_id shuffle, aggregates reuse the clustering.
+    operators.Eventing.sessionIds(
+        ev.select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t")))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        timestamp_micros(min(col("t"))).as("start_ts"),
+        timestamp_micros(max(col("t"))).as("end_ts"))
+      .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"))
+      .createOrReplaceTempView("stream_sessions")
+  }
+
+  /** Opt-in PERSISTENT catalog surface: write the two big fact tables
+    * as metastore-backed tables bucketed by their join key, so pure-SQL
+    * callers get the zero-shuffle co-located join the Scala API proves
+    * in BucketingSpec — `SELECT ... FROM graft.lineitem_by_key JOIN
+    * graft.orders_by_key ON l_orderkey = o_orderkey` plans with no
+    * exchange on the join keys. Unlike [[registerAll]]'s temp views
+    * this durably materializes data (one write per table) and survives
+    * the session: bucketing metadata lives in the catalog, which is
+    * exactly what temp views cannot carry. Idempotent — existing
+    * tables are kept (pass `overwrite = true` after a fixture change).
+    * `location` roots the table data (defaults to the session's
+    * warehouse dir); at scale this is the one-time layout investment
+    * that converts every recurring orders⋈lineitem shuffle into a
+    * local per-bucket merge. */
+  def registerBucketed(spark: SparkSession, sfDir: String,
+      database: String = "graft", buckets: Int = 8,
+      location: Option[String] = None, overwrite: Boolean = false): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    def ensure(table: String, df: => org.apache.spark.sql.DataFrame,
+        key: String): Unit = {
+      val full = s"$database.$table"
+      if (overwrite) spark.sql(s"DROP TABLE IF EXISTS $full")
+      if (!spark.catalog.tableExists(full)) {
+        val w = df.write.bucketBy(buckets, key).sortBy(key)
+        location.fold(w)(l => w.option("path", s"$l/$table"))
+          .saveAsTable(full)
+      }
+    }
+    ensure("orders_by_key", Tables.orders(spark, sfDir), "o_orderkey")
+    ensure("lineitem_by_key", Tables.lineitem(spark, sfDir), "l_orderkey")
   }
 
   /** Scalar-function registration alone (no `sfDir` needed): native

@@ -22,7 +22,16 @@ object ScaleData {
     val Array(sfDir, outDir) = args
     val spark = Session.build("local[16]", 16, "graft-scaledata")
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, sfDir, outDir)
+    spark.stop()
+  }
 
+  /** Corpus generation on a CALLER-OWNED session — `main` wraps this
+    * with its own session lifecycle; in-JVM callers (AnnConfigSpec's 4×
+    * recall panel) pass the shared test session, which must NOT be
+    * stopped out from under the rest of the suite. */
+  def generate(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outDir: String): Unit = {
     // token array projected as a column FIRST: a split() referenced
     // inside the transform lambda would re-evaluate per element
     // (no CSE across higher-order functions — the Dedup.shingles rule)
@@ -67,6 +76,5 @@ object ScaleData {
     println(s"[scaledata] wrote ${outDir}: " +
       s"docs=${spark.read.parquet(s"$outDir/documents.parquet").count()} " +
       s"vecs=${spark.read.parquet(s"$outDir/embeddings.parquet").count()}")
-    spark.stop()
   }
 }

@@ -38,6 +38,24 @@ class AnnConfigSpec extends AnyFunSuite {
     assert(radii.take(4).max <= radii.takeRight(4).min)
   }
 
+  test("q123 panel recall meets the target on the 4x densified corpus") {
+    // VERDICT r6 #6: the recall SLA must not be fixture-shaped. The 4x
+    // corpus (ScaleData: every vector yields 3 deterministic near-dup
+    // copies — denser collision structure, and 4x n pushes numBits to
+    // a wider code than the base fixture) re-measures the END-TO-END
+    // recall of the annConfig-derived setting on a structurally
+    // different panel. Deterministic (integer codes, derived corpus),
+    // so a stable bound.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann4x").toString
+    tools.ScaleData.generate(spark, "/root/testdata/sf0.01", dir)
+    val out = SparkEntry.queries("q123_ann_recall")(spark, dir)
+      .agg(avg(col("recall_at_10")).as("mean_recall"))
+      .head().getDouble(0)
+    info(f"4x-corpus panel mean recall@10 = $out%.3f")
+    assert(out >= operators.Similarity.TARGET_RECALL,
+      s"4x-corpus panel mean recall $out below target")
+  }
+
   test("q123 panel recall meets the target at the spec fixture") {
     // end-to-end: the derived config's measured recall on the actual
     // panel. Deterministic (integer codes, fixed corpus), so this is a

@@ -90,6 +90,74 @@ class SqlEntrySpec extends AnyFunSuite {
     assert(math.abs(o) < 1e-12)
   }
 
+  test("streaming operator shapes are SQL-visible and match the operators") {
+    val s = registered
+    val ev = Tables.events(s, Spec.sfDir)
+    // events_dedup IS Streams.dedupEvents' plan (batch branch of the
+    // same function the stream path calls) — counts must agree with an
+    // independent distinct on the key
+    val nDedup = s.sql("SELECT count(*) FROM events_dedup").head().getLong(0)
+    assert(nDedup == streaming.Streams.dedupEvents(ev).count())
+    assert(nDedup == ev.select(col("event_id")).distinct().count())
+    // event_windows_1h: same function as the streaming tumbling agg;
+    // total n over windows conserves the event count
+    val nWin = s.sql("SELECT sum(n) FROM event_windows_1h").head().getLong(0)
+    assert(nWin == ev.count())
+    // stream_sessions (the bounded Streams.sessionize shape): session
+    // counts agree with the sessionized_events view (same gap rule),
+    // per-session event totals conserve the event count, and sessions
+    // are well-formed (start <= end)
+    val nSess = s.sql("SELECT count(*) FROM stream_sessions").head().getLong(0)
+    assert(nSess == s.sql(
+      "SELECT count(DISTINCT user_id, sid) FROM sessionized_events")
+      .head().getLong(0))
+    val r = s.sql(
+      """SELECT sum(n_events) AS total,
+        |  sum(CASE WHEN start_ts > end_ts THEN 1 ELSE 0 END) AS bad
+        |FROM stream_sessions""".stripMargin).head()
+    assert(r.getLong(0) == ev.count() && r.getLong(1) == 0L)
+  }
+
+  test("pure-SQL bucketed join over the persistent catalog has no exchange") {
+    val s = registered
+    val wh = java.nio.file.Files.createTempDirectory("graft-sql-bucketed")
+      .toString
+    Graft.registerBucketed(s, Spec.sfDir, location = Some(wh),
+      overwrite = true)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a real two-sided join: broadcast would trivially avoid
+      // the shuffle without exercising the persisted bucketed layout
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM graft.lineitem_by_key l
+          |JOIN graft.orders_by_key o ON l.l_orderkey = o.o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a sort-merge join over bucketed tables:\n$plan")
+      // no hash-partitioning exchange on the JOIN keys below the join:
+      // the catalog's bucketing metadata satisfied the distribution
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      val exchanged = "Exchange hashpartitioning\\(([a-z_]+)#".r
+        .findAllMatchIn(joinSection).map(_.group(1)).toSeq
+      assert(!exchanged.exists(k => k == "l_orderkey" || k == "o_orderkey"),
+        s"join keys re-shuffled despite catalog bucketing:\n$plan")
+      // values match the temp-view (non-bucketed) formulation
+      val expected = s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin)
+      assert(joined.exceptAll(expected).isEmpty &&
+        expected.exceptAll(joined).isEmpty)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS graft.orders_by_key")
+      s.sql("DROP TABLE IF EXISTS graft.lineitem_by_key")
+    }
+  }
+
   test("dedup_corpus and orders_current views match their operators") {
     val s = registered
     // dedup_corpus row count == q29's group count (one survivor each)
