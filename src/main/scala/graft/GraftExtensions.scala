@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * session built by [[Session.build]], and usable by library consumers
   * via `spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(functions.VecOps.descriptor)
+    e.injectFunction(functions.Sketches.descriptor)
+  }
 }

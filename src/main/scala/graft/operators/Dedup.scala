@@ -803,6 +803,44 @@ object Dedup {
           (col("n_overlap") >= 5).as("contaminated"))
     },
 
+    // ----- bloom-prefiltered decontamination (sketch prune, exact confirm) --
+    // The q71 contract against a different eval set, restructured so
+    // the corpus side never reaches the join: a Bloom filter over the
+    // eval shingles (~1.2 KiB per thousand keys at fpp=1%, shipped as
+    // a plan literal) prunes the corpus-shingle stream IN THE SCAN'S
+    // generated loop — `graft_bloom_contains` is Spark's own codegen'd
+    // BloomFilterMightContain, the expression its runtime join pruning
+    // injects, registered for explicit use ([[graft.functions
+    // .Sketches]]). Only survivors (true overlaps + the ε false
+    // positives) enter the exact broadcast-join confirm, which removes
+    // the ε again — so the sketch affects COST, never results, and the
+    // oracle is deliberately the plain exact SQL. At 100 TB the probe
+    // volume into the join drops from |corpus shingles| to
+    // |hits|·(1+ε): the sketch does the work a broadcast build side
+    // would, at a fraction of the bytes and before the rows leave the
+    // scan stage.
+    Q("q129_bloom_decontamination",
+      s"""WITH sh AS ($SHINGLE_SQL),
+         |bench AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM sh s JOIN bench b ON s.shingle = b.shingle
+         |WHERE s.doc_id % 89 <> 0
+         |GROUP BY s.doc_id
+         |HAVING count(*) >= 3""".stripMargin) { (s, d) =>
+      graft.functions.Sketches.ensureRegistered(s)
+      val sh = shingles(s, d).persist()
+      val bench = sh.filter(col("doc_id") % 89 === 0)
+        .select(col("shingle")).distinct()
+      val bloom = graft.functions.Sketches.bloomOf(bench, "shingle", 0.01)
+      sh.filter(col("doc_id") % 89 =!= 0)
+        .filter(graft.functions.Sketches.bloomContains(bloom, col("shingle")))
+        .join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= 3)
+    },
+
     // ----- n-gram Jaccard via inverted-index join over df-capped shingles ----
     // The inverted index is built on the df-capped shingle set: a
     // stop-shingle ("of the and") shared by k docs would contribute k²

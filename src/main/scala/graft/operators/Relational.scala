@@ -781,6 +781,49 @@ object Relational {
         .filter(col("dist") <= 6)
         .orderBy(col("dist"), col("name_a"), col("name_b"))
         .limit(20)
+    },
+
+    // ----- Z-order layout stats (2-D data skipping, Delta/Iceberg style) ----
+    // Multi-dimensional clustering for scan pruning: interleaving the
+    // bits of two key dimensions (here 8 bits each of order and part
+    // bucket) gives a 1-D sort key whose contiguous ranges are small
+    // RECTANGLES in (x, y) — write the table sorted by `zv` and every
+    // parquet row group carries tight min/max on BOTH columns, so a
+    // conjunctive 2-D predicate prunes almost everything; a plain 1-D
+    // sort leaves the second column's stats spanning the full domain
+    // in every file. The bit-interleave is the same integer expression
+    // on both engines (generated term-by-term below); the query
+    // materializes the per-cell stats that PROVE the locality — each
+    // zcell (top 4 bits of each dim) is a 16×16 box, so every span is
+    // ≤ 15 (ZorderSpec asserts it). At scale this query IS the layout
+    // audit you run after a compaction-with-clustering pass
+    // (`repartitionByRange(zv)` + sortWithinPartitions, the q-series
+    // compaction machinery) to confirm the skipping contract holds.
+    Q("q131_zorder_layout", {
+      val terms = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH pts AS (
+         |  SELECT l_orderkey & 255 AS x, l_partkey & 255 AS y FROM lineitem),
+         |z AS (SELECT x, y, $terms AS zv FROM pts)
+         |SELECT zv >> 8 AS zcell, count(*) AS n,
+         |  min(x) AS x_lo, max(x) AS x_hi,
+         |  min(y) AS y_lo, max(y) AS y_hi
+         |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin
+    }) { (s, d) =>
+      def bit(c: Column, i: Int, off: Int): Column =
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + off)
+      val zv = (0 until 8).map(i =>
+        bit(col("x"), i, 0) + bit(col("y"), i, 1)).reduce(_ + _)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").bitwiseAND(lit(255L)).as("x"),
+          col("l_partkey").bitwiseAND(lit(255L)).as("y"))
+        .select(col("x"), col("y"), shiftright(zv, 8).as("zcell"))
+        .groupBy(col("zcell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+          min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+        .orderBy(col("zcell"))
     }
   )
 

@@ -213,6 +213,42 @@ object TextOps {
         .limit(20)
     },
 
+    // ----- frequent tokens: KMG sketch candidates + exact confirm ----------
+    // Every token above a RELATIVE support (0.1% of all token
+    // occurrences) with its exact count — without ever aggregating the
+    // full vocabulary. Pass 1 is `freqItems` (Karp–Misra–Gries
+    // summaries, merged across partitions): O(1/support) state per
+    // task, map-side only, no token shuffle, and a one-sided
+    // guarantee — a SUPERSET of every token with frequency > s·N
+    // (false positives possible, false negatives impossible). Pass 2
+    // exact-counts ONLY the candidates (an InSet prune evaluated at
+    // the scan), so the group-by shuffles ≤ 1/s distinct keys instead
+    // of the whole vocabulary — on a web corpus that's thousands of
+    // candidates vs billions of distinct tokens. The final HAVING
+    // re-applies the exact integer threshold, so the sketch affects
+    // cost, never results; the oracle is the plain exact SQL.
+    Q("q130_frequent_tokens",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |thr AS (SELECT count(*) // 1000 AS t FROM toks)
+        |SELECT token, count(*) AS n
+        |FROM toks GROUP BY token
+        |HAVING count(*) > (SELECT t FROM thr)
+        |ORDER BY n DESC, token""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(explode(tokens).as("token"))
+      // same integer floor as the oracle's `count(*) // 1000` — one
+      // scalar aggregate at plan build (the bandRows discipline)
+      val thr = toks.count() / 1000
+      val cands = toks.stat.freqItems(Array("token"), 0.001)
+        .head().getSeq[String](0)
+      toks.filter(col("token").isInCollection(cands))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > thr)
+        .orderBy(col("n").desc, col("token"))
+    },
+
     // ----- generator/UDTF surface: tokens with positions (posexplode) -------
     // Spark positions are 0-based; DuckDB's WITH ORDINALITY is 1-based,
     // aligned with an explicit -1.
