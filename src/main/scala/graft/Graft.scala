@@ -167,6 +167,9 @@ object Graft {
     * Catalyst expressions under SQL names. Idempotent per session. */
   def registerFunctions(spark: SparkSession): Unit = {
     functions.VecOps.ensureRegistered(spark) // vec_dot(array, array)
+    // graft_bloom_contains(bloomBytes, hash64): Spark's codegen'd
+    // BloomFilterMightContain under an explicit SQL name (q129's probe)
+    functions.Sketches.ensureRegistered(spark)
     val reg = spark.sessionState.functionRegistry
     // graft_norm_fp(text): the exact-dedup normalization fingerprint —
     // md5(trim(collapse-whitespace(lower(text)))), composed from

@@ -795,7 +795,7 @@ object Relational {
     // on both engines (generated term-by-term below); the query
     // materializes the per-cell stats that PROVE the locality — each
     // zcell (top 4 bits of each dim) is a 16×16 box, so every span is
-    // ≤ 15 (ZorderSpec asserts it). At scale this query IS the layout
+    // ≤ 15 (SketchLayoutSpec asserts it). At scale this query IS the layout
     // audit you run after a compaction-with-clustering pass
     // (`repartitionByRange(zv)` + sortWithinPartitions, the q-series
     // compaction machinery) to confirm the skipping contract holds.
