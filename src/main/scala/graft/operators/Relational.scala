@@ -824,8 +824,98 @@ object Relational {
           min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
           min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
         .orderBy(col("zcell"))
+    },
+
+    // ----- recursive hierarchy rollup (WITH RECURSIVE ⇔ path doubling) ----
+    // The classic OLAP recursive query — resolve every node of a
+    // parent-child hierarchy to its ROOT with its DEPTH, then roll up —
+    // on a synthetic but data-driven hierarchy: parent(p) = p div 10
+    // over p_partkey (digit-prefix tree, ~6 levels at warehouse key
+    // widths; roots are the single-digit keys). The oracle is DuckDB's
+    // literal WITH RECURSIVE; the Spark side treats the edges as DATA
+    // (a join-based algorithm, not arithmetic) and resolves all chains
+    // in ceil(log2 depth) self-joins of a jump table ([[terminalAncestors]])
+    // instead of depth sequential joins — the distinction that matters
+    // at 100 TB, where a billion-node catalog/org/BOM hierarchy resolves
+    // in 4-5 shuffles. All outputs are exact integers; the depth bound
+    // derives from the data (max key width) at plan build, the bandRows
+    // discipline.
+    Q("q132_hierarchy_rollup",
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS part, CAST(p_partkey AS BIGINT) AS node,
+        |    0 AS depth, p_size FROM part
+        |  UNION ALL
+        |  SELECT part, node // 10, depth + 1, p_size
+        |  FROM anc WHERE node >= 10)
+        |SELECT node AS root, CAST(depth AS INTEGER) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM anc WHERE node < 10
+        |GROUP BY root, depth
+        |ORDER BY root, depth""".stripMargin) { (s, d) =>
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("part"),
+          col("p_size").cast("long").as("p_size"))
+      // depth bound = digits(max key) - 1, computed exactly (no float
+      // log10 at power-of-ten boundaries); one scalar agg at plan build
+      val maxKey = parts.agg(max(col("part"))).head().getLong(0)
+      var (k, maxDepth) = (maxKey, 0)
+      while (k >= 10) { k /= 10; maxDepth += 1 }
+      val edges = parts.filter(col("part") >= 10)
+        .select(col("part").as("node"),
+          floor(col("part") / 10).cast("long").as("parent"))
+      val roots = terminalAncestors(edges, maxDepth)
+      parts.join(roots, parts("part") === roots("node"), "left")
+        .select(coalesce(col("next"), col("part")).as("root"),
+          coalesce(col("steps"), lit(0)).cast("int").as("depth"),
+          col("p_size"))
+        .groupBy(col("root"), col("depth"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("p_size")).as("sum_size"))
+        .orderBy(col("root"), col("depth"))
     }
   )
+
+  /** Resolve every node of a parent-child forest to its terminal
+    * ancestor (root) and depth, in O(log maxDepth) rounds of path
+    * doubling.
+    *
+    * Input `edges`: one row (node, parent) per NON-root node — roots
+    * simply have no row. Output: (node, next, steps) where `next` is
+    * the node's root and `steps` its depth, for every non-root node.
+    *
+    * The jump table starts as the edge list (every entry advances one
+    * step) and composes with itself each round — after round k an entry
+    * advances min(2^k, distance-to-root) steps, because entries whose
+    * `next` is already a root find no match and stay put (left join).
+    * `maxDepth` bounds the longest chain, so ceil(log2 maxDepth) rounds
+    * terminate every chain: resolution costs log-depth shuffles of a
+    * jump table that never exceeds |non-root nodes| rows — the reason
+    * this survives a billion-node hierarchy where depth-many sequential
+    * joins (or a driver-side loop per level) would not. Each round is
+    * localCheckpointed so the plan does not grow exponentially deep,
+    * and superseded rounds release their blocks ([[Iterative]]).
+    */
+  def terminalAncestors(edges: DataFrame, maxDepth: Int): DataFrame = {
+    var j = edges.select(col("node"), col("parent").as("next"),
+      lit(1).as("steps"))
+    val rounds =
+      if (maxDepth <= 1) 0
+      else 32 - Integer.numberOfLeadingZeros(maxDepth - 1) // ceil(log2)
+    var kept: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (_ <- 0 until rounds) {
+      val hop = j.select(col("node").as("b_node"), col("next").as("b_next"),
+        col("steps").as("b_steps"))
+      val next = j.join(hop, col("next") === col("b_node"), "left")
+        .select(col("node"),
+          coalesce(col("b_next"), col("next")).as("next"),
+          (col("steps") + coalesce(col("b_steps"), lit(0))).as("steps"))
+      val (ck, rdd) = Iterative.checkpointed(next)
+      kept.foreach(Iterative.release)
+      kept = Some(rdd)
+      j = ck
+    }
+    j
+  }
 
   /** Candidate pairs for an edit-distance join, multi-key blocked.
     *
