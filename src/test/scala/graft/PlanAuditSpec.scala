@@ -54,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // the deliberate 1-row broadcasts (query vector) are BroadcastNLJ,
     // never CartesianProduct
     Seq("q03_join3_topk", "q45_skew_salted_join", "q30_minhash_lsh",
-      "q35_embedding_neardup").foreach { q =>
+      "q35_embedding_neardup", "q129_bloom_decontamination",
+      "q132_hierarchy_rollup").foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), q)
     }
   }
