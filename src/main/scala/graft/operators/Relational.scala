@@ -872,6 +872,82 @@ object Relational {
         .groupBy(col("root"), col("depth"))
         .agg(count(lit(1)).as("n_parts"), sum(col("p_size")).as("sum_size"))
         .orderBy(col("root"), col("depth"))
+    },
+
+    // ----- triangle counting with degree-ordered orientation ---------------
+    // Graph analytics beyond PageRank/components: triangles in the
+    // co-purchase graph (parts sharing an order, high-quantity lines).
+    // The Spark side orients every undirected edge from its lower
+    // (degree, id) endpoint — a total order, so the oriented graph is a
+    // DAG and every triangle has exactly ONE node with two out-edges:
+    // enumerating (wedge at that node) ⋈ (closing edge) counts each
+    // triangle once, and out-degrees are bounded by O(√m), which bounds
+    // the wedge blowup — the textbook O(m√m) join plan that survives a
+    // power-law graph at 100 TB, where the naive a<b<c self-join
+    // explodes on hub nodes. The oracle is DELIBERATELY the naive
+    // enumeration (u<v edge list self-joined twice): a structurally
+    // different plan arriving at the same triangles is a stronger check
+    // than mirroring the orientation. Per-part counts are orientation-
+    // independent; output is exact integers with a full deterministic
+    // order (n_tri DESC, part).
+    Q("q133_triangle_parts",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 25),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |x AS (
+        |  SELECT a AS p FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT CAST(p AS BIGINT) AS part, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM x GROUP BY p
+        |ORDER BY n_tri DESC, part
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .distinct()
+      val e = li.select(col("o"), col("p").as("u"))
+        .join(li.select(col("o").as("o2"), col("p").as("v")),
+          col("o") === col("o2") && col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      val deg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      // orient from lower (degree, id): ties broken by id keep the
+      // order total, so the oriented graph is acyclic
+      val lowerFirst = e
+        .join(deg.select(col("n").as("u2"), col("dg").as("du")),
+          col("u") === col("u2"))
+        .join(deg.select(col("n").as("v2"), col("dg").as("dv")),
+          col("v") === col("v2"))
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t")))
+            .as("st"))
+        .select(col("st.s").as("s"), col("st.t").as("t"))
+      val wedges = lowerFirst
+        .join(lowerFirst.select(col("s").as("s2"), col("t").as("t2")),
+          col("s") === col("s2") && col("t") < col("t2"))
+        .select(col("s"), col("t").as("t1"), col("t2"))
+      // close each wedge against the CANONICAL (u < v) edge list:
+      // t1 < t2 by construction, so {t1, t2} canonicalizes to (t1, t2)
+      val tri = wedges.join(e,
+        wedges("t1") === e("u") && wedges("t2") === e("v"))
+        .select(col("s"), col("t1"), col("t2"))
+      tri.select(explode(array(col("s"), col("t1"), col("t2"))).as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("part"))
+        .limit(20)
     }
   )
 
