@@ -91,6 +91,14 @@ object Graft {
     // MERGE/upsert applied to the q80 CDC fixture (every 10th order
     // re-priced, status 'U'; delta wins per key, base scanned once) —
     // the post-merge current state as a queryable view.
+    // Per-part triangle participation in the co-purchase graph (the
+    // q133 degree-oriented plan) — fully lazy, so it keeps the
+    // zero-jobs-at-registration contract (unlike q132's hierarchy,
+    // whose checkpointed rounds materialize at plan build and so stay
+    // a Scala-API operator).
+    operators.Relational.copurchaseTriangles(spark, sfDir)
+      .createOrReplaceTempView("copurchase_triangles")
+
     val orders = Tables.orders(spark, sfDir)
     operators.Relational.mergeUpsert(
       orders.select(col("o_orderkey"), col("o_orderstatus"),

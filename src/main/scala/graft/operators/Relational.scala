@@ -910,46 +910,64 @@ object Relational {
         |FROM x GROUP BY p
         |ORDER BY n_tri DESC, part
         |LIMIT 20""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_quantity") >= 25)
-        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-        .distinct()
-      val e = li.select(col("o"), col("p").as("u"))
-        .join(li.select(col("o").as("o2"), col("p").as("v")),
-          col("o") === col("o2") && col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
-      val deg = e.select(col("u").as("n"))
-        .unionAll(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-      // orient from lower (degree, id): ties broken by id keep the
-      // order total, so the oriented graph is acyclic
-      val lowerFirst = e
-        .join(deg.select(col("n").as("u2"), col("dg").as("du")),
-          col("u") === col("u2"))
-        .join(deg.select(col("n").as("v2"), col("dg").as("dv")),
-          col("v") === col("v2"))
-        .select(
-          when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")),
-            struct(col("u").as("s"), col("v").as("t")))
-            .otherwise(struct(col("v").as("s"), col("u").as("t")))
-            .as("st"))
-        .select(col("st.s").as("s"), col("st.t").as("t"))
-      val wedges = lowerFirst
-        .join(lowerFirst.select(col("s").as("s2"), col("t").as("t2")),
-          col("s") === col("s2") && col("t") < col("t2"))
-        .select(col("s"), col("t").as("t1"), col("t2"))
-      // close each wedge against the CANONICAL (u < v) edge list:
-      // t1 < t2 by construction, so {t1, t2} canonicalizes to (t1, t2)
-      val tri = wedges.join(e,
-        wedges("t1") === e("u") && wedges("t2") === e("v"))
-        .select(col("s"), col("t1"), col("t2"))
-      tri.select(explode(array(col("s"), col("t1"), col("t2"))).as("part"))
-        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      copurchaseTriangles(s, d)
         .orderBy(col("n_tri").desc, col("part"))
         .limit(20)
     }
   )
+
+  /** Per-part triangle participation counts in the co-purchase graph
+    * (parts sharing an order on lines with l_quantity ≥ 25), one row
+    * (part, n_tri) per triangle-participating part.
+    *
+    * Every undirected edge is oriented from its lower (degree, id)
+    * endpoint — a total order, so the oriented graph is a DAG and every
+    * triangle has exactly one node with two out-edges; enumerating
+    * (wedge at that apex) ⋈ (closing edge) counts each triangle once,
+    * and out-degrees are bounded by √(2m) (a node's out-neighbors all
+    * have degree ≥ its own), which bounds the wedge blowup — the
+    * O(m√m) plan that survives power-law graphs at 100 TB, where the
+    * naive a<b<c self-join explodes on hub nodes. Fully lazy (no
+    * plan-build jobs), so [[graft.Graft.registerAll]] can expose it as
+    * the `copurchase_triangles` SQL view. */
+  def copurchaseTriangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    val e = li.select(col("o"), col("p").as("u"))
+      .join(li.select(col("o").as("o2"), col("p").as("v")),
+        col("o") === col("o2") && col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    // orient from lower (degree, id): ties broken by id keep the
+    // order total, so the oriented graph is acyclic
+    val lowerFirst = e
+      .join(deg.select(col("n").as("u2"), col("dg").as("du")),
+        col("u") === col("u2"))
+      .join(deg.select(col("n").as("v2"), col("dg").as("dv")),
+        col("v") === col("v2"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t")))
+          .as("st"))
+      .select(col("st.s").as("s"), col("st.t").as("t"))
+    val wedges = lowerFirst
+      .join(lowerFirst.select(col("s").as("s2"), col("t").as("t2")),
+        col("s") === col("s2") && col("t") < col("t2"))
+      .select(col("s"), col("t").as("t1"), col("t2"))
+    // close each wedge against the CANONICAL (u < v) edge list:
+    // t1 < t2 by construction, so {t1, t2} canonicalizes to (t1, t2)
+    val tri = wedges.join(e,
+      wedges("t1") === e("u") && wedges("t2") === e("v"))
+      .select(col("s"), col("t1"), col("t2"))
+    tri.select(explode(array(col("s"), col("t1"), col("t2"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+  }
 
   /** Resolve every node of a parent-child forest to its terminal
     * ancestor (root) and depth, in O(log maxDepth) rounds of path

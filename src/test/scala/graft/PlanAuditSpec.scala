@@ -55,7 +55,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // never CartesianProduct
     Seq("q03_join3_topk", "q45_skew_salted_join", "q30_minhash_lsh",
       "q35_embedding_neardup", "q129_bloom_decontamination",
-      "q132_hierarchy_rollup").foreach { q =>
+      "q132_hierarchy_rollup", "q133_triangle_parts").foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), q)
     }
   }

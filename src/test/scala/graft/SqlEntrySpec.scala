@@ -118,6 +118,17 @@ class SqlEntrySpec extends AnyFunSuite {
     assert(r.getLong(0) == ev.count() && r.getLong(1) == 0L)
   }
 
+  test("copurchase_triangles from pure SQL matches the q133 top-20") {
+    val s = registered
+    val got = s.sql(
+      """SELECT part, n_tri FROM copurchase_triangles
+        |ORDER BY n_tri DESC, part LIMIT 20""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = SparkEntry.queries("q133_triangle_parts")(s, Spec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("pure-SQL bucketed join over the persistent catalog has no exchange") {
     val s = registered
     val wh = java.nio.file.Files.createTempDirectory("graft-sql-bucketed")
