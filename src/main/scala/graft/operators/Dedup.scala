@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -879,6 +880,71 @@ object Dedup {
             .as("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(20)
+    },
+
+    // ----- exact thresholded set-similarity join via prefix filtering ------
+    // The EXACT counterpart to MinHash (q30, probabilistic recall) and
+    // the thresholded counterpart to q32 (top-k, must touch every
+    // shared-shingle pair): all pairs with Jaccard ≥ 3/5 over the same
+    // df-capped shingle universe, AllPairs/PPJoin-style. Shingles get a
+    // global (df ASC, shingle) order — rarest first — and each doc
+    // joins only on its PREFIX, the first s − ceil(τ·s) + 1 shingles:
+    // if a pair meets the threshold, the pigeonhole forces a shared
+    // prefix shingle under any common order (skipping ceil(τ·s)
+    // shingles of either set leaves < the required intersection), so
+    // recall is exact while the candidate join touches only each doc's
+    // (1−τ)-fraction rarest shingles — with rare-first ordering those
+    // carry the SMALLEST dfs, collapsing candidate volume vs q32's full
+    // inverted index. The verify is integer-exact: inter·5 ≥ union·3
+    // (τ = 3/5), no float threshold boundary on either engine. The
+    // oracle is the naive thresholded join — a structurally different
+    // plan that must produce the identical pair set (AdversarialSpec
+    // additionally pins prefix-recall = brute-force on the fixture).
+    Q("q134_setsim_join",
+      s"""WITH shd AS ($SHINGLE_CAPPED_SQL),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+         |  FROM shd a JOIN shd b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b)
+         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+         |  CAST(m AS BIGINT) AS n_inter,
+         |  CAST(sa.n + sb.n - m AS BIGINT) AS n_union
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE m * 5 >= (sa.n + sb.n - m) * 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val shd = shinglesCapped(s, d)
+      val dfreq = shd.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val sz = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("shingle"))
+      // prefix length s − ceil(3s/5) + 1, integer-exact:
+      // ceil(3s/5) = (3s + 4) div 5
+      val pref = shd.join(dfreq, "shingle")
+        .withColumn("rk", row_number().over(w))
+        .join(sz, "doc_id")
+        .filter(col("rk") <= col("sz") - expr("(sz * 3 + 4) DIV 5") + 1)
+      val cand = pref.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(pref.select(col("doc_id").as("doc_b"),
+          col("shingle").as("sh2")),
+          col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val prof = shd.groupBy(col("doc_id"))
+        .agg(collect_set(col("shingle")).as("pr"), count(lit(1)).as("n"))
+      cand
+        .join(prof.select(col("doc_id").as("doc_a"), col("pr").as("pa"),
+          col("n").as("na")), "doc_a")
+        .join(prof.select(col("doc_id").as("doc_b"), col("pr").as("pb"),
+          col("n").as("nb")), "doc_b")
+        .withColumn("n_inter",
+          size(array_intersect(col("pa"), col("pb"))).cast("long"))
+        .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+        .filter(col("n_inter") * 5 >= col("n_union") * 3)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }

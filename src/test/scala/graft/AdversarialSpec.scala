@@ -70,6 +70,19 @@ class AdversarialSpec extends AnyFunSuite {
       s"non-planted pairs scored > 0: ${positive -- Set((0L, 1L), (2L, 3L))}")
   }
 
+  test("prefix-filtered set-similarity join recalls exactly the brute-force pairs") {
+    // the prefix theorem's exactness claim, checked against a
+    // candidate-free brute force on the same capped universe: every
+    // τ-passing pair must survive prefix pruning, and nothing else
+    val got = SparkEntry.queries("q134_setsim_join")(spark, corpusDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(got == Set((0L, 1L), (2L, 3L)),
+      s"expected exactly the planted pairs, got ${got.size}: " +
+        got.take(10).mkString(", "))
+  }
+
   test("repeated-passage detector flags long boilerplate at linear cost") {
     import org.apache.spark.sql.functions._
     // 300 docs sharing a 32-token boilerplate prefix (two full 16-token
