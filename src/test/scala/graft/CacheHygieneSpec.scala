@@ -30,6 +30,18 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(persisted.isEmpty)
   }
 
+  test("the prefix-filter join leaves only the catalog-managed shingle cache") {
+    reset()
+    SparkEntry.queries("q134_setsim_join")(spark, Spec.sfDir).count()
+    // same contract as q32: the shared capped-shingle table is the one
+    // cached artifact (read by prefix, candidate, and profile stages),
+    // and clearCache drains it
+    assert(persisted.size == 1,
+      s"net persisted RDDs after q134: ${persisted.size}")
+    spark.catalog.clearCache()
+    assert(persisted.isEmpty)
+  }
+
   test("q82 k-means frees superseded centroid rounds and keeps the corpus cache") {
     reset()
     SparkEntry.queries("q82_kmeans")(spark, Spec.sfDir).count()
