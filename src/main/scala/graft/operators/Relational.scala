@@ -874,6 +874,53 @@ object Relational {
         .orderBy(col("root"), col("depth"))
     },
 
+    // ----- sorted-neighborhood record linkage (Hernández–Stolfo SNM) -------
+    // The third classic blocking scheme, complementing q93's length-band
+    // key blocking and q30/q134's set-similarity candidates: sort all
+    // records by a key, compare only pairs within a sliding window of
+    // w = 10 positions. KEY-INDEPENDENT — a hot blocking key cannot
+    // blow up a block, because ranks are unique: candidate volume is
+    // exactly n·(w−1) pairs no matter how skewed the data. The global
+    // rank deliberately avoids Spark's single-partition global window
+    // (a scale-killer): repartitionByRange gives non-overlapping sorted
+    // ranges in partition-index order, so sortWithinPartitions +
+    // zipWithIndex yields the exact global position without ever
+    // collecting the data — the rank is boundary-placement-independent
+    // (distinct keys, total order), so it equals the oracle's
+    // row_number() exactly. The window itself is a BUCKET EQUI-JOIN
+    // (rank div w, probing own + next bucket), not a rank-range theta
+    // join. Verify = levenshtein ≤ 3 on the w−1 neighbors.
+    Q("q135_sorted_neighborhood",
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |r AS (SELECT p_name, row_number() OVER (ORDER BY p_name) AS rk
+        |      FROM names)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 9
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      val w = 10
+      val sorted = Tables.part(s, d)
+        .select(col("p_name").as("name")).distinct()
+        .repartitionByRange(32, col("name"))
+        .sortWithinPartitions("name")
+      val ranked = s.createDataFrame(
+        sorted.select(col("name")).rdd.zipWithIndex()
+          .map { case (r, i) => (r.getString(0), i + 1) })
+        .toDF("name", "rk")
+      val a = ranked.select(col("name").as("name_a"), col("rk").as("ra"))
+        .withColumn("bk", explode(array(expr("ra DIV 10"),
+          expr("ra DIV 10") + 1)))
+      val b = ranked.select(col("name").as("name_b"), col("rk").as("rb"))
+        .withColumn("bk", expr("rb DIV 10"))
+      a.join(b, "bk")
+        .filter(col("rb") > col("ra") && col("rb") <= col("ra") + (w - 1))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy(col("name_a"), col("name_b"))
+    },
+
     // ----- triangle counting with degree-ordered orientation ---------------
     // Graph analytics beyond PageRank/components: triangles in the
     // co-purchase graph (parts sharing an order, high-quantity lines).

@@ -83,6 +83,30 @@ class AdversarialSpec extends AnyFunSuite {
         got.take(10).mkString(", "))
   }
 
+  test("sorted-neighborhood rank equals the naive global window") {
+    // the zipWithIndex rank must equal row_number() over a global sort
+    // regardless of where repartitionByRange placed its boundaries —
+    // checked by recomputing the pair set with the naive (single-
+    // partition) window at the fixture scale
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val names = Tables.part(spark, Spec.sfDir)
+      .select(col("p_name").as("name")).distinct()
+    val naive = names
+      .withColumn("rk", row_number().over(Window.orderBy(col("name"))))
+    val nPairs = naive.select(col("name").as("na"), col("rk").as("ra"))
+      .join(naive.select(col("name").as("nb"), col("rk").as("rb")),
+        col("rb") > col("ra") && col("rb") <= col("ra") + 9)
+      .filter(levenshtein(col("na"), col("nb")) <= 3)
+      .select(col("na"), col("nb"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = SparkEntry.queries("q135_sorted_neighborhood")(spark, Spec.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == nPairs,
+      s"SNM pairs diverge: extra=${(got -- nPairs).take(5)} " +
+        s"missing=${(nPairs -- got).take(5)}")
+  }
+
   test("repeated-passage detector flags long boilerplate at linear cost") {
     import org.apache.spark.sql.functions._
     // 300 docs sharing a 32-token boilerplate prefix (two full 16-token
