@@ -607,6 +607,89 @@ object Eventing {
           col("s").cast("long").as("n_events"),
           ((col("n") * col("s2") - col("s") * col("s")).cast("double")
             / (col("n") * col("s")).cast("double")).as("fano"))
+    },
+
+    // ----- peak concurrent sessions per day (two-level sweep line) ----------
+    // The capacity-planning question — how many sessions were open AT
+    // ONCE? — is the classic interval sweep: ±1 deltas at session
+    // start/end, running sum, max. The textbook formulation is a
+    // GLOBAL ordered window, Spark's "moving all data to a single
+    // partition" scale-killer (the q120 lesson). The sweep decomposes
+    // exactly instead: within each minute bucket a window PARTITIONED
+    // by (day, bucket) computes the local running peak (scales — every
+    // partition is one minute of one day), and across buckets only the
+    // per-bucket NET deltas — an aggregated frame of ≤1440 rows per
+    // day, like q120's per-length frame — carry the prefix; peak(day) =
+    // max over buckets of (prefix before bucket + local peak). Tie
+    // rule: starts sort before ends at the same microsecond (delta
+    // DESC), so back-to-back touching sessions count as overlapping —
+    // stated in the oracle's ORDER BY too, or engines could disagree.
+    // Sessions are the q39 gap rule (shared sessionIds — the rule
+    // can't diverge); multi-day sessions are excluded so a day's sweep
+    // is self-contained (starts at 0) on both engines. All arithmetic
+    // is integer micros and ±1 sums — exact everywhere.
+    Q("q136_max_concurrency",
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |z AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(CASE WHEN pt IS NULL OR t - pt > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM x),
+        |sess AS (
+        |  SELECT min(t) AS st, max(t) AS en
+        |  FROM z GROUP BY user_id, sid
+        |  HAVING min(t) // 86400000000 = max(t) // 86400000000),
+        |b AS (
+        |  SELECT st // 86400000000 AS day, st AS t, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT en // 86400000000 AS day, en AS t, -1 AS delta FROM sess),
+        |r AS (
+        |  SELECT day,
+        |    sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+        |    delta
+        |  FROM b)
+        |SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sessions,
+        |  CAST(max(run) AS BIGINT) AS peak
+        |FROM r GROUP BY day""".stripMargin) { (s, d) =>
+      val dayUs = 86400000000L
+      val sess = sessionIds(Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t")))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("t")).as("st"), max(col("t")).as("en"))
+        .filter(expr(s"st div $dayUs = en div $dayUs"))
+      val bounds = sess.select(col("st").as("t"), lit(1).as("delta"))
+        .unionAll(sess.select(col("en").as("t"), lit(-1).as("delta")))
+        .select(expr(s"t div $dayUs").as("day"),
+          expr("t div 60000000").as("bucket"), col("t"), col("delta"))
+      val wIntra = Window.partitionBy(col("day"), col("bucket"))
+        .orderBy(col("t").asc, col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perBucket = bounds
+        .withColumn("run", sum(col("delta")).over(wIntra))
+        .groupBy(col("day"), col("bucket"))
+        .agg(sum(col("delta")).as("net"), max(col("run")).as("rb"),
+          sum(when(col("delta") === 1, 1L).otherwise(0L)).as("starts"))
+      val wInter = Window.partitionBy(col("day")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perBucket
+        .withColumn("prefix", coalesce(sum(col("net")).over(wInter), lit(0L)))
+        .groupBy(col("day"))
+        .agg(sum(col("starts")).as("n_sessions"),
+          max(col("prefix") + col("rb")).cast("long").as("peak"))
+        .select(date_format(timestamp_micros(col("day") * dayUs),
+            "yyyy-MM-dd").as("day"),
+          col("n_sessions"), col("peak"))
     }
   )
 }
