@@ -1586,6 +1586,50 @@ object TextOps {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("lo"),
           max(col("n_chars")).as("hi"))
+    },
+
+    // ----- inverted index build (bounded posting lists) ---------------------
+    // The retrieval-engine core: token → (df, total tf, top-5 postings
+    // "doc:tf" by tf DESC, doc_id). The naive top-N-per-token is a
+    // row_number window PARTITIONED BY token — on a web corpus the
+    // stopword partitions hold billions of (doc, tf) rows and the
+    // per-token sort is the skew bottleneck. Here the cap rides the
+    // AGGREGATION instead: the bounded-state TopK Aggregator (q97's,
+    // k=5) keeps ≤k entries per group through partial aggregation, so
+    // hot tokens combine map-side like any other key — no per-token
+    // sort, no skewed window, one (tok,doc) shuffle then one tok
+    // shuffle. Postings serialize as a STRING (driver-stable carrier;
+    // arrays are outside the output contract) in the deterministic
+    // (tf DESC, doc_id) order both engines state explicitly.
+    Q("q137_inverted_index",
+      """WITH tfd AS (
+        |  SELECT tok, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents) t
+        |  GROUP BY tok, doc_id),
+        |r AS (
+        |  SELECT tok, doc_id, tf,
+        |    row_number() OVER (PARTITION BY tok
+        |      ORDER BY tf DESC, doc_id) AS rk
+        |  FROM tfd)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS tf_total,
+        |  string_agg(CASE WHEN rk <= 5 THEN doc_id || ':' || tf END,
+        |    ',' ORDER BY rk) AS postings
+        |FROM r GROUP BY tok""".stripMargin) { (s, d) =>
+      val top5 = udaf(new graft.functions.Aggregators.TopK(5))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+          top5(col("tf"), col("doc_id")).as("top"))
+        .select(col("tok"), col("df"), col("tf_total"),
+          array_join(transform(col("top"),
+            x => concat(x.getField("_2").cast("string"), lit(":"),
+              x.getField("_1").cast("string"))), ",").as("postings"))
     }
   )
 }
