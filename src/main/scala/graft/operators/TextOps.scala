@@ -1630,6 +1630,71 @@ object TextOps {
           array_join(transform(col("top"),
             x => concat(x.getField("_2").cast("string"), lit(":"),
               x.getField("_1").cast("string"))), ",").as("postings"))
+    },
+
+    // ----- collocation extraction (PMI lift, log-free) ----------------------
+    // Which token pairs co-occur far more than chance — the
+    // vocabulary/tokenizer-training signal (and the PMI ranking's
+    // core). PMI's log is monotone, so ranking by the LIFT
+    // p(xy)/(p(x)·p(y)) = c12·N²/(M·c1·c2) orders identically and
+    // stays transcendental-free (the engine-wide rule: ln() is not
+    // bit-portable across engines). The lift splits into TWO
+    // exact-integer divisions times one IEEE multiply —
+    // (c12·N)/(M·c1) · N/c2, parenthesized identically in both
+    // engines — because the single-fraction form c12·N² overflows
+    // DECIMAL(38,0) once N passes ~3e12 tokens (real web corpora);
+    // each factor's products stay ≤ ~1e26, q109-safe. Unigram counts
+    // attach by two shuffle JOINS, not a broadcast: a web-scale vocab
+    // is itself huge. The c12 ≥ 5 support filter runs BEFORE the
+    // joins, so the joined side is the (tiny) surviving candidate set.
+    Q("q138_collocations",
+      """WITH bg AS (
+        |  SELECT l[i] AS w1, l[i + 1] AS w2, count(*) AS c12
+        |  FROM (SELECT string_split(lower(text), ' ') AS l FROM documents) t
+        |  CROSS JOIN unnest(range(1, len(l))) AS u(i)
+        |  GROUP BY w1, w2),
+        |uni AS (
+        |  SELECT tok AS w, count(*)::HUGEINT AS c
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents) t
+        |  GROUP BY tok),
+        |tot AS (
+        |  SELECT sum(len(l))::HUGEINT AS n,
+        |    (sum(len(l)) - count(*))::HUGEINT AS m
+        |  FROM (SELECT string_split(lower(text), ' ') AS l FROM documents) t)
+        |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+        |  (CAST(c12::HUGEINT * n AS DOUBLE) / CAST(m * u1.c AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) / CAST(u2.c AS DOUBLE)) AS lift
+        |FROM bg JOIN uni u1 ON bg.w1 = u1.w
+        |        JOIN uni u2 ON bg.w2 = u2.w, tot
+        |WHERE c12 >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val t = col("toks")
+      val docsT = Tables.documents(s, d).select(tokens.as("toks"))
+      val tot = docsT.agg(sum(size(t)).cast(dec).as("n"),
+        (sum(size(t)) - count(lit(1))).cast(dec).as("m"))
+      val uni = docsT.select(explode(t).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bigrams = zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      docsT.select(explode(bigrams).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c12"),
+          (((col("c12").cast(dec) * col("n")).cast("double")
+            / (col("m") * col("c1").cast(dec)).cast("double"))
+           * (col("n").cast("double") / col("c2").cast("double")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 }
