@@ -85,10 +85,17 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = Session.build(s"local[$cpus]", cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val profiler =
-      if (sys.env.get("SPARK_GRAFT_BENCH_PROFILE").contains("1")) {
-        val p = new Profiler; spark.sparkContext.addSparkListener(p); Some(p)
-      } else None
+    // Attribution is ALWAYS collected and lands in the JSON artifact:
+    // round-7's driver run was ~1.9x the builder's clean runs and the
+    // artifact carried no way to tell a degraded host window (majflt
+    // storms, stolen CPU) from a plan regression. The listener sums
+    // task-reported counters (O(1) per task) and /proc/self/stat reads
+    // are one syscall per rep — negligible against multi-second queries.
+    // SPARK_GRAFT_BENCH_PROFILE=1 additionally echoes per-rep lines to
+    // stderr for live watching.
+    val profiler = { val p = new Profiler
+      spark.sparkContext.addSparkListener(p); p }
+    val profVerbose = sys.env.get("SPARK_GRAFT_BENCH_PROFILE").contains("1")
     // Deterministic block release at the query boundary (see clearCache
     // note below). SPARK_GRAFT_KEEP_RDDS=1 disables it for leak A/B runs.
     val freeRdds = !sys.env.get("SPARK_GRAFT_KEEP_RDDS").contains("1")
@@ -137,8 +144,8 @@ object Bench {
         if (freeRdds)
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
-        profiler.foreach { p =>
-          val (tgc, trun, sp, dgc, flt, mjf, cpu) = p.snap()
+        val (tgc, trun, sp, dgc, flt, mjf, cpu) = profiler.snap()
+        if (profVerbose) {
           val stored = spark.sparkContext.getRDDStorageInfo
           System.err.println(
             f"[prof] $name rep=$rep wall=$wall%.3f taskGcMs=$tgc " +
@@ -147,9 +154,10 @@ object Bench {
             f"rddMB=${stored.map(i => i.memSize + i.diskSize).sum / (1 << 20)} " +
             f"faults=$flt majflt=$mjf cpuJf=$cpu")
         }
-        (wall, err)
+        (wall, err, mjf, cpu, dgc)
       }
-      (name, runs.map(_._1).sorted, runs.flatMap(_._2).headOption)
+      (name, runs.map(_._1).sorted, runs.flatMap(_._2).headOption,
+        runs.map(r => (r._1, r._3, r._4, r._5)))
     }
 
     def jstr(s: String): String =
@@ -161,13 +169,25 @@ object Bench {
       } + "\""
     def ms(v: Double): String = f"$v%.3f"
     def med(sorted: Seq[Double]): Double = sorted(sorted.size / 2)
-    val qs = results.map { case (k, r, _) => s"${jstr(k)}:${ms(med(r))}" }
+    val qs = results.map { case (k, r, _, _) => s"${jstr(k)}:${ms(med(r))}" }
       .mkString("{", ",", "}")
     val runsJson = results
-      .map { case (k, r, _) => s"${jstr(k)}:${r.map(ms).mkString("[", ",", "]")}" }
+      .map { case (k, r, _, _) => s"${jstr(k)}:${r.map(ms).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val errs = results.collect { case (k, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
+    // Per-rep host attribution in REP ORDER (unlike "runs", which is
+    // sorted): each entry is [wallSec, majorFaults, cpuJiffies, gcMs],
+    // so a slow rep in the artifact carries its own cause — a majflt
+    // spike or a cpu-jiffy deficit (host stole the cores) is a degraded
+    // window; flat counters with high wall is a real plan cost.
+    val attribJson = results.map { case (k, _, _, reps) =>
+      s"${jstr(k)}:" + reps.map { case (w, mjf, cpu, gc) =>
+        s"[${ms(w)},$mjf,$cpu,$gc]" }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val majfltTotal = results.flatMap(_._4).map(_._2).sum
+    val cpuJfTotal = results.flatMap(_._4).map(_._3).sum
+    val gcMsTotal = results.flatMap(_._4).map(_._4).sum
     val total = results.map(r => med(r._2)).sum
     // Sum of per-query MINIMA: the intrinsic-cost estimator under this
     // host's one-sided noise (SURVEY §11 — external fault-service
@@ -179,9 +199,11 @@ object Bench {
       s""""unit":"sec","min_total":${ms(minTotal)},""" +
       s""""failed":$nFailed,"n":${results.size},"reps":$reps,""" +
       s""""sf":${jstr(sfDir)},"cpus":$cpus,""" +
+      s""""majflt_total":$majfltTotal,"cpu_jf_total":$cpuJfTotal,""" +
+      s""""gc_ms_total":$gcMsTotal,""" +
       s""""xmx_mb":${Runtime.getRuntime.maxMemory / (1 << 20)}"""
     val full =
-      s"""{"metric":"total","value":${ms(total)},$common,"queries":$qs,"runs":$runsJson,"errors":$errs}"""
+      s"""{"metric":"total","value":${ms(total)},$common,"queries":$qs,"runs":$runsJson,"errors":$errs,"attrib":$attribJson}"""
     // headline-only line — small enough to survive ANY tail capture
     val summary = s"""{"metric":"total","value":${ms(total)},$common}"""
 

@@ -22,8 +22,10 @@ object Session {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // `events.parquet` stores ts as Parquet TIMESTAMP(NANOS), which the
-      // reader otherwise rejects; session-level (not hidden in a loader)
+      // Older events.parquet fixtures stored ts as Parquet
+      // TIMESTAMP(NANOS), which the reader otherwise rejects; harmless
+      // for the current timestamp[us] fixtures (Tables.events branches
+      // on the dtype it reads). Session-level (not hidden in a loader)
       // so no table getter mutates shared state mid-query.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Fault tolerance is config, not code, on Spark (SURVEY §2.A A13):

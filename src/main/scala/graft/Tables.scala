@@ -26,31 +26,52 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as Parquet TIMESTAMP(NANOS), which
-    * Spark's reader rejects outright. Sessions built via [[Session.build]]
-    * set `spark.sql.legacy.parquet.nanosAsLong` so it reads as raw nanos;
-    * here we convert to a microsecond timestamp — same truncation DuckDB
-    * applies, so oracle comparisons agree. (The conf belongs in session
-    * construction; for a caller-built session it is set here ONLY if
-    * absent — idempotent, and never flips an explicit setting under a
-    * concurrent reader.)
+  /** `events.parquet` has carried `ts` under two different Parquet
+    * encodings across fixture generations: TIMESTAMP(NANOS) (read as raw
+    * nanos via `spark.sql.legacy.parquet.nanosAsLong`) and plain
+    * `timestamp[us]` with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    * The loader branches on the dtype it actually got, so a fixture
+    * regeneration changes zero queries: either way the caller sees a
+    * session-TZ `TimestampType` column with microsecond epoch values that
+    * match DuckDB's reading of the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Fallback for caller-built sessions (the queries map is a public
-    // contract taking any SparkSession): without this conf the read
-    // throws PARQUET_TYPE_ILLEGAL. NOTE an `isEmpty` guard would be
-    // dead code — `conf.getOption` returns the REGISTERED DEFAULT
-    // Some("false") even when nothing was set — so the guard checks the
-    // effective value; a caller's explicit "false" is overridden
-    // because the read cannot succeed without it. Idempotent and a
-    // no-op on sessions from graft.Session.build.
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!s.conf.getOption(nanosKey).contains("true")) s.conf.set(nanosKey, "true")
-    // integer `div`, not `/`: double division can round UP by 1 µs on
-    // epoch-nanos magnitudes, diverging from DuckDB's truncation
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    // A caller-built session reading a NANOS-encoded fixture throws
+    // ILLEGAL_PARQUET_TYPE at schema inference; only then set the legacy
+    // conf and retry. (Sessions from graft.Session.build pre-set it, and
+    // a micros fixture never needs it.) NOTE `conf.getOption` returns the
+    // REGISTERED DEFAULT Some("false") even when nothing was set, so the
+    // guard checks the effective value.
+    val raw =
+      try apply(s, d, "events")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("NANOS") &&
+              !s.conf.getOption(nanosKey).contains("true") =>
+          s.conf.set(nanosKey, "true")
+          apply(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long: integer `div`, not `/` — double division can
+        // round UP by 1 µs on epoch-nanos magnitudes, diverging from
+        // DuckDB's truncation
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        // NTZ→instant cast interprets the wall clock in the SESSION
+        // timezone; only UTC reproduces DuckDB's naive reading of the
+        // same file. Session.build pins UTC; fail loudly for any other
+        // caller session rather than silently shifting every epoch.
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ in the fixture; converting to a " +
+            "session-TZ timestamp is value-preserving only under " +
+            "spark.sql.session.timeZone=UTC (set by graft.Session.build)")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already an instant timestamp: use as-is
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

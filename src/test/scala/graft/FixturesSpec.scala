@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guard against the driver regenerating fixtures under a new parquet
+  * encoding (round-7 lesson: `events.ts` moved from TIMESTAMP(NANOS) to
+  * `timestamp[us]` and 22 queries failed at analysis). Every loader is
+  * exercised against the CURRENT fixture files, and the events loader's
+  * dtype branches are each pinned, so the next silent contract change
+  * fails ONE named test here instead of an entire query family.
+  */
+class FixturesSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+
+  // Column contract per table: names the queries depend on, in fixture
+  // order. A regeneration that renames/retypes any of these should fail
+  // here with the table named.
+  private val contract: Map[String, Seq[(String, DataType)]] = Map(
+    "region"   -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation"   -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+                      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+                      "c_nationkey" -> IntegerType,
+                      "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+                      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part"     -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+                      "p_brand" -> StringType, "p_type" -> StringType,
+                      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders"   -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+                      "o_orderstatus" -> StringType,
+                      "o_totalprice" -> DoubleType,
+                      "o_orderdate" -> TimestampNTZType,
+                      "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+                      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+                      "l_quantity" -> DoubleType,
+                      "l_extendedprice" -> DoubleType,
+                      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+                      "l_returnflag" -> StringType,
+                      "l_linestatus" -> StringType,
+                      "l_shipdate" -> TimestampNTZType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+                       "lang" -> StringType, "source" -> StringType,
+                       "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+                        "embedding" -> ArrayType(FloatType, containsNull = true),
+                        "label" -> IntegerType)
+  )
+
+  contract.foreach { case (name, cols) =>
+    test(s"fixture $name loads and keeps its column contract") {
+      val df = Tables(spark, Spec.sfDir, name)
+      val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      cols.foreach { case (c, t) =>
+        assert(got.contains(c), s"$name: column $c missing (have ${got.keys})")
+        assert(got(c) == t, s"$name.$c: expected $t, fixture has ${got(c)}")
+      }
+    }
+  }
+
+  test("events loader accepts the current fixture encoding -> TimestampType") {
+    val df = Tables.events(spark, Spec.sfDir)
+    assert(df.schema("ts").dataType == TimestampType,
+      s"events.ts must surface as TimestampType, got ${df.schema("ts").dataType}")
+    assert(df.schema.fieldNames.contains("event_id"))
+    assert(df.schema.fieldNames.contains("user_id"))
+    // the cast must be value-preserving: min/max epoch micros inside the
+    // fixture's generation era, not shifted by a timezone
+    // reinterpretation (UTC session contract)
+    val row = df.agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts")))).head()
+    val (lo, hi) = (row.getLong(0), row.getLong(1))
+    val y2020 = 1577836800000000L
+    val y2030 = 1893456000000000L
+    assert(lo >= y2020 && hi <= y2030,
+      s"events.ts epoch range [$lo,$hi] outside plausible fixture era")
+  }
+
+  test("events loader nanos-as-long branch converts div-1000 exactly") {
+    // The historical fixture encoding (TIMESTAMP(NANOS)) surfaces as
+    // LongType under spark.sql.legacy.parquet.nanosAsLong; a plain
+    // INT64 column reads identically, so it exercises the same branch.
+    val dir = java.nio.file.Files.createTempDirectory("graft-fixspec").toString
+    val nanos = Seq(
+      (1L, 7L, 1700000000123456789L),
+      (2L, 7L, 1700000000999999999L))
+    spark.createDataFrame(nanos).toDF("event_id", "user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Tables.events(spark, dir)
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.orderBy("event_id")
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+    // integer div truncates toward zero — NOT rounding up on ...999999999
+    assert(got == Seq(1700000000123456L, 1700000000999999L), got)
+  }
+}

@@ -8,9 +8,11 @@ Usage: python3 tools/scale4x_extra.py <sfDir> <outDir>
 - events: 4x rows — each original plus 3 copies with distinct event_id
   and a +k-second shift, SAME user_id, so per-user timelines densify
   4x (the stress sessionization/attribution actually face at scale).
-  Written via DuckDB because the column must stay TIMESTAMP_NS: the
-  fixture contract (graft.Tables.events) reads raw parquet nanos, and
-  Spark cannot write nanosecond timestamps.
+  Written via pyarrow preserving the SOURCE fixture's ts encoding
+  verbatim (currently timestamp[us] naive; historically
+  TIMESTAMP(NANOS)) — graft.Tables.events is schema-adaptive, and the
+  scale corpus must exercise the same branch as the production
+  fixtures.
 - lineitem: 4x rows — replicas with l_linenumber offset per copy
   (+10*k; fixture linenumbers are 1..7) so the (l_orderkey,
   l_linenumber) key stays UNIQUE: verbatim replicas would let any
@@ -35,15 +37,17 @@ SMALL = ["region", "nation", "customer", "supplier", "part", "orders"]
 def main(sfdir, outdir):
     os.makedirs(outdir, exist_ok=True)
     con = duckdb.connect()
-    # events via pyarrow: DuckDB 1.0's parquet writer downcasts
-    # TIMESTAMP_NS to micros, but the fixture contract (graft.Tables
-    # .events) requires the column stay TIMESTAMP(NANOS).
+    # events via pyarrow so the output schema is byte-identical to the
+    # input fixture's (DuckDB's writer would re-encode the ts column;
+    # pa.Table.from_pandas(schema=ev.schema) round-trips either the
+    # current timestamp[us] encoding or the historical TIMESTAMP_NS one).
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     ev = pq.read_table(f"{sfdir}/events.parquet")
-    assert ev.schema.field("ts").type == pa.timestamp("ns"), ev.schema
+    assert ev.schema.field("ts").type in (
+        pa.timestamp("us"), pa.timestamp("ns")), ev.schema
     parts = []
     for k in range(4):
         t = ev.to_pandas()
