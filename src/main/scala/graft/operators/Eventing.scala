@@ -690,6 +690,48 @@ object Eventing {
         .select(date_format(timestamp_micros(col("day") * dayUs),
             "yyyy-MM-dd").as("day"),
           col("n_sessions"), col("peak"))
+    },
+
+    // ----- watermark-loss audit: late-drop accounting per window ----------
+    // Deterministic replay of append-mode watermark semantics (see
+    // Streams.watermarkAudit): 6-hour ingest slices, the user_id%10
+    // cohort syncs one slice late, 10-min watermark, 1-hour windows.
+    // The oracle mirrors the engine rules exactly — running max of
+    // per-batch max event time, ms-floored (the engine's watermark is
+    // ms-resolution), minus delay; drop iff window end ≤ the watermark
+    // in force when the batch arrives. WatermarkReplaySpec pins this
+    // simulation to a real file-by-file streaming run.
+    Q("q139_watermark_audit",
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t,
+        |    epoch_us(ts) // 21600000000
+        |      + CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END AS b,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS ws
+        |  FROM events),
+        |bm AS (SELECT b, max(t) AS mx FROM e GROUP BY b),
+        |wmt AS (
+        |  SELECT b,
+        |    (max(mx) OVER (ORDER BY b
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) // 1000)
+        |      * 1000 - 600000000 AS wm_after
+        |  FROM bm),
+        |wmb AS (
+        |  SELECT b, lag(wm_after) OVER (ORDER BY b) AS wm_before FROM wmt),
+        |fin AS (SELECT max(wm_after) AS final_wm FROM wmt),
+        |j AS (
+        |  SELECT e.ws,
+        |    CASE WHEN wmb.wm_before IS NOT NULL
+        |      AND e.ws + 3600000000 <= wmb.wm_before THEN 1 ELSE 0 END AS late
+        |  FROM e JOIN wmb USING (b))
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  count(*) AS n_total,
+        |  CAST(sum(late) AS BIGINT) AS n_dropped,
+        |  CAST(count(*) - sum(late) AS BIGINT) AS n_kept,
+        |  (ws + 3600000000 <= (SELECT final_wm FROM fin)) AS closed
+        |FROM j GROUP BY ws""".stripMargin) { (s, d) =>
+      Streams.watermarkAudit(Tables.events(s, d),
+        sliceUs = 21600000000L, delayUs = 600000000L,
+        windowUs = 3600000000L, lateMod = 10L)
     }
   )
 }

@@ -155,4 +155,64 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Watermark-loss audit: a DETERMINISTIC batch replay of append-mode
+    * watermark semantics over a declared arrival order, quantifying per
+    * tumbling window how many events a given watermark delay would
+    * drop as late — the number an operator needs before picking a delay
+    * for a 100 TB/day stream (too short silently loses data; too long
+    * holds state and latency).
+    *
+    * Arrival model: events land in `sliceUs`-wide event-time ingest
+    * slices (micro-batch b = ts div sliceUs), except a delayed cohort —
+    * `user_id % lateMod == 0`, the clients that sync late — whose
+    * events arrive one slice later. Spark's engine rules are replayed
+    * exactly: the watermark after batch b is the running max event time
+    * over batches ≤ b, FLOORED TO MILLISECONDS (EventTimeStats tracks
+    * ms), minus the delay; a row arriving in batch b is dropped iff its
+    * window END is at or before the watermark in force during b (the
+    * one computed after b-1); a window is closed (emitted in append
+    * mode) once the final watermark passes its end.
+    *
+    * The per-batch table is metadata-scale (corpus span / sliceUs —
+    * ~120 rows for the fixture month), so its single-partition running
+    * max windows over AGGREGATED rows, never over the event stream;
+    * events join it broadcast. `WatermarkReplaySpec` holds this
+    * simulation to the real engine: the same arrival order replayed
+    * file-by-file through a watermarked append-mode stream must emit
+    * exactly the closed windows' kept counts.
+    */
+  def watermarkAudit(events: DataFrame, sliceUs: Long, delayUs: Long,
+      windowUs: Long, lateMod: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events
+      .select(unix_micros(col("ts")).as("t"), col("user_id"))
+      .withColumn("b", expr(s"t div $sliceUs") +
+        when(pmod(col("user_id"), lit(lateMod)) === 0, 1L).otherwise(0L))
+      .withColumn("ws", expr(s"(t div $windowUs) * $windowUs"))
+    val perBatch = e.groupBy("b").agg(max(col("t")).as("mx"))
+    val ord = Window.orderBy("b")
+    val wm = perBatch
+      .withColumn("runmax", max(col("mx")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // ms floor first: the engine's watermark is ms-resolution, and a
+      // window end can land inside the truncated sub-ms gap
+      .withColumn("wm_after", expr(s"(runmax div 1000) * 1000 - $delayUs"))
+      .withColumn("wm_before", lag(col("wm_after"), 1).over(ord))
+      .select(col("b"), col("wm_before"))
+    val finalWm = e.agg(
+      expr(s"(max(t) div 1000) * 1000 - $delayUs").as("final_wm"))
+    e.join(broadcast(wm), "b")
+      .withColumn("late", when(col("wm_before").isNotNull &&
+        col("ws") + windowUs <= col("wm_before"), 1L).otherwise(0L))
+      .groupBy(col("ws"))
+      .agg(count(lit(1)).as("n_total"), sum(col("late")).as("n_dropped"))
+      .crossJoin(broadcast(finalWm))
+      .select(
+        date_format(timestamp_micros(col("ws")),
+          "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("n_total"), col("n_dropped"),
+        (col("n_total") - col("n_dropped")).as("n_kept"),
+        (col("ws") + windowUs <= col("final_wm")).as("closed"))
+  }
 }
