@@ -79,6 +79,27 @@ object Bench {
     }
   }
 
+  /** Sink for the spin probe so the JIT cannot eliminate the loop. */
+  @volatile private var blackhole: Long = 0L
+
+  /** Fixed single-thread CPU probe: wall time of 5M xorshift steps —
+    * pure register work, no memory traffic, no allocation. On a healthy
+    * core this is a near-constant per JVM; when the host degrades the
+    * guest's effective cycle rate (SURVEY §12.1 — the recurring bench
+    * confound), this number inflates by the SAME factor as every query,
+    * turning "the run looks uniformly 2× slow" from an inference into a
+    * measurement carried inside the artifact itself. */
+  private def spinProbeMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 5000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    blackhole ^= x
+    (System.nanoTime() - t0) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -122,8 +143,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up ($name) failed: $e") }
     }
+    // JIT-warm the probe loop before any measured use
+    (1 to 20).foreach(_ => spinProbeMs())
     // (name, per-rep seconds sorted ascending, first error if any)
     val results = selected.map { case (name, fn) =>
+      val calib = spinProbeMs()
       val runs = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
@@ -157,7 +181,7 @@ object Bench {
         (wall, err, mjf, cpu, dgc)
       }
       (name, runs.map(_._1).sorted, runs.flatMap(_._2).headOption,
-        runs.map(r => (r._1, r._3, r._4, r._5)))
+        runs.map(r => (r._1, r._3, r._4, r._5)), calib)
     }
 
     def jstr(s: String): String =
@@ -169,22 +193,29 @@ object Bench {
       } + "\""
     def ms(v: Double): String = f"$v%.3f"
     def med(sorted: Seq[Double]): Double = sorted(sorted.size / 2)
-    val qs = results.map { case (k, r, _, _) => s"${jstr(k)}:${ms(med(r))}" }
+    val qs = results.map { case (k, r, _, _, _) => s"${jstr(k)}:${ms(med(r))}" }
       .mkString("{", ",", "}")
     val runsJson = results
-      .map { case (k, r, _, _) => s"${jstr(k)}:${r.map(ms).mkString("[", ",", "]")}" }
+      .map { case (k, r, _, _, _) => s"${jstr(k)}:${r.map(ms).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
+    val errs = results.collect { case (k, _, Some(e), _, _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     // Per-rep host attribution in REP ORDER (unlike "runs", which is
     // sorted): each entry is [wallSec, majorFaults, cpuJiffies, gcMs],
     // so a slow rep in the artifact carries its own cause — a majflt
     // spike or a cpu-jiffy deficit (host stole the cores) is a degraded
     // window; flat counters with high wall is a real plan cost.
-    val attribJson = results.map { case (k, _, _, reps) =>
+    val attribJson = results.map { case (k, _, _, reps, _) =>
       s"${jstr(k)}:" + reps.map { case (w, mjf, cpu, gc) =>
         s"[${ms(w)},$mjf,$cpu,$gc]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val calibJson = results
+      .map { case (k, _, _, _, c) => s"${jstr(k)}:${f"$c%.2f"}" }
+      .mkString("{", ",", "}")
+    val calibMed = {
+      val s = results.map(_._5).sorted
+      if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
     val majfltTotal = results.flatMap(_._4).map(_._2).sum
     val cpuJfTotal = results.flatMap(_._4).map(_._3).sum
     val gcMsTotal = results.flatMap(_._4).map(_._4).sum
@@ -201,9 +232,10 @@ object Bench {
       s""""sf":${jstr(sfDir)},"cpus":$cpus,""" +
       s""""majflt_total":$majfltTotal,"cpu_jf_total":$cpuJfTotal,""" +
       s""""gc_ms_total":$gcMsTotal,""" +
+      s""""calib_ms_med":${f"$calibMed%.2f"},""" +
       s""""xmx_mb":${Runtime.getRuntime.maxMemory / (1 << 20)}"""
     val full =
-      s"""{"metric":"total","value":${ms(total)},$common,"queries":$qs,"runs":$runsJson,"errors":$errs,"attrib":$attribJson}"""
+      s"""{"metric":"total","value":${ms(total)},$common,"queries":$qs,"runs":$runsJson,"errors":$errs,"attrib":$attribJson,"calib":$calibJson}"""
     // headline-only line — small enough to survive ANY tail capture
     val summary = s"""{"metric":"total","value":${ms(total)},$common}"""
 
