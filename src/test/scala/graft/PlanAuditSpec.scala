@@ -249,4 +249,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(numFiles > 0 && numFiles < all.inputFiles.length,
       s"scan read $numFiles of ${all.inputFiles.length} files")
   }
+
+  test("watermark audit joins the batch table broadcast, no cartesian") {
+    // the per-batch watermark table is metadata-scale (~120 rows): it
+    // must reach the event stream as a broadcast, and the one-row final
+    // watermark as a broadcast nested loop — a shuffle join or
+    // CartesianProduct here would re-shuffle the full event stream
+    val p = plan("q139_watermark_audit")
+    assert(p.contains("BroadcastHashJoin"), "batch table not broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian in watermark audit")
+  }
 }
