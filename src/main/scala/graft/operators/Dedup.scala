@@ -842,6 +842,49 @@ object Dedup {
         .filter(col("n_overlap") >= 3)
     },
 
+    // ----- contamination RATIO: fractional eval-overlap per document -------
+    // Completes the decontamination family's third semantics: q71 flags
+    // docs above an absolute-overlap threshold, q129 is the bloom-pruned
+    // membership screen; this is the normalized report-card number —
+    // what FRACTION of a doc's distinct 3-gram shingles appear anywhere
+    // in the eval split (the n-gram contamination metric training-data
+    // audits report). LEFT join so clean docs score 0.0 instead of
+    // vanishing — a contamination report that omits the clean majority
+    // can't be aggregated into a corpus rate. The eval shingle set is
+    // broadcast here (real benchmark suites are MBs); at an eval scale
+    // where that breaks, q129's bloom prefilter is the drop-in probe.
+    // Top-20 by ratio with doc_id tiebreak — deterministic both engines.
+    Q("q140_contamination_score",
+      s"""WITH sh AS ($SHINGLE_SQL),
+         |bench AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |prof AS (
+         |  SELECT s.doc_id, count(*) AS n_sh,
+         |    sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |  FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+         |  WHERE s.doc_id % 97 <> 0
+         |  GROUP BY s.doc_id)
+         |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+         |  CAST(n_hit AS BIGINT) AS n_overlap,
+         |  CAST(n_hit AS DOUBLE) / n_sh AS contamination
+         |FROM prof
+         |ORDER BY contamination DESC, doc_id
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val sh = shingles(s, d).persist()
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("shingle")).distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench.withColumn("hit", lit(1))),
+          Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .withColumn("contamination",
+          col("n_overlap").cast("double") / col("n_shingles"))
+        .orderBy(col("contamination").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // ----- n-gram Jaccard via inverted-index join over df-capped shingles ----
     // The inverted index is built on the df-capped shingle set: a
     // stop-shingle ("of the and") shared by k docs would contribute k²

@@ -1695,6 +1695,41 @@ object TextOps {
             .as("lift"))
         .orderBy(col("lift").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // ----- compaction plan: size-based bin packing of the small-file tail ---
+    // The operational op behind every "too many small files" page: pack
+    // each source's documents, in stable doc_id order, into target-size
+    // bins by running byte count — bin = (cumulative − 1) div target, so
+    // bins are contiguous id ranges a rewrite job can execute
+    // independently. Parallelism unit is the SOURCE (the table-partition
+    // analog, exactly how a compaction service shards its work queue):
+    // the running sum is the one inherent sequential dependency and it
+    // is bounded by partition size, never corpus size — no global
+    // window. 64 KiB target at fixture scale (the real knob is 128 MB);
+    // integer arithmetic end-to-end, so both engines bin identically.
+    Q("q141_compaction_plan",
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+        |  FROM documents)
+        |SELECT source, CAST((csum - 1) // 65536 AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM d
+        |GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("csum", sum(col("n_chars")).over(w))
+        .withColumn("bin", expr("(csum - 1) div 65536"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"), col("bin"))
     }
   )
 }
