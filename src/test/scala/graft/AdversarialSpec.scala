@@ -200,4 +200,60 @@ class AdversarialSpec extends AnyFunSuite {
     assert(maxBlock <= 120,
       s"hot block not split by length bands: max block $maxBlock of 400")
   }
+
+  test("watermark audit conserves events; close rule matches final watermark") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, Spec.sfDir)
+    val audit = graft.streaming.Streams
+      .watermarkAudit(ev, 21600000000L, 600000000L, 3600000000L, 10L)
+      .collect()
+    // conservation: every event lands in exactly one window row
+    assert(audit.map(_.getAs[Long]("n_total")).sum == ev.count())
+    audit.foreach { r =>
+      val (t, d, k) = (r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_dropped"), r.getAs[Long]("n_kept"))
+      assert(d >= 0 && d <= t && k == t - d, r.toString)
+    }
+    // the close rule is a single threshold on window start: sorted by
+    // wstart, closed must be a prefix (true...true false...false) —
+    // a closed window after an open one would mean the "final
+    // watermark" differs between rows
+    val flags = audit.sortBy(_.getAs[String]("wstart")).map(_.getAs[Boolean]("closed"))
+    assert(flags.dropWhile(identity).forall(!_), "closed not a prefix")
+    assert(flags.last == false, "the max-ts window cannot be closed")
+  }
+
+  test("contamination score is a [0,1] ratio over non-eval docs only") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q140_contamination_score")(
+      spark, Spec.sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 97 != 0, "eval doc in report")
+      val c = r.getAs[Double]("contamination")
+      assert(c >= 0.0 && c <= 1.0, s"ratio out of range: $r")
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_shingles"))
+    }
+  }
+
+  test("compaction bins respect the target unless one doc exceeds it") {
+    import org.apache.spark.sql.functions._
+    val target = 65536L
+    val maxDoc = Tables.documents(spark, Spec.sfDir)
+      .agg(max(col("n_chars"))).head().getLong(0)
+    val bins = SparkEntry.queries("q141_compaction_plan")(spark, Spec.sfDir)
+      .collect()
+    bins.foreach { r =>
+      // running-sum packing can overshoot by at most one document
+      assert(r.getAs[Long]("total_chars") <= target + maxDoc, r.toString)
+    }
+    // bins are dense 0..max per source (contiguous id ranges)
+    bins.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val ids = rs.map(_.getAs[Long]("bin")).sorted.toSeq
+      // dense 0..max holds when no single doc exceeds the target (true
+      // of the fixture); a doc bigger than the target legitimately
+      // skips bin ids
+      assert(ids == (0L until ids.size.toLong),
+        s"$src bins not dense: ${ids.take(10)}")
+    }
+  }
 }
