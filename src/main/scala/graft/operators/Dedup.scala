@@ -975,15 +975,22 @@ object Dedup {
           col("shingle").as("sh2")),
           col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      val prof = shd.groupBy(col("doc_id"))
-        .agg(collect_set(col("shingle")).as("pr"), count(lit(1)).as("n"))
-      cand
-        .join(prof.select(col("doc_id").as("doc_a"), col("pr").as("pa"),
-          col("n").as("na")), "doc_a")
-        .join(prof.select(col("doc_id").as("doc_b"), col("pr").as("pb"),
-          col("n").as("nb")), "doc_b")
-        .withColumn("n_inter",
-          size(array_intersect(col("pa"), col("pb"))).cast("long"))
+      // Exact verify WITHOUT materialized set profiles: expand each
+      // candidate pair by doc_a's capped shingles, keep the ones doc_b
+      // also has (shd is distinct per doc, so the count IS |A∩B|).
+      // Cheaper than collect_set profiles at scale: the expansion is
+      // bounded by Σ_cand |A| — candidates are already prefix-pruned —
+      // while profiles shuffle EVERY doc's full set as one wide row
+      // whether or not it appears in any candidate.
+      val m = cand
+        .join(shd.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(shd.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      m
+        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
         .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
         .filter(col("n_inter") * 5 >= col("n_union") * 3)
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
