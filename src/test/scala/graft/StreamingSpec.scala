@@ -230,4 +230,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(done.exists(s => s.user_id == 1 && s.n_events == 2 &&
       s.start_ts == ts(0, 0) && s.end_ts == ts(0, 30)))
   }
+
+  test("rate source: watermarked window agg holds state bounded on a live stream") {
+    // A GENUINELY unbounded built-in source (wall-clock rows, no end):
+    // values are deterministic (0,1,2,...) but timing is not, so the
+    // assertions are PROPERTIES, not golden values — the oracle-checked
+    // semantics live in q139/WatermarkReplaySpec; this test is the
+    // evidence the same transform runs against a live unbounded source
+    // with watermark-bounded state, the shape a 100 TB/day feed needs.
+    import org.apache.spark.sql.functions._
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      // synthesize event_type so the shared transform's groupBy runs
+      .select(col("timestamp").as("ts"),
+        (col("value") % 3).cast("string").as("event_type"),
+        lit(1.0).as("value"))
+    val agg = Streams.tumblingCounts(
+      Streams.withEventWatermark(rate, "2 seconds"), "1 second")
+    val name = s"rate_wm_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // run real triggers until append mode has emitted closed windows
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = 0L
+      while (rows == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        rows = spark.table(name).count()
+      }
+      assert(rows > 0, "no window closed within 30 s of live stream")
+      // watermark advanced past zero and state did not accumulate the
+      // whole stream: bounded by (watermark delay + window) worth of
+      // open windows x 3 event types, with slack for trigger jitter
+      val prog = q.lastProgress
+      assert(prog.eventTime.get("watermark") != null)
+      val stateRows = prog.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 60,
+        s"state grew unboundedly: $stateRows rows for a 2s+1s horizon")
+    } finally q.stop()
+  }
 }
