@@ -921,6 +921,59 @@ object Relational {
         .orderBy(col("name_a"), col("name_b"))
     },
 
+    // ----- exact equi-depth histogram (optimizer-statistics op) ------------
+    // The statistics every cost-based optimizer keeps: K buckets of
+    // (near-)equal ROW count with exact value bounds — where equi-WIDTH
+    // histograms (q81) collapse under skew, equi-depth boundaries track
+    // the data. Exactness needs the global rank; the single-partition
+    // ntile window is the scale-killer, so this reuses q135's
+    // distributed rank: repartitionByRange + sortWithinPartitions on
+    // the FULL tiebreak order (value, l_orderkey, l_linenumber — a
+    // total order, so the rank is boundary-placement-independent) +
+    // zipWithIndex. Both engines then apply the SAME ntile arithmetic
+    // to the rank (first n%K buckets take one extra row), rather than
+    // trusting two ntile implementations to tie-break alike. At 100 TB
+    // this is one range shuffle + a counting pass; the approx path
+    // (percentile_approx sketches) trades the shuffle away when exact
+    // bounds aren't required.
+    Q("q142_equidepth_histogram",
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    row_number() OVER
+        |      (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CAST(CASE WHEN rk <= (n % 32) * (n // 32 + 1)
+        |    THEN (rk - 1) // (n // 32 + 1)
+        |    ELSE (n % 32) + (rk - 1 - (n % 32) * (n // 32 + 1)) // (n // 32)
+        |  END AS BIGINT) AS bucket,
+        |  count(*) AS n_rows, min(v) AS lo, max(v) AS hi
+        |FROM r GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      val k = 32L
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      val n = li.count()
+      require(n >= k, s"equi-depth needs at least $k rows, corpus has $n")
+      val (q, r) = (n / k, n % k)
+      val sorted = li
+        .repartitionByRange(32, col("v"), col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("v", "l_orderkey", "l_linenumber")
+      val ranked = s.createDataFrame(
+        sorted.select(col("v")).rdd.zipWithIndex()
+          .map { case (row, i) => (row.getDouble(0), i + 1) })
+        .toDF("v", "rk")
+      ranked
+        .withColumn("bucket", expr(
+          s"CAST(CASE WHEN rk <= ${r * (q + 1)} THEN (rk - 1) DIV ${q + 1} " +
+          s"ELSE $r + (rk - 1 - ${r * (q + 1)}) DIV $q END AS BIGINT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
     // ----- triangle counting with degree-ordered orientation ---------------
     // Graph analytics beyond PageRank/components: triangles in the
     // co-purchase graph (parts sharing an order, high-quantity lines).
