@@ -117,6 +117,26 @@ object Bench {
     val profiler = { val p = new Profiler
       spark.sparkContext.addSparkListener(p); p }
     val profVerbose = sys.env.get("SPARK_GRAFT_BENCH_PROFILE").contains("1")
+    // Phase-level attribution for the per-execution driver floor
+    // (SPARK_GRAFT_BENCH_PROFILE=1): Catalyst's QueryPlanningTracker
+    // carries per-execution analysis/optimization/planning wall times,
+    // which is exactly the driver-side share that task metrics can't
+    // see. Stderr-only, opt-in — zero cost on gate runs.
+    if (profVerbose)
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val ph = qe.tracker.phases.toSeq.sortBy(_._1).map { case (k, v) =>
+              s"$k=${v.endTimeMs - v.startTimeMs}ms" }.mkString(" ")
+            System.err.println(
+              f"[qe] $fn total=${durationNs / 1e6}%.1fms $ph")
+          }
+          override def onFailure(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        })
     // Deterministic block release at the query boundary (see clearCache
     // note below). SPARK_GRAFT_KEEP_RDDS=1 disables it for leak A/B runs.
     val freeRdds = !sys.env.get("SPARK_GRAFT_KEEP_RDDS").contains("1")
@@ -236,8 +256,20 @@ object Bench {
       s""""xmx_mb":${Runtime.getRuntime.maxMemory / (1 << 20)}"""
     val full =
       s"""{"metric":"total","value":${ms(total)},$common,"queries":$qs,"runs":$runsJson,"errors":$errs,"attrib":$attribJson,"calib":$calibJson}"""
+    // The driver's tail capture keeps only the LAST stdout line, so any
+    // attribution that matters across rounds must ride in the summary
+    // itself: r7's regression was unattributable from BENCH_r07.json
+    // alone because the per-query medians lived only in the (truncated)
+    // full line. Carry the 15 heaviest per-query medians — enough to
+    // diff two rounds' heavy tails without repo-local files — while
+    // keeping the line a few hundred bytes.
+    val top = results.map { case (k, r, _, _, _) => (k, med(r)) }
+      .sortBy { case (k, v) => (-v, k) }.take(15)
+      .map { case (k, v) => s"${jstr(k)}:${ms(v)}" }
+      .mkString("{", ",", "}")
     // headline-only line — small enough to survive ANY tail capture
-    val summary = s"""{"metric":"total","value":${ms(total)},$common}"""
+    val summary =
+      s"""{"metric":"total","value":${ms(total)},$common,"top":$top}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     Files.writeString(Paths.get(outPath), full + "\n" + summary + "\n")

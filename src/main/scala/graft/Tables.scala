@@ -16,8 +16,59 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Analyzed-DataFrame cache, keyed per (session, dir, table).
+    *
+    * `spark.read.parquet` re-lists the path and re-reads parquet footers
+    * on EVERY call — pure driver-side latency that a 142-query bench
+    * session pays thousands of times (each query references 1–4 tables,
+    * × 3 reps). A DataFrame is an immutable plan fragment, so handing the
+    * same instance back is semantically identical: Catalyst still
+    * analyzes/optimizes each enclosing query from scratch; only the
+    * file-listing + schema-inference work is shared. This is the local
+    * analog of a real deployment's catalog metastore, where table schema
+    * and file manifests are resolved once, not per query.
+    *
+    * Contract: a fixture dir is immutable for the life of the process
+    * (TESTDATA.md fixtures and `tools/ScaleData` outputs are
+    * write-once). Keyed on the session instance so a stopped session's
+    * plans are never handed to a new one.
+    */
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  // get-then-putIfAbsent rather than computeIfAbsent: the events
+  // loader re-enters this cache for the raw read while building the
+  // typed entry, and a reentrant computeIfAbsent deadlocks/throws on a
+  // concurrent resize. A lost race merely builds the same immutable
+  // plan twice.
+  private def cached(s: SparkSession, d: String, key: String)
+                    (mk: => DataFrame): DataFrame = {
+    val k = (s, d, key)
+    val hit = dfCache.get(k)
+    if (hit != null) hit
+    else {
+      val v = mk
+      val prev = dfCache.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cached(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Cached fixture-table row count — the ANALYZE TABLE statistics
+    * analog. The derive-from-n sizing rules (LSH band count, SimHash
+    * width, k-means K, ANN table count …) need only `count(table)`, and
+    * re-running that scan as a Spark job at every plan build is the
+    * single largest share of those queries' fixed overhead. Keyed by
+    * (dir, table): the count is a property of the immutable fixture
+    * files, not of any session.
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  def rowCount(s: SparkSession, d: String, name: String): Long =
+    countCache.computeIfAbsent((d, name), _ => apply(s, d, name).count())
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
@@ -35,7 +86,7 @@ object Tables {
     * session-TZ `TimestampType` column with microsecond epoch values that
     * match DuckDB's reading of the same file.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame = cached(s, d, "events#typed") {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
@@ -48,8 +99,12 @@ object Tables {
     val raw =
       try apply(s, d, "events")
       catch {
+        // Match the stable error class first (the message wording has
+        // shifted across Spark versions); keep the "NANOS" substring as
+        // a fallback for builds predating error classes.
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("NANOS") &&
+            if (Option(e.getCondition).exists(_.contains("ILLEGAL_PARQUET_TYPE")) ||
+              e.getMessage.contains("NANOS")) &&
               !s.conf.getOption(nanosKey).contains("true") =>
           s.conf.set(nanosKey, "true")
           apply(s, d, "events")

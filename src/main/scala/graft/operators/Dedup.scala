@@ -430,7 +430,7 @@ object Dedup {
       // The signature table is read by candidate generation AND both
       // sides of the verification join: persist it (one small array row
       // per doc — the standard persisted artifact of MinHash-LSH).
-      val rows = bandRows(Tables.documents(s, d).count())
+      val rows = bandRows(Tables.rowCount(s, d, "documents"))
       val sigs = minhashSigs(s, d).persist()
       val cand = bandPairs(bandSignatures(sigs, rows), _ < _)
       val matchCnt = size(filter(
@@ -450,7 +450,7 @@ object Dedup {
     // Width derived from corpus count at plan-build (simhashBits): one
     // metadata-cheap count(), the same derive-from-n rule as bandRows.
     Q("q31_simhash", simhashOracle) { (s, d) =>
-      simhashes(s, d, simhashBits(Tables.documents(s, d).count()))
+      simhashes(s, d, simhashBits(Tables.rowCount(s, d, "documents")))
     },
 
     // ----- SimHash near-dup pairs via pigeonhole banding -------------------
@@ -482,7 +482,7 @@ object Dedup {
          |FROM cand
          |ORDER BY hamming, doc_a, doc_b
          |LIMIT 20""".stripMargin) { (s, d) =>
-      val w = simhashBits(Tables.documents(s, d).count())
+      val w = simhashBits(Tables.rowCount(s, d, "documents"))
       // both self-join sides read the fingerprint table; without the
       // persist the full explode+aggregate lineage runs once per branch
       val sh = simhashes(s, d, w).persist()
@@ -557,7 +557,7 @@ object Dedup {
         .join(fpT.select(col("doc_id").as("doc_b"), col("fp").as("fp2")),
           col("fp") === col("fp2") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
-      val n = docs.count()
+      val n = Tables.rowCount(s, d, "documents")
       val sigs = minhashSigs(s, d).persist()
       val mh = bandPairs(bandSignatures(sigs, bandRows(n)), _ < _)
       val w = simhashBits(n)
@@ -615,7 +615,7 @@ object Dedup {
          |  SELECT e.eb, r.lbl FROM r JOIN edges e ON e.ea = r.node)
          |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          |FROM r GROUP BY node""".stripMargin) { (s, d) =>
-      val rows = bandRows(Tables.documents(s, d).count())
+      val rows = bandRows(Tables.rowCount(s, d, "documents"))
       // the signature table feeds BOTH sides of the band self-join;
       // persist for the edge build, release right after the checkpoint
       // (which cuts the lineage) so nothing outlives the query
@@ -741,17 +741,31 @@ object Dedup {
          |SELECT node AS doc_id, rank AS pagerank_micro FROM r$iters""".stripMargin
     }) { (s, d) =>
       val iters = 5
-      val rows = bandRows(Tables.documents(s, d).count())
+      val rows = bandRows(Tables.rowCount(s, d, "documents"))
       val sigs = minhashSigs(s, d).persist()
       // symmetric directed edges with the source's out-degree attached
       // once (the join constant of every iteration)
       val edgesRaw = bandPairs(bandSignatures(sigs, rows), _ =!= _)
         .select(col("doc_a").as("ea"), col("doc_b").as("eb"))
+      // Pre-partition BOTH loop constants on their join keys before
+      // checkpointing: Dataset.localCheckpoint records the physical
+      // plan's outputPartitioning in the LogicalRDD it leaves behind,
+      // so every round's `edges JOIN ranks ON ea = node` finds both
+      // sides already hash-co-partitioned and EnsureRequirements adds
+      // NO exchange — the per-round shuffle count drops to the one
+      // inherent to the graph (the contribution re-key by eb). The
+      // rank update's join output inherits hash(node) partitioning, so
+      // each round's checkpoint hands the next round an already-keyed
+      // frame: the classic iterative-engine loop invariant, expressed
+      // in Spark as partitioning-preserving checkpoints.
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val (edges, edgeRdd) = Iterative.checkpointed(edgesRaw
-        .join(edgesRaw.groupBy(col("ea")).agg(count(lit(1)).as("deg")), "ea"))
+        .join(edgesRaw.groupBy(col("ea")).agg(count(lit(1)).as("deg")), "ea")
+        .repartition(p, col("ea")))
       sigs.unpersist(blocking = false)
       var (ranks, rankRdd) = Iterative.checkpointed(Tables.documents(s, d)
-        .select(col("doc_id").as("node"), lit(1000000L).as("rank")))
+        .select(col("doc_id").as("node"), lit(1000000L).as("rank"))
+        .repartition(p, col("node")))
       (1 to iters).foreach { _ =>
         val contrib = edges.join(ranks, col("ea") === col("node"))
           .select(col("eb"), expr("rank div deg").as("c"))
@@ -848,9 +862,12 @@ object Dedup {
     // membership screen; this is the normalized report-card number —
     // what FRACTION of a doc's distinct 3-gram shingles appear anywhere
     // in the eval split (the n-gram contamination metric training-data
-    // audits report). LEFT join so clean docs score 0.0 instead of
-    // vanishing — a contamination report that omits the clean majority
-    // can't be aggregated into a corpus rate. The eval shingle set is
+    // audits report). LEFT join so a per-doc n_overlap = 0 is
+    // representable — the ratio's denominator must count every doc
+    // shingle even when nothing matched. (The top-20 ORDER BY below
+    // then discards the clean rows; the join shape is about correct
+    // per-doc arithmetic, not about surfacing them.) The eval shingle
+    // set is
     // broadcast here (real benchmark suites are MBs); at an eval scale
     // where that breaks, q129's bloom prefilter is the drop-in probe.
     // Top-20 by ratio with doc_id tiebreak — deterministic both engines.

@@ -900,9 +900,12 @@ object Relational {
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
       val w = 10
+      // partition count derives from the session (the codec stages'
+      // pattern) rather than a literal: on a 1000-executor cluster the
+      // range sort spreads over the real core count, not a dev-box 32
       val sorted = Tables.part(s, d)
         .select(col("p_name").as("name")).distinct()
-        .repartitionByRange(32, col("name"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("name"))
         .sortWithinPartitions("name")
       val ranked = s.createDataFrame(
         sorted.select(col("name")).rdd.zipWithIndex()
@@ -952,13 +955,14 @@ object Relational {
         |ORDER BY bucket""".stripMargin) { (s, d) =>
       val k = 32L
       val li = Tables.lineitem(s, d)
-        .select(col("l_extendedprice").as("v"),
+        .select(col("l_extendedprice").cast("double").as("v"),
           col("l_orderkey"), col("l_linenumber"))
-      val n = li.count()
+      val n = Tables.rowCount(s, d, "lineitem")
       require(n >= k, s"equi-depth needs at least $k rows, corpus has $n")
       val (q, r) = (n / k, n % k)
       val sorted = li
-        .repartitionByRange(32, col("v"), col("l_orderkey"), col("l_linenumber"))
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("v"), col("l_orderkey"), col("l_linenumber"))
         .sortWithinPartitions("v", "l_orderkey", "l_linenumber")
       val ranked = s.createDataFrame(
         sorted.select(col("v")).rdd.zipWithIndex()

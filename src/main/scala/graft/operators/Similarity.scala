@@ -292,7 +292,7 @@ object Similarity {
          |  t -> bit_count(xor(cs[t] & msk, qcs[t] & msk)) <= 1)) > 0
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin) { (s, d) =>
-      val nbits = numBits(embTable(s, d).count())
+      val nbits = numBits({ graft.functions.VecOps.ensureRegistered(s); Tables.rowCount(s, d, "embeddings") })
       val e = embTable(s, d)
         .select(col("vec_id"), col("label"), quant(col("embedding")).as("ev"))
       val qr = e.filter(col("vec_id") === 0)
@@ -403,7 +403,7 @@ object Similarity {
       // 64-dim quantized vector 8× through the bucket join trades
       // shuffle bytes for two join stages — the right trade while
       // vector payloads stay ~0.5 KB.
-      val nbits = numBits(embTable(s, d).count())
+      val nbits = numBits({ graft.functions.VecOps.ensureRegistered(s); Tables.rowCount(s, d, "embeddings") })
       val e = embTable(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("ev"))
       // persist the coded rows: both self-join sides read them, and the
@@ -620,7 +620,7 @@ object Similarity {
          |ORDER BY d2, vec_a, vec_b
          |LIMIT 20""".stripMargin
     }) { (s, d) =>
-      val k = sdK(embTable(s, d).count())
+      val k = sdK({ graft.functions.VecOps.ensureRegistered(s); Tables.rowCount(s, d, "embeddings") })
       // quantized vectors + self-dots: read once, reused by assignment
       // AND both pair sides — the per-query artifact (q35 rule)
       val e = embTable(s, d)
@@ -713,7 +713,7 @@ object Similarity {
          |FROM asg a JOIN documents d ON d.doc_id = a.vec_id
          |GROUP BY a.cid, d.lang""".stripMargin
     }) { (s, d) =>
-      val k = sdK(embTable(s, d).count())
+      val k = sdK({ graft.functions.VecOps.ensureRegistered(s); Tables.rowCount(s, d, "embeddings") })
       // persisted: the quantized frame feeds the centroid filter AND
       // the assignment probe — re-scanning the corpus per branch is
       // the 100 TB waste the q49 rule exists for
@@ -786,7 +786,7 @@ object Similarity {
          |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10 AS recall_at_10
          |FROM q LEFT JOIN hits h ON q.qid = h.qid""".stripMargin
     }) { (s, d) =>
-      val nbits = numBits(embTable(s, d).count())
+      val nbits = numBits({ graft.functions.VecOps.ensureRegistered(s); Tables.rowCount(s, d, "embeddings") })
       val (nt, rr) = annConfig(nbits)
       // persisted: the quantized frame feeds the query panel, the
       // exact ranking, and the candidate index — three branches, one

@@ -242,6 +242,14 @@ object TextOps {
       val thr = toks.count() / 1000
       val cands = toks.stat.freqItems(Array("token"), 0.001)
         .head().getSeq[String](0)
+      // The candidate list is driver-resident by design (freqItems'
+      // space-saving sketch bounds it near 1/support = 1000 entries);
+      // fail fast with the actual count if a support change or sketch
+      // pathology ever hands back a list too large to broadcast as an
+      // IN-set (the mergeUpsert documented-precondition pattern).
+      require(cands.size <= 100000,
+        s"q130 candidate set ${cands.size} exceeds the driver-side bound " +
+          "(100k); raise the freqItems support or stream the candidates")
       toks.filter(col("token").isInCollection(cands))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
@@ -358,7 +366,7 @@ object TextOps {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, tok) AS rk FROM scored) r
         |WHERE rk <= 3""".stripMargin) { (s, d) =>
-      val nDocs = Tables.documents(s, d).count()
+      val nDocs = Tables.rowCount(s, d, "documents")
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens).as("tok"))
         .filter(length(col("tok")) > 3)
@@ -1564,7 +1572,7 @@ object TextOps {
         |  CAST(max(n_chars) AS BIGINT) AS hi
         |FROM b GROUP BY bucket""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      val n = Tables.rowCount(s, d, "documents")
       val (q, r) = (n / 10, n % 10)
       val perLen = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
       val cum = perLen
@@ -1708,13 +1716,18 @@ object TextOps {
     // is bounded by partition size, never corpus size — no global
     // window. 64 KiB target at fixture scale (the real knob is 128 MB);
     // integer arithmetic end-to-end, so both engines bin identically.
+    // `greatest(csum, 1)` pins the one divergent input: at csum = 0
+    // (possible only when a source's leading docs are empty) DuckDB's
+    // `//` floors to -1 while Spark's `div` truncates to 0; clamping
+    // maps that case to bin 0 in BOTH engines, with zero effect on any
+    // csum >= 1 (i.e. on all current fixtures).
     Q("q141_compaction_plan",
       """WITH d AS (
         |  SELECT source, doc_id, n_chars,
         |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
         |  FROM documents)
-        |SELECT source, CAST((csum - 1) // 65536 AS BIGINT) AS bin,
+        |SELECT source, CAST((greatest(csum, 1) - 1) // 65536 AS BIGINT) AS bin,
         |  count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM d
@@ -1725,7 +1738,7 @@ object TextOps {
       Tables.documents(s, d)
         .select(col("source"), col("doc_id"), col("n_chars"))
         .withColumn("csum", sum(col("n_chars")).over(w))
-        .withColumn("bin", expr("(csum - 1) div 65536"))
+        .withColumn("bin", expr("(greatest(csum, 1L) - 1) div 65536"))
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))

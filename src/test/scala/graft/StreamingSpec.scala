@@ -251,22 +251,38 @@ class StreamingSpec extends AnyFunSuite {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      // run real triggers until append mode has emitted closed windows
-      val deadline = System.currentTimeMillis() + 30000
+      // run real triggers until append mode has emitted closed windows.
+      // 90 s deadline: on a healthy host the first window closes in
+      // ~4 s; the slack is purely for CI hosts that stall triggers
+      // (ADVICE r8) — a longer wait costs nothing when things work.
+      val deadline = System.currentTimeMillis() + 90000
       var rows = 0L
       while (rows == 0 && System.currentTimeMillis() < deadline) {
         Thread.sleep(500)
         rows = spark.table(name).count()
       }
-      assert(rows > 0, "no window closed within 30 s of live stream")
+      assert(rows > 0, "no window closed within 90 s of live stream")
       // watermark advanced past zero and state did not accumulate the
-      // whole stream: bounded by (watermark delay + window) worth of
-      // open windows x 3 event types, with slack for trigger jitter
+      // whole stream. The bound is DERIVED from the observed watermark
+      // lag rather than a wall-clock constant: live state holds only
+      // windows not yet below the watermark, i.e. ~(maxEventTime -
+      // watermark)/window + 1 windows x 3 event types, plus slack for
+      // the window straddling the horizon — so a stalled trigger that
+      // processes a backlog (large transient lag) raises the allowance
+      // by exactly the lag it caused instead of flaking the test.
       val prog = q.lastProgress
-      assert(prog.eventTime.get("watermark") != null)
+      val wmStr = prog.eventTime.get("watermark")
+      assert(wmStr != null)
+      val maxStr = prog.eventTime.get("max")
+      val lagSec =
+        if (maxStr == null) 0L
+        else (java.time.Instant.parse(maxStr).toEpochMilli -
+          java.time.Instant.parse(wmStr).toEpochMilli).max(0L) / 1000
+      val allowed = 3 * (lagSec + 4)
       val stateRows = prog.stateOperators.map(_.numRowsTotal).sum
-      assert(stateRows <= 60,
-        s"state grew unboundedly: $stateRows rows for a 2s+1s horizon")
+      assert(stateRows <= allowed,
+        s"state grew unboundedly: $stateRows rows for a watermark lag " +
+          s"of ${lagSec}s (allowed $allowed)")
     } finally q.stop()
   }
 }
