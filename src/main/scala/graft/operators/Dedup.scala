@@ -81,20 +81,20 @@ object Dedup {
     * and recomputing the scan+explode+distinct lineage per join branch
     * is the kind of waste that turns hours into days at 100 TB. */
   private def shinglesCapped(s: SparkSession, d: String): DataFrame = {
-    val shd = shingles(s, d).persist()
-    val hot = shd.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val hot = shingles(s, d).groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > DF_CAP)
       .select(col("shingle"))
-    val capped = shd.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // LAZY persist, deliberately: the first consumer action materializes
+    // the capped cache as part of its own execution, so no dedicated
+    // materialization pass (an extra full SQL execution per calling
+    // query) exists. The broadcast (hot) side recomputes the shingle
+    // explode instead of reading a temporary cache of the UNCAPPED set —
+    // one extra scan+explode of `documents`, fully pipelined map-side
+    // work, in exchange for never writing the largest intermediate of
+    // the whole family to cache memory twice.
+    shingles(s, d).join(broadcast(hot), Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
       .persist()
-    // Materialize the capped cache now (one action; the broadcast side
-    // fills the shd cache, the probe side reads it) so the inner persist
-    // can be released immediately — library callers embedding this
-    // transform must not accumulate a hidden cached RDD per invocation.
-    capped.count()
-    shd.unpersist(blocking = false)
-    capped
   }
 
   private val SHINGLE_CAPPED_SQL =

@@ -81,4 +81,40 @@ class ObservabilitySpec extends AnyFunSuite {
         .foreach(_.unpersist(blocking = false))
     }
   }
+
+  test("q91's three signals share one pass (no hidden materializations)") {
+    // VERDICT r8 #4: the ensemble query persists the minhash-signature
+    // and simhash tables and feeds each to multiple join branches. The
+    // r9 structure materializes those caches INSIDE the single output
+    // action (lazy persists, no dedicated count()/checkpoint passes),
+    // so the whole query — exact + minhash + simhash pair streams,
+    // union, aggregate — is at most 2 SQL executions: the corpus
+    // rowCount (cached across the suite, so often 0) + the one output
+    // action. A third execution appearing here means some signal
+    // regained a private materialization pass.
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = j.properties.getProperty("spark.sql.execution.root.id",
+          j.properties.getProperty("spark.sql.execution.id"))
+        if (id != null) execIds.add(id)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = SparkEntry.queries("q91_ensemble_dedup")(spark, Spec.sfDir)
+      assert(out.count() > 0)
+      org.apache.spark.GraftTestHooks
+        .waitListenerBusEmpty(spark.sparkContext, 30000)
+      val n = execIds.size
+      assert(n <= 2, s"q91 ran $n SQL executions — a signal branch is " +
+        "materializing outside the shared output action")
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
 }
