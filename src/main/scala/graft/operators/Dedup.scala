@@ -982,10 +982,15 @@ object Dedup {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("shingle"))
       // prefix length s − ceil(3s/5) + 1, integer-exact:
-      // ceil(3s/5) = (3s + 4) div 5
+      // ceil(3s/5) = (3s + 4) div 5. The doc's set size rides the SAME
+      // window exchange as the rank (an unordered count over the
+      // doc_id partition) instead of a separate aggregate + join — one
+      // less stage in a chain whose wall cost at bench scale is stage
+      // latency, and one less shuffle of the shingle table at 100 TB.
       val pref = shd.join(dfreq, "shingle")
         .withColumn("rk", row_number().over(w))
-        .join(sz, "doc_id")
+        .withColumn("sz",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
         .filter(col("rk") <= col("sz") - expr("(sz * 3 + 4) DIV 5") + 1)
       val cand = pref.select(col("doc_id").as("doc_a"), col("shingle"))
         .join(pref.select(col("doc_id").as("doc_b"),
