@@ -1017,6 +1017,45 @@ object Relational {
       copurchaseTriangles(s, d)
         .orderBy(col("n_tri").desc, col("part"))
         .limit(20)
+    },
+
+    // ----- column statistics: the ANALYZE TABLE analog ---------------------
+    // Per-column profile of the fact table's measure columns — row
+    // count, non-null count, exact NDV, min, max — the statistics a
+    // cost-based optimizer (and q142's histogram story) builds on. ONE
+    // scan for all columns: the multi-distinct aggregate goes through
+    // Spark's Expand (each row fans out once per distinct column, then
+    // partial-aggregates map-side), which is how ANALYZE computes
+    // column stats without one pass per column — at 100 TB, 4 scans vs
+    // 1 is the whole game. `stack` unpivots the single stats row into
+    // the per-column report shape. Exact NDV keeps the oracle
+    // bit-exact; the drop-in at web scale is approx_count_distinct
+    // (HLL), same plan shape minus the Expand.
+    Q("q143_column_stats", {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count($c) AS n_nonnull, count(DISTINCT $c) AS ndv,
+           |  CAST(min($c) AS DOUBLE) AS min_v,
+           |  CAST(max($c) AS DOUBLE) AS max_v FROM lineitem"""
+          .stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, d) =>
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))
+      }
+      val one = Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      one.select(expr(
+        s"""stack(${cols.size}, ${cols.map(c =>
+            s"'$c', n_rows, nn_$c, ndv_$c, min_$c, max_$c").mkString(", ")})
+           |AS (col_name, n_rows, n_nonnull, ndv, min_v, max_v)"""
+          .stripMargin))
+        .orderBy(col("col_name"))
     }
   )
 
