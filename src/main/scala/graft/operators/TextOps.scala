@@ -237,11 +237,15 @@ object TextOps {
         |HAVING count(*) > (SELECT t FROM thr)
         |ORDER BY n DESC, token""".stripMargin) { (s, d) =>
       val toks = Tables.documents(s, d).select(explode(tokens).as("token"))
-      // same integer floor as the oracle's `count(*) // 1000` — one
-      // scalar aggregate at plan build (the bandRows discipline)
-      val thr = toks.count() / 1000
-      val cands = toks.stat.freqItems(Array("token"), 0.001)
+      // The exact token count (the oracle's `count(*) // 1000` floor)
+      // rides the freqItems pass as an observe() metric instead of its
+      // own scan — the ObservabilitySpec discipline: plan-build scalars
+      // publish from jobs that run anyway.
+      val obs = org.apache.spark.sql.Observation()
+      val cands = toks.observe(obs, count(lit(1)).as("n_tok"))
+        .stat.freqItems(Array("token"), 0.001)
         .head().getSeq[String](0)
+      val thr = obs.get("n_tok").asInstanceOf[Long] / 1000
       // The candidate list is driver-resident by design (freqItems'
       // space-saving sketch bounds it near 1/support = 1000 entries);
       // fail fast with the actual count if a support change or sketch
