@@ -259,4 +259,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "batch table not broadcast")
     assert(!p.contains("CartesianProduct"), "cartesian in watermark audit")
   }
+
+  test("column stats profile all columns in ONE scan (Expand, not N passes)") {
+    // q143's whole point is the ANALYZE shape: a multi-distinct
+    // aggregate computes every column's NDV/min/max from a single scan
+    // of the fact table, via Expand. Four FileScans here would mean the
+    // plan regressed to one pass per column — 4x the IO at 100 TB.
+    val p = plan("q143_column_stats")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"q143 reads the fact table $scans times")
+    assert(p.contains("Expand"), "multi-distinct aggregate lost its Expand")
+  }
 }
