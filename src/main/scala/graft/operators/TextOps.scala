@@ -1747,6 +1747,71 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("source"), col("bin"))
+    },
+
+    // ----- weighted sampling without replacement (priority sampling) --------
+    // Quality-weighted corpus subsampling — "pick K docs with inclusion
+    // probability increasing in weight, plus an unbiased estimator for
+    // any subset sum over the full corpus" — is the curation op behind
+    // weight-proportional mixture carving and survey-style corpus QA.
+    // This is Duffield–Lund–Thorup priority sampling (JACM '07): each
+    // item gets priority w/u with u uniform in (0,1], the K largest
+    // priorities are the sample, and est = max(w, tau) with tau the
+    // (K+1)-th priority makes every subset-sum estimate unbiased.
+    // Determinism across engines: u is frozen as (h+1)/2^48 with h the
+    // first 48 md5 bits of doc_id, and the only non-integer arithmetic
+    // is one double division and one comparison — IEEE-correctly-
+    // rounded in both engines, so priorities are bit-identical (the
+    // transcendental-free analog of the q65/q75 md5-permutation rule;
+    // exponential-key A-Res would need ln/pow, which libm and StrictMath
+    // round differently). Scale shape: the global top-(K+1) is
+    // TakeOrderedAndProject — per-partition heaps of K+1 rows, no
+    // global sort, no corpus shuffle; tau and the final ranks are
+    // windows over the 101-row survivor frame only (metadata scale,
+    // the q139 exception).
+    Q("q144_weighted_sample",
+      s"""WITH p AS (
+         |  SELECT doc_id, n_chars AS w,
+         |    CAST(n_chars AS DOUBLE) / (${hex48Sql("doc_id")} + 1) AS priority
+         |  FROM documents),
+         |t AS (
+         |  SELECT priority AS tau FROM p
+         |  ORDER BY priority DESC, doc_id LIMIT 1 OFFSET 100)
+         |SELECT doc_id, CAST(w AS BIGINT) AS weight, priority,
+         |  greatest(CAST(w AS DOUBLE), (SELECT tau FROM t)) AS est_weight
+         |FROM p
+         |ORDER BY priority DESC, doc_id
+         |LIMIT 100""".stripMargin) { (s, d) =>
+      val k = 100
+      val h = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("w"),
+          (col("n_chars").cast("double") / (h + lit(1L))).as("priority"))
+      // one pass over the corpus: orderBy+limit plans as
+      // TakeOrderedAndProject (per-partition top-(K+1) heaps + merge)
+      val survivors = p
+        .orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      survivors
+        .withColumn("tau", min(col("priority")).over(wAll))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("priority").desc, col("doc_id"))))
+        .filter(col("rk") <= k)
+        .select(col("doc_id"), col("w").cast("long").as("weight"),
+          col("priority"),
+          greatest(col("w").cast("double"), col("tau")).as("est_weight"))
     }
   )
+
+  /** 48-bit integer from the first 12 md5 hex chars of a column, in
+    * DuckDB SQL — mechanical strpos terms generated like the simhash
+    * oracle's, so width changes can't drift between terms. */
+  private def hex48Sql(c: String): String =
+    (1 to 12).map { p =>
+      val scale = java.math.BigInteger.valueOf(16L).pow(12 - p)
+      s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), $p, 1)) - 1) * $scale"
+    }.mkString("(", " + ", ")")
 }

@@ -256,4 +256,38 @@ class AdversarialSpec extends AnyFunSuite {
         s"$src bins not dense: ${ids.take(10)}")
     }
   }
+
+  test("priority sample IS the top-K by w/u; est = max(w, tau)") {
+    import org.apache.spark.sql.functions._
+    // independent derivation of the Duffield–Lund–Thorup selection:
+    // recompute every doc's frozen priority and take the top 101 by the
+    // query's total order, then hold the operator to (a) sample =
+    // ranks 1..100, (b) tau = the 101st priority, (c) per-item
+    // estimator = max(weight, tau) — the three properties that make
+    // subset-sum estimates over the sample unbiased.
+    val k = 100
+    val h = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    val all = Tables.documents(spark, Spec.sfDir)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        (col("n_chars").cast("double") / (h + lit(1L))).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k + 1).collect()
+    val tau = all.last.getAs[Double]("priority")
+    val expected = all.take(k)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("priority"))).toMap
+
+    val got = SparkEntry.queries("q144_weighted_sample")(spark, Spec.sfDir)
+      .collect()
+    assert(got.length == k)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(expected.contains(id), s"doc $id not in the true top-$k")
+      assert(r.getAs[Double]("priority") == expected(id))
+      val est = r.getAs[Double]("est_weight")
+      assert(est == math.max(r.getAs[Long]("weight").toDouble, tau),
+        s"estimator broken for doc $id: $r (tau=$tau)")
+    }
+  }
 }

@@ -270,4 +270,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"q143 reads the fact table $scans times")
     assert(p.contains("Expand"), "multi-distinct aggregate lost its Expand")
   }
+
+  test("weighted sample's global top-K is a heap merge, not a global sort") {
+    // q144's corpus-wide selection must plan as TakeOrderedAndProject
+    // (per-partition top-(K+1) heaps + driver merge of K+1 rows each);
+    // a Sort + Exchange over the corpus here is the 100 TB scale-killer
+    // this operator exists to avoid. The single-partition window that
+    // IS in the plan ranges over the 101-row survivor frame only (the
+    // q139 metadata-scale exception).
+    val p = plan("q144_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "q144 lost its TakeOrderedAndProject top-K")
+    // one corpus read feeding the heap; the window stages above it see
+    // 101 rows, never the scan
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "q144 scans the corpus more than once")
+  }
 }
