@@ -732,6 +732,52 @@ object Eventing {
       Streams.watermarkAudit(Tables.events(s, d),
         sliceUs = 21600000000L, delayUs = 600000000L,
         windowUs = 3600000000L, lateMod = 10L)
+    },
+
+    // ----- SCD2 historization (change log → validity intervals) ------------
+    // The dimension-history rebuild every warehouse runs: from a
+    // change log (each user's event_type stream as the tracked
+    // attribute), produce type-2 slowly-changing-dimension rows —
+    // no-op changes compressed out (consecutive equal states merge
+    // into one interval), valid_from = the change's timestamp,
+    // valid_to = the NEXT change's timestamp, NULL while current, and
+    // a per-key version number. Complements q80 (SCD1 merge: latest
+    // value wins, history discarded) and q89 (two-snapshot diff: no
+    // intervals): this is the full-history reconstruction. One hash
+    // shuffle on user_id serves all three windows — the compression
+    // filter preserves partitioning AND (t, event_id) ordering, so
+    // the post-filter row_number/lead windows reuse the first
+    // window's exchange and sort (pinned in PlanAuditSpec). Epoch
+    // micros as BIGINT keeps the interval arithmetic engine-exact;
+    // ties break on event_id (unique), making every interval
+    // deterministic.
+    Q("q145_scd2_history",
+      """WITH e AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS t, event_id,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, state, t, event_id
+        |  FROM e WHERE prev IS NULL OR state <> prev)
+        |SELECT user_id, state,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY user_id ORDER BY t, event_id) AS BIGINT) AS version,
+        |  CAST(t AS BIGINT) AS valid_from_us,
+        |  CAST(lead(t) OVER
+        |    (PARTITION BY user_id ORDER BY t, event_id) AS BIGINT) AS valid_to_us
+        |FROM c""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val changes = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("state"),
+          expr("unix_micros(ts)").as("t"), col("event_id"))
+        .withColumn("prev", lag(col("state"), 1).over(w))
+        .filter(col("prev").isNull || col("state") =!= col("prev"))
+      changes.select(col("user_id"), col("state"),
+        row_number().over(w).cast("long").as("version"),
+        col("t").as("valid_from_us"),
+        lead(col("t"), 1).over(w).as("valid_to_us"))
     }
   )
 }

@@ -286,4 +286,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size == 1,
       "q144 scans the corpus more than once")
   }
+
+  test("SCD2 history pays ONE shuffle for all three windows") {
+    // q145's compression filter preserves both hash(user_id)
+    // partitioning and the (t, event_id) sort, so the post-filter
+    // row_number/lead windows must reuse the first window's exchange
+    // and sort — a second Exchange here means the history rebuild
+    // shuffles the change log twice at 100 TB.
+    val p = plan("q145_scd2_history")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"q145 has $exchanges hash exchanges:\n$p")
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(sorts == 1, s"q145 re-sorts after the filter ($sorts sorts):\n$p")
+  }
 }
