@@ -161,6 +161,18 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
   }
 
+  /** The symmetric banded-LSH near-dup graph `(ea, eb)` — the edge set
+    * q147's BFS walks and the graph specs re-derive against. The
+    * signature table feeds both sides of the band self-join, so it is
+    * persisted here; the caller's query-boundary cache sweep releases
+    * it (the q69 discipline). */
+  private[graft] def nearDupEdges(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigs(s, d).persist()
+    bandPairs(bandSignatures(sigs,
+        bandRows(Tables.rowCount(s, d, "documents"))), _ =!= _)
+      .select(col("doc_a").as("ea"), col("doc_b").as("eb"))
+  }
+
   /** Candidate pairs from a band-signature table: the inverted-index
     * self-join shared by the pair query (id `<`) and the cluster
     * query's edge set (id `<>`). */
@@ -778,6 +790,62 @@ object Dedup {
             (lit(150000L) + expr("(850 * coalesce(m, 0)) div 1000")).as("rank"))
       }
       ranks.select(col("node").as("doc_id"), col("rank").as("pagerank_micro"))
+    },
+
+    // ----- contamination radius: bounded multi-source BFS ------------------
+    // q71 flags documents that DIRECTLY overlap the eval benchmark;
+    // near-duplication then propagates the risk transitively (a clean
+    // doc one near-dup hop from a contaminated one likely shares the
+    // eval content q71's shingle threshold missed). This op computes
+    // the blast radius: min hop distance ≤ K from the benchmark seed
+    // set (q71's deterministic stand-in, doc_id % 97 = 0) over the
+    // banded-LSH near-dup graph — multi-source BFS, the reachability
+    // primitive the graph family (q57 components, q69 PageRank, q133
+    // triangles) still lacked. Scale shape: Bellman–Ford relaxation
+    // with unit weights, K rounds of one join + one min-aggregate on
+    // the persisted edge list; appending a zero-weight SELF-LOOP per
+    // node makes one relaxation BOTH propagate labels and retain them,
+    // so each round references the previous exactly once — the q69
+    // linear-lineage discipline; the whole K-round BFS is ONE lazy
+    // plan, no per-round materialization. The label frame never
+    // exceeds the node count (min-agg per round), and K is a small
+    // analyst constant, so cost is K·|E| regardless of corpus size.
+    // The oracle's recursive CTE enumerates (node, hop) pairs with the
+    // same hop cap and takes the same min — iteration-order-free, so
+    // both engines agree exactly.
+    Q("q147_contamination_radius",
+      s"""WITH RECURSIVE sigs AS MATERIALIZED ($MINHASH_SIGS_SQL),
+         |nr AS ($NR_SQL),
+         |bands AS MATERIALIZED ($BANDS_SQL),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id <> b.doc_id),
+         |r(node, hop) AS (
+         |  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+         |  UNION
+         |  SELECT e.eb, r.hop + 1 FROM r JOIN edges e ON e.ea = r.node
+         |  WHERE r.hop < 3)
+         |SELECT node AS doc_id, CAST(min(hop) AS BIGINT) AS hops
+         |FROM r GROUP BY node""".stripMargin) { (s, d) =>
+      val hopCap = 3
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      // symmetric near-dup edges at weight 1 + a weight-0 self-loop per
+      // node (label retention); loop-invariant, persisted once
+      val edges = nearDupEdges(s, d)
+        .select(col("ea"), col("eb"), lit(1L).as("w"))
+        .unionByName(docs.select(col("doc_id").as("ea"),
+          col("doc_id").as("eb"), lit(0L).as("w")))
+        .persist()
+      var labels = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("node"), lit(0L).as("hops"))
+      (1 to hopCap).foreach { _ =>
+        labels = edges.join(labels, col("ea") === col("node"))
+          .groupBy(col("eb"))
+          .agg(min(col("hops") + col("w")).as("h"))
+          .select(col("eb").as("node"), col("h").as("hops"))
+      }
+      labels.select(col("node").as("doc_id"), col("hops"))
     },
 
     // ----- benchmark decontamination (n-gram overlap vs an eval set) -------

@@ -778,6 +778,66 @@ object Eventing {
         row_number().over(w).cast("long").as("version"),
         col("t").as("valid_from_us"),
         lead(col("t"), 1).over(w).as("valid_to_us"))
+    },
+
+    // ----- point-in-time (temporal) join against an SCD2 dimension --------
+    // The LOOKUP side of q145: attribute each fact row to the dimension
+    // version in force at its event time — the warehouse "point-in-time
+    // join" (AS OF against a type-2 dimension). The dimension is the
+    // user's touchpoint state (view/click change log compressed by the
+    // q145 rule); the facts are purchases. Intervals are half-open
+    // [valid_from, valid_to), so a probe landing on a boundary matches
+    // EXACTLY one interval; a LEFT join keeps purchases that precede
+    // the user's first touch (NULL state — a real cohort, not noise).
+    // Scale shape: this is an EQUI join on user_id with the interval
+    // predicate as a residual filter, NOT a range join — both sides
+    // shuffle once on the same key and the per-key interval list is
+    // change-log-bounded, so the hash join stays linear where a
+    // time-banded range join would re-partition both sides and a
+    // nested-loop interval probe would explode. Epoch-micros BIGINT
+    // comparisons keep the containment test engine-exact.
+    Q("q146_temporal_join",
+      """WITH ch AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS t, event_id,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |c AS (
+        |  SELECT user_id, state, t, event_id
+        |  FROM ch WHERE prev IS NULL OR state <> prev),
+        |dim AS (
+        |  SELECT user_id, state,
+        |    row_number() OVER
+        |      (PARTITION BY user_id ORDER BY t, event_id) AS version,
+        |    t AS vf,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS vt
+        |  FROM c),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, CAST(p.t AS BIGINT) AS t_us, d.state,
+        |  CAST(d.version AS BIGINT) AS version
+        |FROM p LEFT JOIN dim d ON p.user_id = d.user_id
+        |  AND p.t >= d.vf AND (d.vt IS NULL OR p.t < d.vt)""".stripMargin) {
+      (s, d) =>
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val dim = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("state"),
+          expr("unix_micros(ts)").as("t"), col("event_id"))
+        .withColumn("prev", lag(col("state"), 1).over(w))
+        .filter(col("prev").isNull || col("state") =!= col("prev"))
+        .select(col("user_id").as("du"), col("state"),
+          row_number().over(w).cast("long").as("version"),
+          col("t").as("vf"), lead(col("t"), 1).over(w).as("vt"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("t_us"))
+      p.join(dim, col("user_id") === col("du") && col("t_us") >= col("vf") &&
+          (col("vt").isNull || col("t_us") < col("vt")), "left")
+        .select(col("event_id"), col("user_id"), col("t_us"), col("state"),
+          col("version"))
     }
   )
 }

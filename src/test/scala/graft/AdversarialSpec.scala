@@ -290,4 +290,49 @@ class AdversarialSpec extends AnyFunSuite {
         s"estimator broken for doc $id: $r (tau=$tau)")
     }
   }
+
+  test("temporal join: every purchase lands in the interval containing it") {
+    import org.apache.spark.sql.functions._
+    // independent derivation: collect the raw event log and attribute
+    // each purchase by a per-user linear scan of the COMPRESSED touch
+    // change log (the q145 rule re-implemented in plain Scala) — last
+    // change with t_change <= t wins, which on zero-length intervals
+    // (two changes at one timestamp) is exactly the half-open
+    // [from, to) containment the join predicate encodes.
+    val ev = Tables.events(spark, Spec.sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val touches = ev.filter(e => e._3 == "view" || e._3 == "click")
+      .groupBy(_._2).map { case (u, es) =>
+        val changes = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long)] // (state, t, version)
+        var prev: String = null
+        es.sortBy(e => (e._4, e._1)).foreach { e =>
+          if (prev == null || e._3 != prev) {
+            changes += ((e._3, e._4, changes.size + 1L)); prev = e._3
+          }
+        }
+        u -> changes.toVector
+      }
+    val got = SparkEntry.queries("q146_temporal_join")(spark, Spec.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(purchases.nonEmpty && got.size == purchases.length)
+    purchases.foreach { case (eid, u, _, t) =>
+      val chs = touches.getOrElse(u, Vector.empty)
+      val idx = chs.lastIndexWhere(_._2 <= t)
+      val expected =
+        if (idx < 0) (None, None)
+        else (Some(chs(idx)._1), Some(chs(idx)._3))
+      val (gu, gt, gs, gv) = got(eid)
+      assert(gu == u && gt == t, s"purchase $eid misjoined")
+      assert((gs, gv) == expected, s"purchase $eid attributed to $gs/$gv, " +
+        s"expected $expected")
+    }
+  }
 }

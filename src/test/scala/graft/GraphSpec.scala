@@ -65,4 +65,29 @@ class GraphSpec extends AnyFunSuite {
     assert(maxOut <= math.ceil(math.sqrt(2.0 * m)).toLong,
       s"max out-degree $maxOut exceeds sqrt(2m) for m=$m")
   }
+
+  test("bounded BFS labels equal a driver-side queue BFS exactly") {
+    // q147's K-round self-loop relaxation must produce the SAME map as
+    // the textbook frontier BFS run in plain Scala on the collected
+    // edge list — every reached node, no extras, min hop each.
+    val adj = operators.Dedup.nearDupEdges(spark, Spec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seeds = Tables.documents(spark, Spec.sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).filter(_ % 97 == 0)
+    assert(seeds.nonEmpty)
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long]))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    val got = SparkEntry.queries("q147_contamination_radius")(spark, Spec.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist,
+      s"BFS mismatch: missing=${(dist.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- dist.keySet).take(5)}")
+  }
 }

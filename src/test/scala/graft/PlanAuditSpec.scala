@@ -299,4 +299,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val sorts = "\\bSort \\[".r.findAllIn(p).size
     assert(sorts == 1, s"q145 re-sorts after the filter ($sorts sorts):\n$p")
   }
+
+  test("point-in-time join is an equi join on the key, never a loop join") {
+    // q146's interval containment must ride the user_id EQUI join as a
+    // residual predicate. If the equi key is ever lost, Spark falls
+    // back to BroadcastNestedLoopJoin / CartesianProduct — per-probe
+    // scans of the whole dimension, the 100 TB scale-killer for
+    // temporal joins.
+    val p = plan("q146_temporal_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q146 lost its equi-join key:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"q146 has no hash/merge join:\n$p")
+  }
 }
