@@ -748,6 +748,113 @@ object TextOps {
           max(col("thr")).as("thr"))
     },
 
+    // ----- token-budget apportionment (largest-remainder allocation) -------
+    // q86 derives per-source RATES; training runs are provisioned in
+    // absolute TOKENS: split a global budget B across sources
+    // proportionally to their token mass so the per-source integer
+    // quotas sum EXACTLY to B. Floor division alone under-allocates by
+    // up to (#sources − 1); the leftover units go to the sources with
+    // the largest division remainders (Hamilton/largest-remainder
+    // apportionment, ties broken by source name) — the standard
+    // exact-sum discipline, and integer-only, so both engines produce
+    // identical quotas (B·n is BIGINT-exact up to B·max_n < 2^63;
+    // beyond that a production run widens to DECIMAL(38,0), same
+    // plan). Scale shape: ONE corpus scan (the per-source token
+    // aggregate); everything after operates on the #sources-row
+    // summary — the global remainder window is metadata-scale (the
+    // q139 exception), never over data.
+    Q("q148_token_budget",
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |a AS (
+        |  SELECT source, n_tokens,
+        |    1000000 * n_tokens // (SELECT sum(n_tokens) FROM s) AS base,
+        |    1000000 * n_tokens % (SELECT sum(n_tokens) FROM s) AS rem
+        |  FROM s),
+        |r AS (
+        |  SELECT source, n_tokens, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    1000000 - (SELECT sum(base) FROM a) AS leftover
+        |  FROM a)
+        |SELECT source, n_tokens, CAST(base AS BIGINT) AS base_quota,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM r""".stripMargin) { (s, d) =>
+      val budget = 1000000L
+      // every post-aggregate step is a window over the #sources-row
+      // summary (global windows = the metadata-scale exception), so the
+      // whole allocation is ONE corpus scan with linear lineage — no
+      // self-joins re-evaluating the scan
+      val g = Window.partitionBy()
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(tokens).cast("long")).as("n_tokens"))
+        .withColumn("tot", sum(col("n_tokens")).over(g))
+        .select(col("source"), col("n_tokens"),
+          expr(s"($budget * n_tokens) div tot").as("base"),
+          expr(s"($budget * n_tokens) % tot").as("rem"))
+        .withColumn("leftover", lit(budget) - sum(col("base")).over(g))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("n_tokens"), col("base").as("base_quota"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+    },
+
+    // ----- robust outlier gate (median absolute deviation) -----------------
+    // The length-outlier filter every curation run needs: z-scores
+    // break on the exact corpora that need filtering (a few huge docs
+    // drag the mean AND inflate sigma until nothing is 3-sigma out);
+    // MAD has a 50% breakdown point. A doc is flagged when
+    // |n_chars − median| > 2·MAD, both statistics per-source and EXACT
+    // via percentile_disc (the smallest value at cumulative fraction
+    // ≥ 0.5 — identical tie semantics in both engines, no even-count
+    // interpolation, so the arithmetic stays integer end-to-end).
+    // Scale shape: three scan+broadcast passes (medians need a pass,
+    // deviations need the medians, the gate needs both) — the corpus
+    // is never shuffled, only the #sources-row stats move; exact
+    // per-group percentiles buffer each group's values, so the
+    // web-scale drop-in is approx_percentile (the q143 exact-vs-sketch
+    // discipline).
+    Q("q149_mad_outliers",
+      """WITH m AS (
+        |  SELECT source,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med
+        |  FROM documents GROUP BY source),
+        |dev AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, m.med,
+        |    abs(d.n_chars - m.med) AS dv
+        |  FROM documents d JOIN m ON d.source = m.source),
+        |md AS (
+        |  SELECT source,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY dv) AS mad
+        |  FROM dev GROUP BY source)
+        |SELECT dev.doc_id, dev.source, CAST(dev.n_chars AS BIGINT) AS n_chars,
+        |  CAST(dev.med AS BIGINT) AS med, CAST(md.mad AS BIGINT) AS mad
+        |FROM dev JOIN md ON dev.source = md.source
+        |WHERE dev.dv > 2 * md.mad""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      // tiny, but its lineage is a corpus scan and it feeds two
+      // consumers — persist so the engine pays exactly three passes
+      val med = docs.groupBy(col("source"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("med"))
+        .persist()
+      val dev = docs.join(broadcast(med), "source")
+        .withColumn("dv", abs(col("n_chars") - col("med")))
+      val mad = dev.groupBy(col("source"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dv)")
+          .cast("long").as("mad"))
+      dev.join(broadcast(mad), "source")
+        .filter(col("dv") > lit(2L) * col("mad"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("med"), col("mad"))
+    },
+
     // ----- per-source percentile filter (group-relative curation gate) -----
     // Absolute thresholds misfire when sources have different length
     // profiles; the production gate is group-RELATIVE: keep docs at or

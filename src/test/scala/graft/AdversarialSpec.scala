@@ -335,4 +335,60 @@ class AdversarialSpec extends AnyFunSuite {
         s"expected $expected")
     }
   }
+
+  test("token budget apportionment: exact sum, quantized quotas") {
+    // the three Hamilton properties, held against an independent Scala
+    // derivation from the raw per-source token masses: (a) quotas sum
+    // EXACTLY to the budget, (b) every quota is base or base+1 with
+    // base = floor(B*n/T), (c) the +1s go to the largest remainders,
+    // ties by source name.
+    val budget = 1000000L
+    val got = SparkEntry.queries("q148_token_budget")(spark, Spec.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val total = got.map(_._2).sum
+    assert(got.map(_._4).sum == budget, "quotas do not sum to the budget")
+    val extras = got.map { case (src, n, base, quota) =>
+      assert(base == budget * n / total, s"$src base quota wrong")
+      assert(quota == base || quota == base + 1, s"$src quota not quantized")
+      (src, budget * n % total, quota - base)
+    }
+    val leftover = budget - got.map(_._3).sum
+    val expectExtra = extras.sortBy { case (src, rem, _) => (-rem, src) }
+      .take(leftover.toInt).map(_._1).toSet
+    extras.foreach { case (src, _, e) =>
+      assert((e == 1L) == expectExtra(src),
+        s"$src extra-unit assignment violates largest-remainder order")
+    }
+  }
+
+  test("MAD outliers match a driver-side robust-statistics derivation") {
+    // plain-Scala percentile_disc (smallest value at cumulative
+    // fraction >= 0.5) over the collected corpus, then the same
+    // 2-MAD gate — the flagged doc set must match exactly, stats
+    // included.
+    def disc(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((xs.size - 1) / 2) // ceil(n/2)-th value, 1-indexed
+    }
+    val docs = Tables.documents(spark, Spec.sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val med = disc(ds.map(_._3).toSeq)
+      val mad = disc(ds.map(d => math.abs(d._3 - med)).toSeq)
+      ds.filter(d => math.abs(d._3 - med) > 2 * mad)
+        .map(d => d._1 -> ((src, d._3, med, mad)))
+    }.toMap
+    val got = SparkEntry.queries("q149_mad_outliers")(spark, Spec.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected,
+      s"flag-set mismatch: missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+  }
 }
