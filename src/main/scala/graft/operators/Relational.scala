@@ -402,6 +402,96 @@ object Relational {
     },
 
     // ----- approximate aggregates, bounds-checked against exact values -------
+    // ----- KMV sketches: cross-engine-EXACT cardinality estimation --------
+    // q20's HLL bounds-checks exist because Spark's and DuckDB's
+    // sketches disagree bit-wise; the k-minimum-values sketch (Beyer
+    // et al., SIGMOD'07) has no such problem — it is pure md5
+    // arithmetic, so both engines build the IDENTICAL sketch and the
+    // estimates hash-match exactly. This is the join-planning op: NDV
+    // of each side's join key, key-set Jaccard, and the estimated
+    // distinct-key intersection, all from three ≤k-row sketches —
+    // at 100 TB this prices a join (broadcast vs shuffle, skew risk)
+    // without scanning either side twice, and KMV sketches merge
+    // across partitions/days (bottom-k of a union = bottom-k of the
+    // sketches' union — used below for the union sketch itself).
+    // Estimator: with m = sketch size, u_k = max(v)/2^48 (exact — v
+    // < 2^48 < 2^53 and the divisor is a power of two), NDV ≈
+    // (k−1)/u_k when the sketch is full, EXACT m when not; Jaccard ≈
+    // |union-sketch ∩ S_A ∩ S_B| / |union sketch| (membership is
+    // decidable from the per-side sketches because the union's k-th
+    // minimum never exceeds either side's). One IEEE division per
+    // estimate — the q144 determinism class. Scale shape: per side
+    // ONE scan into distinct (map-side partial agg bounds the shuffle
+    // to per-partition NDV) + TakeOrderedAndProject bottom-k; every
+    // later step touches ≤ 3k rows.
+    Q("q150_kmv_join_estimate", {
+      val k = 256
+      s"""WITH sa AS (
+         |  SELECT DISTINCT ${TextOps.hex48Sql("o_orderkey")} AS v
+         |  FROM orders ORDER BY v LIMIT $k),
+         |sb AS (
+         |  SELECT DISTINCT ${TextOps.hex48Sql("l_orderkey")} AS v
+         |  FROM lineitem ORDER BY v LIMIT $k),
+         |su AS (
+         |  SELECT v FROM (SELECT v FROM sa UNION SELECT v FROM sb) u
+         |  ORDER BY v LIMIT $k),
+         |fl AS (
+         |  SELECT su.v, sa.v IS NOT NULL AND sb.v IS NOT NULL AS inboth
+         |  FROM su LEFT JOIN sa ON su.v = sa.v LEFT JOIN sb ON su.v = sb.v),
+         |st AS (
+         |  SELECT
+         |    (SELECT count(*) FROM sa) AS am, (SELECT max(v) FROM sa) AS avk,
+         |    (SELECT count(*) FROM sb) AS bm, (SELECT max(v) FROM sb) AS bvk,
+         |    (SELECT count(*) FROM fl) AS um, (SELECT max(v) FROM fl) AS uvk,
+         |    (SELECT count(*) FROM fl WHERE inboth) AS overlap)
+         |SELECT
+         |  CASE WHEN am < $k THEN CAST(am AS DOUBLE)
+         |    ELSE ${k - 1}.0 / (CAST(avk AS DOUBLE) / 281474976710656.0)
+         |  END AS est_orders_keys,
+         |  CASE WHEN bm < $k THEN CAST(bm AS DOUBLE)
+         |    ELSE ${k - 1}.0 / (CAST(bvk AS DOUBLE) / 281474976710656.0)
+         |  END AS est_lineitem_keys,
+         |  CASE WHEN um < $k THEN CAST(um AS DOUBLE)
+         |    ELSE ${k - 1}.0 / (CAST(uvk AS DOUBLE) / 281474976710656.0)
+         |  END AS est_union_keys,
+         |  CAST(overlap AS BIGINT) AS overlap,
+         |  CAST(overlap AS DOUBLE) / um AS jaccard
+         |FROM st""".stripMargin
+    }) { (s, d) =>
+      val k = 256
+      def h(c: Column) = conv(substring(
+        md5(c.cast("string").cast("binary")), 1, 12), 16, 10).cast("long")
+      def sketch(df: DataFrame, key: String) =
+        df.select(h(col(key)).as("v")).distinct()
+          .orderBy(col("v")).limit(k)
+      // each side sketch feeds the union AND the membership probes —
+      // persist so each base table is scanned exactly once
+      val sa = sketch(Tables.orders(s, d), "o_orderkey").persist()
+      val sb = sketch(Tables.lineitem(s, d), "l_orderkey").persist()
+      val su = sa.unionByName(sb).distinct().orderBy(col("v")).limit(k)
+      val fl = su
+        .join(broadcast(sa.select(col("v").as("va"))),
+          col("v") === col("va"), "left")
+        .join(broadcast(sb.select(col("v").as("vb"))),
+          col("v") === col("vb"), "left")
+      def est(m: Column, vk: Column) =
+        when(m < k, m.cast("double")).otherwise(
+          lit((k - 1).toDouble) / (vk.cast("double") / lit(281474976710656.0)))
+      fl.agg(count(lit(1)).as("um"), max(col("v")).as("uvk"),
+          sum(when(col("va").isNotNull && col("vb").isNotNull, 1L)
+            .otherwise(0L)).as("overlap"))
+        .crossJoin(broadcast(
+          sa.agg(count(lit(1)).as("am"), max(col("v")).as("avk"))))
+        .crossJoin(broadcast(
+          sb.agg(count(lit(1)).as("bm"), max(col("v")).as("bvk"))))
+        .select(
+          est(col("am"), col("avk")).as("est_orders_keys"),
+          est(col("bm"), col("bvk")).as("est_lineitem_keys"),
+          est(col("um"), col("uvk")).as("est_union_keys"),
+          col("overlap"),
+          (col("overlap").cast("double") / col("um")).as("jaccard"))
+    },
+
     // Sketch values differ across engines, so the sketches themselves
     // can't be oracle-compared — but their ERROR BOUNDS can: the query
     // emits booleans asserting approx_count_distinct lands within 3×rsd

@@ -1916,7 +1916,7 @@ object TextOps {
   /** 48-bit integer from the first 12 md5 hex chars of a column, in
     * DuckDB SQL — mechanical strpos terms generated like the simhash
     * oracle's, so width changes can't drift between terms. */
-  private def hex48Sql(c: String): String =
+  private[graft] def hex48Sql(c: String): String =
     (1 to 12).map { p =>
       val scale = java.math.BigInteger.valueOf(16L).pow(12 - p)
       s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), $p, 1)) - 1) * $scale"

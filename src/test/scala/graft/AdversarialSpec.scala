@@ -391,4 +391,35 @@ class AdversarialSpec extends AnyFunSuite {
       s"flag-set mismatch: missing=${(expected.keySet -- got.keySet).take(5)} " +
         s"extra=${(got.keySet -- expected.keySet).take(5)}")
   }
+
+  test("KMV estimates land within 3-sigma of the exact cardinalities") {
+    import org.apache.spark.sql.functions._
+    // the determinism half of q150 is pinned by the DuckDB oracle; this
+    // is the ACCURACY half — a deterministic-but-wrong estimator (e.g.
+    // an off-by-one in the k-th minimum) would still hash-match, so the
+    // estimates are held to the Beyer et al. error bound against exact
+    // distinct counts: rel stderr = 1/sqrt(k-1) ~ 6.3% at k=256, 3
+    // sigma ~ 19%, asserted at 25% for slack.
+    val oKeys = Tables.orders(spark, Spec.sfDir)
+      .select(col("o_orderkey")).distinct().count().toDouble
+    val lKeys = Tables.lineitem(spark, Spec.sfDir)
+      .select(col("l_orderkey")).distinct().count().toDouble
+    val inter = Tables.orders(spark, Spec.sfDir)
+      .select(col("o_orderkey").as("k")).distinct()
+      .join(Tables.lineitem(spark, Spec.sfDir)
+        .select(col("l_orderkey").as("k")).distinct(), "k")
+      .count().toDouble
+    val union = oKeys + lKeys - inter
+    val r = SparkEntry.queries("q150_kmv_join_estimate")(spark, Spec.sfDir)
+      .head()
+    def ok(est: Double, exact: Double, what: String): Unit =
+      assert(math.abs(est - exact) <= 0.25 * exact,
+        s"$what estimate $est vs exact $exact is outside 25%")
+    ok(r.getAs[Double]("est_orders_keys"), oKeys, "orders NDV")
+    ok(r.getAs[Double]("est_lineitem_keys"), lKeys, "lineitem-key NDV")
+    ok(r.getAs[Double]("est_union_keys"), union, "union NDV")
+    val jExact = inter / union
+    assert(math.abs(r.getAs[Double]("jaccard") - jExact) <= 0.15,
+      s"jaccard ${r.getAs[Double]("jaccard")} vs exact $jExact")
+  }
 }
