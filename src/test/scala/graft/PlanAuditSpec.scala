@@ -313,4 +313,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"q146 has no hash/merge join:\n$p")
   }
+
+  test("KMV bottom-k is a heap merge, never a global sort of the key set") {
+    // q150's sketches must plan as TakeOrderedAndProject over the
+    // distinct key hashes; a Sort + Exchange of the full key domain
+    // would defeat the sketch's purpose at 100 TB.
+    val p = plan("q150_kmv_join_estimate")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q150 lost its bottom-k heap:\n$p")
+    assert(!"\\bSort \\[v".r.findFirstIn(p).isDefined,
+      s"q150 sorts the key set globally:\n$p")
+  }
 }
