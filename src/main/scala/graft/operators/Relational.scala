@@ -1068,6 +1068,90 @@ object Relational {
         .orderBy(col("bucket"))
     },
 
+    // ----- zone-map prune ratio: layout A/B for data skipping --------------
+    // q131 plans a z-order layout and q141 a compaction; this op
+    // MEASURES what a layout buys: per 65 536-row file bin (the
+    // physical unit zone maps are kept at), min/max of the ship-date
+    // zone column, then for 12 equal probe windows spanning the column
+    // range, how many bins each layout lets the scanner skip
+    // (hi < window-lo or lo >= window-hi — exactly the parquet
+    // row-group pruning rule). 'natural' = insertion order (zone maps
+    // nearly useless when the zone column is uncorrelated with
+    // insertion), 'shipdate' = sorted layout (every window prunes all
+    // but ~1/12 of bins). All integer epoch-micros arithmetic — window
+    // boundaries derive from the data by integer division, so both
+    // engines compute identical prune counts. Scale shape: one range
+    // shuffle + zipWithIndex rank per layout (the q142 machinery, the
+    // honest cost of POSITIONAL binning); everything after is the
+    // #bins-row zone-map table crossed with 12 windows — metadata
+    // scale, the real layout-advisor economics at 100 TB.
+    Q("q151_zonemap_prune",
+      """WITH li AS (
+        |  SELECT epoch_us(l_shipdate) AS v, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |nat AS (
+        |  SELECT v, (row_number() OVER
+        |    (ORDER BY l_orderkey, l_linenumber) - 1) // 65536 AS bin
+        |  FROM li),
+        |shp AS (
+        |  SELECT v, (row_number() OVER
+        |    (ORDER BY v, l_orderkey, l_linenumber) - 1) // 65536 AS bin
+        |  FROM li),
+        |bins AS (
+        |  SELECT 'natural' AS layout, bin, min(v) AS lo, max(v) AS hi
+        |  FROM nat GROUP BY bin
+        |  UNION ALL
+        |  SELECT 'shipdate' AS layout, bin, min(v) AS lo, max(v) AS hi
+        |  FROM shp GROUP BY bin),
+        |g AS (SELECT min(lo) AS gmin, max(hi) AS gmax FROM bins),
+        |w AS (
+        |  SELECT k, gmin + k * ((gmax - gmin) // 12 + 1) AS wlo,
+        |    gmin + (k + 1) * ((gmax - gmin) // 12 + 1) AS whi
+        |  FROM g CROSS JOIN unnest(range(0, 12)) AS u(k))
+        |SELECT b.layout, CAST(w.k AS BIGINT) AS w,
+        |  count(*) AS n_bins,
+        |  CAST(sum(CASE WHEN b.hi < w.wlo OR b.lo >= w.whi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
+        |FROM bins b CROSS JOIN w
+        |GROUP BY b.layout, w.k""".stripMargin) { (s, d) =>
+      val binRows = 65536L
+      val li = Tables.lineitem(s, d)
+        .select(expr("unix_micros(cast(l_shipdate as timestamp))").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      // positional bin stats for one physical layout: range shuffle on
+      // the layout's sort key, in-partition sort, global index (the
+      // q142 distributed-rank pattern — no single-partition window)
+      def binStats(layout: String, keys: Seq[Column]) = {
+        val sorted = li
+          .repartitionByRange(s.sparkContext.defaultParallelism, keys: _*)
+          .sortWithinPartitions(keys: _*)
+        s.createDataFrame(
+            sorted.select(col("v")).rdd.zipWithIndex()
+              .map { case (row, i) => (row.getLong(0), i / binRows) })
+          .toDF("v", "bin")
+          .groupBy(col("bin"))
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .select(lit(layout).as("layout"), col("bin"), col("lo"), col("hi"))
+      }
+      val bins = binStats("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+        .unionByName(binStats("shipdate",
+          Seq(col("v"), col("l_orderkey"), col("l_linenumber"))))
+        .persist()
+      val windows = bins.agg(min(col("lo")).as("gmin"), max(col("hi")).as("gmax"))
+        .select(col("gmin"), col("gmax"),
+          explode(sequence(lit(0L), lit(11L))).as("k"))
+        .select(col("k"),
+          (col("gmin") + col("k") *
+            (expr("(gmax - gmin) div 12") + 1L)).as("wlo"),
+          (col("gmin") + (col("k") + 1L) *
+            (expr("(gmax - gmin) div 12") + 1L)).as("whi"))
+      bins.crossJoin(broadcast(windows))
+        .groupBy(col("layout"), col("k").as("w"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(when(col("hi") < col("wlo") || col("lo") >= col("whi"), 1L)
+            .otherwise(0L)).as("n_pruned"))
+    },
+
     // ----- triangle counting with degree-ordered orientation ---------------
     // Graph analytics beyond PageRank/components: triangles in the
     // co-purchase graph (parts sharing an order, high-quantity lines).

@@ -422,4 +422,26 @@ class AdversarialSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("jaccard") - jExact) <= 0.15,
       s"jaccard ${r.getAs[Double]("jaccard")} vs exact $jExact")
   }
+
+  test("zone maps on the sorted layout prune; on the natural layout they don't") {
+    // the economic claim behind q151 (and the reason q131's z-order
+    // exists at all), held at sf0.1 where lineitem spans 10 bins: the
+    // shipdate-sorted layout must let the 12 probe windows skip most
+    // bin-window pairs, the insertion-order layout almost none — and
+    // a bin is never pruned by a window it actually overlaps (checked
+    // implicitly: pruned <= pairs - windows' own bins).
+    val rows = SparkEntry.queries("q151_zonemap_prune")(
+        spark, "/root/testdata/sf0.1")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLayout = rows.groupBy(_._1)
+      .map { case (l, rs) => l -> (rs.map(_._3).sum, rs.map(_._4).sum) }
+    val (natPairs, natPruned) = byLayout("natural")
+    val (shpPairs, shpPruned) = byLayout("shipdate")
+    assert(natPairs == shpPairs)
+    assert(shpPruned > natPruned,
+      s"sorted layout prunes no better: $shpPruned vs $natPruned")
+    assert(shpPruned >= natPairs / 2,
+      s"sorted layout prunes only $shpPruned of $natPairs bin-window pairs")
+  }
 }
