@@ -838,6 +838,44 @@ object Eventing {
           (col("vt").isNull || col("t_us") < col("vt")), "left")
         .select(col("event_id"), col("user_id"), col("t_us"), col("state"),
           col("version"))
+    },
+
+    // ----- incremental stats: partial-aggregate states merge exactly -------
+    // The pattern that makes per-key stats affordable at 100 TB: never
+    // rescan history — keep per-key PARTIAL STATES (count, decimal
+    // sum, min, max: each a commutative monoid) and fold each new
+    // batch in. This query runs that path end-to-end: aggregate a
+    // "history" batch and a "delta" batch separately (a deterministic
+    // event_id split stands in for yesterday/today), then merge the
+    // two state tables — sum the counts and sums, min/max the bounds.
+    // The oracle aggregates the WHOLE table directly, so a hash match
+    // IS the monoid-correctness proof: merge-of-parts equals
+    // aggregate-of-whole, cross-engine. DECIMAL sums keep the merge
+    // order-insensitive (double partials would differ by fold order —
+    // the exact failure incremental pipelines hit in production).
+    // In deployment `hist` is a STORED state table, so only the delta
+    // is scanned; both the per-batch aggregates and the merge shuffle
+    // hash on user_id, and the merge moves states, never events.
+    Q("q152_incremental_stats",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_t,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_t
+        |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("value"), expr("unix_micros(ts)").as("t"))
+      def states(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"),
+          min(col("t")).as("min_t"), max(col("t")).as("max_t"))
+      states(ev.filter(col("event_id") % 10 =!= 0))
+        .unionByName(states(ev.filter(col("event_id") % 10 === 0)))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sv")).cast("double").as("sum_value"),
+          min(col("min_t")).as("min_t"), max(col("max_t")).as("max_t"))
     }
   )
 }

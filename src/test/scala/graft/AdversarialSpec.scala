@@ -444,4 +444,26 @@ class AdversarialSpec extends AnyFunSuite {
     assert(shpPruned >= natPairs / 2,
       s"sorted layout prunes only $shpPruned of $natPairs bin-window pairs")
   }
+
+  test("merged partial states equal the direct whole-table aggregate") {
+    import org.apache.spark.sql.functions._
+    // q152's DuckDB oracle proves merge-of-parts == aggregate-of-whole
+    // cross-engine; this pins the same identity INSIDE Spark (runs in
+    // sbt test where the oracle can't), value-exact including the
+    // decimal-summed doubles.
+    val direct = Tables.events(spark, Spec.sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(expr("unix_micros(ts)")).as("min_t"),
+        max(expr("unix_micros(ts)")).as("max_t"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val merged = SparkEntry.queries("q152_incremental_stats")(spark, Spec.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(merged == direct)
+  }
 }
