@@ -814,6 +814,75 @@ object Similarity {
         .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / 10)
             .as("recall_at_10"))
+    },
+
+    // ----- embedding drift monitor (snapshot centroid cosine) --------------
+    // The model-ops check every embedding pipeline needs: did the
+    // embedding distribution MOVE between two snapshots (re-run of the
+    // encoder, new data mix)? Per label, the cosine between the two
+    // snapshots' centroids (vec_id parity stands in for the snapshot
+    // split). The determinism trick: cosine of MEAN vectors equals
+    // cosine of SUM vectors (counts cancel), and component sums over
+    // the q85-quantized integers are exact int64 arithmetic — so dot
+    // and squared norms are exact integers, and the only inexact steps
+    // are int64→double conversion, IEEE sqrt (correctly rounded by
+    // spec), one multiply, one divide — all bit-identical across
+    // engines. Int64 bounds: |component| ≤ ~3·10^3 quantized, so sums
+    // and their pairwise products stay < 2^63 up to ~10^7 vectors per
+    // (label, snapshot); beyond that, widen to DECIMAL — same plan.
+    // Scale shape: ONE corpus scan → posexplode to (label, pos) skinny
+    // rows with map-side partial sums (the q82 centroid discipline,
+    // never collect_list of vectors), then a #labels×64-row aggregate;
+    // per-snapshot counts ride the same aggregation (max over equal
+    // per-pos counts), so nothing scans twice.
+    Q("q153_embedding_drift",
+      s"""WITH e AS (
+         |  SELECT vec_id % 2 AS snap, label,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS sv
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT label, snap, i, sv[i] AS x
+         |  FROM e CROSS JOIN unnest(range(1, 65)) AS t(i)),
+         |s AS (
+         |  SELECT label, i,
+         |    sum(CASE WHEN snap = 0 THEN x ELSE 0 END) AS sa,
+         |    sum(CASE WHEN snap = 1 THEN x ELSE 0 END) AS sb,
+         |    sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS na,
+         |    sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS nb
+         |  FROM p GROUP BY label, i),
+         |g AS (
+         |  SELECT label, sum(sa * sb) AS dt, sum(sa * sa) AS ssa,
+         |    sum(sb * sb) AS ssb, max(na) AS n_a, max(nb) AS n_b
+         |  FROM s GROUP BY label)
+         |SELECT CAST(label AS BIGINT) AS label,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(dt AS BIGINT) AS dot,
+         |  CAST(dt AS DOUBLE) /
+         |    (sqrt(CAST(ssa AS DOUBLE)) * sqrt(CAST(ssb AS DOUBLE)))
+         |    AS cos_drift
+         |FROM g""".stripMargin) { (s, d) =>
+      val pos = Tables.embeddings(s, d)
+        .select((col("vec_id") % 2).as("snap"), col("label"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+          .as("sv"))
+        .select(col("snap"), col("label"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+      pos.groupBy(col("label"), col("pos"))
+        .agg(sum(when(col("snap") === 0, col("x")).otherwise(0L)).as("sa"),
+          sum(when(col("snap") === 1, col("x")).otherwise(0L)).as("sb"),
+          sum(when(col("snap") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("snap") === 1, 1L).otherwise(0L)).as("nb"))
+        .groupBy(col("label"))
+        .agg(sum(col("sa") * col("sb")).as("dt"),
+          sum(col("sa") * col("sa")).as("ssa"),
+          sum(col("sb") * col("sb")).as("ssb"),
+          max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+        .select(col("label").cast("long").as("label"),
+          col("n_a"), col("n_b"), col("dt").as("dot"),
+          (col("dt").cast("double") /
+            (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))))
+            .as("cos_drift"))
     }
   )
 }
