@@ -40,6 +40,10 @@ object Multimodal {
   final case class FrameSample(doc_id: Long, n_samples: Long, stride: Long,
       n_frames: Long, sampled_sum: Long)
 
+  /** Perceptual average-hash of a decoded image, packed as two 32-bit
+    * halves so downstream Hamming math stays in positive int64. */
+  final case class AHash(doc_id: Long, h1: Long, h2: Long, n_bits: Long)
+
   object MediaCodec {
     // in-memory streams only — keep ImageIO off its disk scratch cache
     ImageIO.setUseCache(false)
@@ -197,6 +201,55 @@ object Multimodal {
         }
         MediaFeatures(r.doc_id, r.fmt, r.payload.length.toLong,
           img.getWidth, img.getHeight, sum)
+      }
+
+    /** Decode + perceptual average-hash: integer grayscale, area-mean
+      * downsample to 8×8 (each pixel belongs to exactly one block via
+      * `y*8/h`), per-block integer mean, threshold at the mean of the
+      * 64 block means, bit set iff strictly above. Every step is
+      * integer division toward zero on non-negative operands — i.e.
+      * floor — so a SQL oracle over the pixel formula reproduces the
+      * hash bit-for-bit without touching a codec. */
+    def ahashPng(rows: Iterator[MediaRow]): Iterator[AHash] =
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for doc ${r.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = Array.ofDim[Long](8, 8)
+        val cnts = Array.ofDim[Long](8, 8)
+        var y = 0
+        while (y < h) {
+          val i = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val j = x * 8 / w
+            val p = img.getRGB(x, y) & 0xffffff
+            sums(i)(j) += ((p >> 16) + ((p >> 8) & 255) + (p & 255)) / 3
+            cnts(i)(j) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var total = 0L
+        val bm = Array.tabulate(8, 8) { (i, j) =>
+          val m = sums(i)(j) / cnts(i)(j); total += m; m
+        }
+        val mean = total / 64
+        var h1 = 0L; var h2 = 0L; var nb = 0L
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            if (bm(i)(j) > mean) {
+              nb += 1
+              if (i < 4) h1 |= 1L << (i * 8 + j)
+              else h2 |= 1L << ((i - 4) * 8 + j)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        AHash(r.doc_id, h1, h2, nb)
       }
 
     val THUMB = 8
@@ -377,6 +430,63 @@ object Multimodal {
         .toDF()
         .select(col("doc_id"), col("src_w"), col("src_h"),
           col("thumb_w"), col("thumb_h"))
+    },
+
+    // ----- image perceptual hash (aHash) over the REAL decoded raster ------
+    // The image-side analog of the text fingerprint family: an 8×8
+    // average-hash per image, the primitive image near-dup pipelines
+    // bucket on (exact-match buckets for resize/re-encode dups; the
+    // SimHash 4-band pigeonhole applies unchanged for Hamming ≤ 3).
+    // The Spark path hashes the ACTUAL decoded raster in partitions
+    // (real codec, the q37 discipline); the oracle recomputes the
+    // identical hash from the pixel formula in pure SQL — every step
+    // is floor division on non-negative integers, so a real-decode
+    // drift of even one pixel breaks the hash match. Packed as two
+    // 32-bit halves: Hamming distance downstream is
+    // bit_count(h1a^h1b) + bit_count(h2a^h2b) in positive int64, no
+    // two's-complement hazard. Codec stages repartition to cores
+    // (CPU-bound per row, the q37 rule); the hash output is 4 longs
+    // per image — the 100 TB shape where pixels never shuffle.
+    Q("q154_image_ahash",
+      """WITH px AS (
+        |  SELECT d.doc_id, 16 + d.doc_id % 13 AS h, 16 + d.doc_id % 17 AS w,
+        |    y.y, x.x,
+        |    (d.doc_id * 1315423911 + y.y * 2654435761 + x.x * 97531)
+        |      & 16777215 AS p
+        |  FROM documents d
+        |  CROSS JOIN unnest(range(0, 16 + d.doc_id % 13)) AS y(y)
+        |  CROSS JOIN unnest(range(0, 16 + d.doc_id % 17)) AS x(x)),
+        |g AS (
+        |  SELECT doc_id, h, w, y, x,
+        |    ((p >> 16) + ((p >> 8) & 255) + (p & 255)) // 3 AS gray
+        |  FROM px),
+        |b AS (
+        |  SELECT doc_id, (y * 8) // h AS i, (x * 8) // w AS j,
+        |    sum(gray) // count(*) AS bm
+        |  FROM g GROUP BY doc_id, i, j),
+        |m AS (SELECT doc_id, sum(bm) // 64 AS mean FROM b GROUP BY doc_id),
+        |bits AS (
+        |  SELECT b.doc_id, b.i, b.j,
+        |    CASE WHEN b.bm > m.mean THEN 1 ELSE 0 END AS bit
+        |  FROM b JOIN m ON b.doc_id = m.doc_id)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN i < 4
+        |    THEN CAST(bit AS BIGINT) << CAST(i * 8 + j AS INT) ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(sum(CASE WHEN i >= 4
+        |    THEN CAST(bit AS BIGINT) << CAST((i - 4) * 8 + j AS INT) ELSE 0 END) AS BIGINT)
+        |    AS h2,
+        |  CAST(sum(bit) AS BIGINT) AS n_bits
+        |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // same core-matched repartition as q37 — see the comment there
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id =>
+          MediaRow(id, "png", MediaCodec.synthPng(id))))
+        .mapPartitions(MediaCodec.ahashPng _)
+        .toDF()
+        .select(col("doc_id"), col("h1"), col("h2"), col("n_bits"))
     }
   )
 }

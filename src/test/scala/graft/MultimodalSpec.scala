@@ -25,6 +25,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aHash is stable under a one-pixel change and separates unrelated images") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def hamming(a: Multimodal.AHash, b: Multimodal.AHash): Int =
+      java.lang.Long.bitCount(a.h1 ^ b.h1) + java.lang.Long.bitCount(a.h2 ^ b.h2)
+    def hashOf(png: Array[Byte]): Multimodal.AHash =
+      MediaCodec.ahashPng(Iterator(MediaRow(0L, "png", png))).next()
+    // perceptual property 1: flipping ONE pixel moves one block mean by
+    // at most ceil(255 / blockPixels) gray levels — the hash flips at
+    // most a few bits, where a byte-exact fingerprint would change
+    // completely
+    val base = MediaCodec.synthPng(42L)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(base))
+    img.setRGB(3, 3, img.getRGB(3, 3) ^ 0x0000f0)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val d = hamming(hashOf(base), hashOf(bos.toByteArray))
+    assert(d <= 4, s"one-pixel change flipped $d hash bits")
+    // perceptual property 2: unrelated images (different ids → fully
+    // different pixel streams) land far apart on average
+    val hs = Seq(1L, 2L, 3L, 4L, 5L).map(id => hashOf(MediaCodec.synthPng(id)))
+    val dists = for (i <- hs.indices; j <- hs.indices if i < j)
+      yield hamming(hs(i), hs(j))
+    assert(dists.sum.toDouble / dists.size > 10,
+      s"unrelated images cluster: $dists")
+  }
+
   test("decodePng rejects non-image payloads") {
     val bad = MediaRow(1, "png", "not a png".getBytes("UTF-8"))
     assertThrows[IllegalArgumentException] {
