@@ -876,6 +876,55 @@ object Eventing {
         .agg(sum(col("n")).as("n"),
           sum(col("sv")).cast("double").as("sum_value"),
           min(col("min_t")).as("min_t"), max(col("max_t")).as("max_t"))
+    },
+
+    // ----- time-to-convert distribution (funnel latency) -------------------
+    // q77/q98 count WHO converts; product decisions also need HOW
+    // LONG conversion takes. Per user: first view → first purchase
+    // delta (users who purchase before ever viewing are a data-quality
+    // cohort, excluded here exactly as stated); the report is the
+    // exact latency distribution — p50/p90 via percentile_disc (the
+    // q149 integer-exact idiom: smallest value at cumulative fraction
+    // ≥ p, identical tie semantics both engines), min/max, converter
+    // count. One hash aggregate on user_id over a single scan
+    // (conditional-min aggregates, no self-join of the two event
+    // types), then a metadata-scale global aggregate over the
+    // #users-row delta table.
+    Q("q155_time_to_convert",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |      THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) END) AS t_buy
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT t_buy - t_view AS dt FROM f
+        |  WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+        |    AND t_buy >= t_view)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dt) AS BIGINT)
+        |    AS p50_us,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY dt) AS BIGINT)
+        |    AS p90_us,
+        |  CAST(min(dt) AS BIGINT) AS min_us,
+        |  CAST(max(dt) AS BIGINT) AS max_us
+        |FROM d""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("t"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("t"))).as("t_view"),
+          min(when(col("event_type") === "purchase", col("t"))).as("t_buy"))
+        .filter(col("t_view").isNotNull && col("t_buy").isNotNull &&
+          col("t_buy") >= col("t_view"))
+        .select((col("t_buy") - col("t_view")).as("dt"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dt)")
+            .cast("long").as("p50_us"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dt)")
+            .cast("long").as("p90_us"),
+          min(col("dt")).as("min_us"), max(col("dt")).as("max_us"))
     }
   )
 }
