@@ -324,4 +324,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!"\\bSort \\[v".r.findFirstIn(p).isDefined,
       s"q150 sorts the key set globally:\n$p")
   }
+
+  test("embedding drift reads the corpus exactly once") {
+    // q153's counts ride the centroid aggregation; a second embeddings
+    // scan means someone reintroduced the separate count pass
+    val p = plan("q153_embedding_drift")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"q153 scans embeddings $scans times:\n$p")
+  }
+
+  test("incremental stats scans once per batch, merges states only") {
+    // q152: one scan per batch branch (history + delta); the merge
+    // operates on state rows, so exactly two file scans total
+    val p = plan("q152_incremental_stats")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"q152 has $scans scans (want 2 batch branches):\n$p")
+  }
 }
