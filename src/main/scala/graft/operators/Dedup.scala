@@ -848,6 +848,56 @@ object Dedup {
       labels.select(col("node").as("doc_id"), col("hops"))
     },
 
+    // ----- 2-core peeling: the dense skeleton of the near-dup graph --------
+    // Pairs (degree-1 appendages) dominate near-dup graphs; the
+    // CLUSTERS worth human review are the densely-connected cores.
+    // Three peel rounds — drop every node with degree < 2, restrict
+    // edges to surviving endpoints, repeat — expose that skeleton
+    // (on near-dup graphs, whose components are small band-cliques,
+    // three rounds is past the peeling fixpoint in practice; this is
+    // deliberately the BOUNDED-ROUND form so the whole trace stays
+    // one lazy plan with a lazily-persisted frame per round, where a
+    // fixpoint loop would pay the q57 probe-per-round machinery).
+    // Each round is one degree aggregate on the hash-clustered cached
+    // edges plus two left-semi joins — k-core peeling's native
+    // distributed shape, identical at any graph size. The oracle
+    // unrolls the same three rounds as CTEs (the q69 discipline);
+    // degree thresholds are integer counts, so the surviving edge set
+    // is engine-exact.
+    Q("q156_kcore_peel", {
+      val step = (k: Int) =>
+        s"""e$k AS (
+           |  SELECT ea, eb FROM e${k - 1}
+           |  WHERE ea IN (SELECT ea FROM e${k - 1}
+           |               GROUP BY ea HAVING count(*) >= 2)
+           |    AND eb IN (SELECT ea FROM e${k - 1}
+           |               GROUP BY ea HAVING count(*) >= 2))"""
+      s"""WITH sigs AS MATERIALIZED ($MINHASH_SIGS_SQL),
+         |nr AS ($NR_SQL),
+         |bands AS MATERIALIZED ($BANDS_SQL),
+         |e0 AS (
+         |  SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id <> b.doc_id),
+         |${(1 to 3).map(step).mkString(",\n")}
+         |SELECT ea AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM e3 GROUP BY ea""".stripMargin
+    }) { (s, d) =>
+      val rounds = 3
+      var e = nearDupEdges(s, d).persist()
+      (1 to rounds).foreach { _ =>
+        val kept = e.groupBy(col("ea")).agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= 2)
+        e = e.join(kept.select(col("ea").as("ka")),
+            col("ea") === col("ka"), "left_semi")
+          .join(kept.select(col("ea").as("kb")),
+            col("eb") === col("kb"), "left_semi")
+          .persist()
+      }
+      e.groupBy(col("ea")).agg(count(lit(1)).as("core_degree"))
+        .select(col("ea").as("doc_id"), col("core_degree"))
+    },
+
     // ----- benchmark decontamination (n-gram overlap vs an eval set) -------
     // Training corpora must not contain evaluation data; the standard
     // check flags any document sharing ≥ K shingles with the benchmark

@@ -90,4 +90,23 @@ class GraphSpec extends AnyFunSuite {
       s"BFS mismatch: missing=${(dist.keySet -- got.keySet).take(5)} " +
         s"extra=${(got.keySet -- dist.keySet).take(5)}")
   }
+
+  test("k-core peel equals a driver-side peeling of the same graph") {
+    // three rounds of plain-Scala peeling on the collected edge list
+    // must reproduce q156's surviving nodes and residual degrees
+    var e = operators.Dedup.nearDupEdges(spark, Spec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (_ <- 1 to 3) {
+      val deg = e.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val kept = deg.filter(_._2 >= 2).keySet
+      e = e.filter(p => kept(p._1) && kept(p._2))
+    }
+    val expected = e.groupBy(_._1)
+      .map { case (n, es) => n -> es.size.toLong }
+    val got = SparkEntry.queries("q156_kcore_peel")(spark, Spec.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"core mismatch: missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+  }
 }
