@@ -28,6 +28,13 @@ object Streams {
   /** Per-user running-session state: O(1), never the raw events. */
   final case class SessState(nEvents: Long, start: Long, end: Long)
 
+  /** Per-key running stats — the q152 monoid (count, integer-cents sum,
+    * event-time bounds) held as live streaming state. Integer cents keep
+    * the merge exact at any batch/fold order, the same reason q152's
+    * batch merge uses DECIMAL. */
+  final case class UserStats(user_id: Long, n: Long, sum_cents: Long,
+      min_t: Long, max_t: Long)
+
   /** Tumbling-window count/sum per event type. On a stream, pair with
     * [[withEventWatermark]] so state for closed windows is dropped —
     * unbounded state is the thing that kills a 100 TB/day stream. */
@@ -104,6 +111,32 @@ object Streams {
     val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
       "event_type STRING, value DOUBLE, props STRING"
     spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Stateful incremental per-user stats via mapGroupsWithState: each
+    * micro-batch FOLDS its rows into the stored state — the live form
+    * of q152's batch state merge, and the shape that keeps per-key
+    * profile maintenance O(state) instead of O(history) on a
+    * 100 TB/day stream. State per key is one [[UserStats]] row, never
+    * events. NoTimeout is deliberate: profile state lives for the
+    * key's lifetime; a TTL policy would hang off event-time timeouts
+    * exactly like [[sessionize]]'s. */
+  def incrementalStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserStats]) =>
+          var s = state.getOption.getOrElse(
+            UserStats(uid, 0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { e =>
+            val t = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+            s = UserStats(uid, s.n + 1,
+              s.sum_cents + math.round(e.value * 100),
+              math.min(s.min_t, t), math.max(s.max_t, t))
+          }
+          state.update(s)
+          s
+      }
   }
 
   /** Custom stateful operator: gap-based sessionization with

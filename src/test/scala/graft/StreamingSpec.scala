@@ -231,6 +231,51 @@ class StreamingSpec extends AnyFunSuite {
       s.start_ts == ts(0, 0) && s.end_ts == ts(0, 30)))
   }
 
+  test("stateful incremental stats over a multi-batch stream equal the batch fold") {
+    import org.apache.spark.sql.functions._
+    // q152 proves the monoid merge in batch; this runs the SAME state
+    // shape live — three micro-batches folding into mapGroupsWithState
+    // — and holds the final per-user state to a driver-side fold of
+    // the whole event log. Integer cents, so batch boundaries cannot
+    // change any sum.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-incstats").toString
+    Tables.events(spark, Spec.sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .repartitionByRange(3, col("event_id"))
+      .write.parquet(s"$dir/ev")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/ev").as[Event]
+    val q = Streams.incrementalStats(stream).writeStream
+      .outputMode("update").format("memory").queryName("inc_stats")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // update mode emits one state row per (micro-batch, touched user);
+    // the final state per user is its largest-n row
+    val emitted = spark.table("inc_stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val got = emitted.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+    val expected = Tables.events(spark, Spec.sfDir)
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, es) =>
+        val micros = es.map(e =>
+          e._2.getTime * 1000 + (e._2.getNanos / 1000) % 1000)
+        u -> ((u, es.length.toLong,
+          es.map(e => math.round(e._3 * 100)).sum, micros.min, micros.max))
+      }
+    assert(got.size == expected.size)
+    expected.foreach { case (u, exp) => assert(got(u) == exp, s"user $u") }
+    // and it genuinely ran incrementally: per-user states were emitted
+    // across more than one micro-batch
+    assert(emitted.length > expected.size,
+      s"single-batch run: ${emitted.length} rows for ${expected.size} users")
+  }
+
   test("rate source: watermarked window agg holds state bounded on a live stream") {
     // A GENUINELY unbounded built-in source (wall-clock rows, no end):
     // values are deterministic (0,1,2,...) but timing is not, so the
