@@ -22,6 +22,42 @@ object TextOps {
   private def stopCount(arr: Column, words: Seq[String]): Column =
     size(filter(arr, t => t.isInCollection(words))).cast("long")
 
+  /** Per-doc curation-gate flags — the q62 rules factored out so the
+    * keep query (q62) and the attrition report (q157) share ONE
+    * definition and cannot drift. Columns: doc_id, n_tokens, quality,
+    * and the four failure flags (dup / lang / length / quality).
+    * Shape: one documents scan + one fp-window shuffle (the dedup
+    * survivor as a window min — a groupBy + semi-join back would
+    * recompute the scored lineage per branch and shuffle the corpus a
+    * second time). */
+  private def curationFlags(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens
+    val nTokens = size(toks).cast("long")
+    val stopCnt = stopCount(toks, Seq("the", "a", "of", "and", "to"))
+    val punctCnt = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
+    val tokChars = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val quality = lit(0.5) * (stopCnt.cast("double") / nTokens) +
+      lit(0.3) * (tokChars.cast("double") / nTokens / lit(10.0)) +
+      lit(0.2) * (punctCnt.cast("double") / nTokens)
+    Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), Dedup.normFp.as("fp"),
+        nTokens.as("n_tokens"), quality.as("quality"),
+        stopCount(toks, Seq("the", "a", "and", "of")).as("en_cnt"),
+        stopCount(toks, Seq("der", "die", "und", "das")).as("de_cnt"),
+        stopCount(toks, Seq("le", "la", "et", "les")).as("fr_cnt"),
+        stopCount(toks, Seq("el", "los", "y", "las")).as("es_cnt"))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        (col("doc_id") =!= col("keep_id")).as("f_dup"),
+        (!(col("lang") === "en" && col("en_cnt") >= col("de_cnt") &&
+          col("en_cnt") >= col("fr_cnt") && col("en_cnt") >= col("es_cnt")))
+          .as("f_lang"),
+        (!col("n_tokens").between(20, 80)).as("f_len"),
+        (!(col("quality") >= 0.15)).as("f_quality"))
+  }
+
   /** The frozen mixture-sampling rule shared by q92 (apply) and q100
     * (capstone) — ONE definition so the two can't drift: per-source
     * integer thresholds thr = min_tokens·65536 div source_tokens, and
@@ -311,36 +347,72 @@ object TextOps {
         |  AND s.en_cnt >= s.de_cnt AND s.en_cnt >= s.fr_cnt AND s.en_cnt >= s.es_cnt
         |  AND s.n_tokens BETWEEN 20 AND 80
         |  AND s.quality >= 0.15""".stripMargin) { (s, d) =>
-      val toks = tokens
-      val nTokens = size(toks).cast("long")
-      val stopCnt = stopCount(toks, Seq("the", "a", "of", "and", "to"))
-      val punctCnt = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
-      val tokChars = length(regexp_replace(col("text"), " ", "")).cast("long")
-      val quality = lit(0.5) * (stopCnt.cast("double") / nTokens) +
-        lit(0.3) * (tokChars.cast("double") / nTokens / lit(10.0)) +
-        lit(0.2) * (punctCnt.cast("double") / nTokens)
-      val fp = Dedup.normFp
-      val scored = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"), fp.as("fp"),
-        nTokens.as("n_tokens"), quality.as("quality"),
-        stopCount(toks, Seq("the", "a", "and", "of")).as("en_cnt"),
-        stopCount(toks, Seq("der", "die", "und", "das")).as("de_cnt"),
-        stopCount(toks, Seq("le", "la", "et", "les")).as("fr_cnt"),
-        stopCount(toks, Seq("el", "los", "y", "las")).as("es_cnt"))
-      // dedup survivor = min doc_id within the fp group, as a window
-      // min: ONE scan of documents and ONE shuffle (on fp) — a
-      // groupBy + semi-join back would recompute the scored lineage
-      // per branch and shuffle the full data a second time for the join
-      val keepW = Window
-        .partitionBy(col("fp"))
-      scored
-        .withColumn("keep_id", min(col("doc_id")).over(keepW))
-        .filter(col("doc_id") === col("keep_id") &&
-          col("lang") === "en" &&
-          col("en_cnt") >= col("de_cnt") && col("en_cnt") >= col("fr_cnt") &&
-          col("en_cnt") >= col("es_cnt") &&
-          col("n_tokens").between(20, 80) && col("quality") >= 0.15)
+      curationFlags(s, d)
+        .filter(!col("f_dup") && !col("f_lang") && !col("f_len") &&
+          !col("f_quality"))
         .select(col("doc_id"), col("n_tokens"), col("quality"))
+    },
+
+    // ----- filter attrition report (the corpus-release funnel) -------------
+    // q62 publishes the SURVIVORS; a corpus release also publishes the
+    // FUNNEL — how many docs each gate dropped and how the gates
+    // overlap (a doc failing both lang and length must not be
+    // double-counted as two losses). One row per flag bitmask with the
+    // pipeline-order first-failing gate (dedup → lang → length →
+    // quality), so both the overlap structure AND the sequential
+    // attrition read off the same ≤16-row report. The gates are THE
+    // q62 predicates via the shared curationFlags frame — one
+    // definition, so the keep query and its accounting cannot drift.
+    // One corpus scan + the fp window shuffle; the report aggregate is
+    // map-side-combinable on 16 keys.
+    Q("q157_filter_attrition",
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS tok_chars,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |keep AS (SELECT fp, min(doc_id) AS keep_id FROM t GROUP BY fp),
+        |scored AS (
+        |  SELECT doc_id, lang, fp,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    0.5 * (CAST(len(list_filter(toks,
+        |          x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(toks))
+        |      + 0.3 * (CAST(tok_chars AS DOUBLE) / len(toks) / 10.0)
+        |      + 0.2 * (CAST(punct_cnt AS DOUBLE) / len(toks)) AS quality,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS BIGINT) AS en_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS BIGINT) AS de_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS BIGINT) AS fr_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','los','y','las'))) AS BIGINT) AS es_cnt
+        |  FROM t),
+        |fl AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN s.doc_id <> k.keep_id THEN 1 ELSE 0 END
+        |    + CASE WHEN NOT (s.lang = 'en' AND s.en_cnt >= s.de_cnt
+        |        AND s.en_cnt >= s.fr_cnt AND s.en_cnt >= s.es_cnt)
+        |      THEN 2 ELSE 0 END
+        |    + CASE WHEN s.n_tokens NOT BETWEEN 20 AND 80 THEN 4 ELSE 0 END
+        |    + CASE WHEN NOT (s.quality >= 0.15) THEN 8 ELSE 0 END AS mask
+        |  FROM scored s JOIN keep k ON s.fp = k.fp)
+        |SELECT CAST(mask AS BIGINT) AS mask,
+        |  CASE WHEN mask % 2 = 1 THEN 'dup'
+        |       WHEN mask // 2 % 2 = 1 THEN 'lang'
+        |       WHEN mask // 4 % 2 = 1 THEN 'length'
+        |       WHEN mask // 8 % 2 = 1 THEN 'quality'
+        |       ELSE 'kept' END AS first_fail,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM fl GROUP BY mask""".stripMargin) { (s, d) =>
+      curationFlags(s, d)
+        .select(
+          (when(col("f_dup"), 1L).otherwise(0L) +
+            when(col("f_lang"), 2L).otherwise(0L) +
+            when(col("f_len"), 4L).otherwise(0L) +
+            when(col("f_quality"), 8L).otherwise(0L)).as("mask"),
+          when(col("f_dup"), "dup").when(col("f_lang"), "lang")
+            .when(col("f_len"), "length").when(col("f_quality"), "quality")
+            .otherwise("kept").as("first_fail"))
+        .groupBy(col("mask"), col("first_fail"))
+        .agg(count(lit(1)).as("n_docs"))
     },
 
     // ----- TF-IDF: top-3 terms per document ---------------------------------

@@ -445,6 +445,30 @@ class AdversarialSpec extends AnyFunSuite {
       s"sorted layout prunes only $shpPruned of $natPairs bin-window pairs")
   }
 
+  test("attrition funnel reconciles with the survivors and the corpus") {
+    import org.apache.spark.sql.functions._
+    // the accounting identities a release report lives on: every doc
+    // lands in exactly one mask bucket (sum == corpus size), the
+    // mask-0 bucket IS the q62 survivor count, and first_fail is the
+    // lowest set bit of its mask
+    val rows = SparkEntry.queries("q157_filter_attrition")(spark, Spec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val total = Tables.documents(spark, Spec.sfDir).count()
+    assert(rows.map(_._3).sum == total,
+      s"masks sum to ${rows.map(_._3).sum}, corpus has $total")
+    val kept = rows.filter(_._1 == 0L).map(_._3).sum
+    val survivors =
+      SparkEntry.queries("q62_corpus_curation")(spark, Spec.sfDir).count()
+    assert(kept == survivors, s"mask-0 $kept != q62 survivors $survivors")
+    rows.foreach { case (mask, ff, _) =>
+      val expect =
+        if (mask == 0) "kept"
+        else Seq("dup", "lang", "length", "quality")(
+          java.lang.Long.numberOfTrailingZeros(mask))
+      assert(ff == expect, s"mask $mask labeled $ff")
+    }
+  }
+
   test("merged partial states equal the direct whole-table aggregate") {
     import org.apache.spark.sql.functions._
     // q152's DuckDB oracle proves merge-of-parts == aggregate-of-whole
