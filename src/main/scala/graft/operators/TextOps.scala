@@ -1982,6 +1982,74 @@ object TextOps {
         .select(col("doc_id"), col("w").cast("long").as("weight"),
           col("priority"),
           greatest(col("w").cast("double"), col("tau")).as("est_weight"))
+    },
+
+    // ----- systematic weighted sampling WITH replacement (epochs) ----------
+    // q144 samples WITHOUT replacement (selection); epoch construction
+    // samples WITH replacement — a doc with twice the weight should
+    // appear about twice as often in the epoch. Systematic sampling:
+    // lay every doc's weight on a number line (cumulative sums in
+    // doc_id order), drop K evenly-strided probe points (stride =
+    // W div K, half-stride offset), and a doc's MULTIPLICITY is the
+    // number of points inside its interval — Σ multiplicity = K
+    // EXACTLY, zero variance in the total, and everything is integer
+    // arithmetic (the +2·stride shift keeps every division operand
+    // non-negative, where floor-vs-truncate would diverge between
+    // engines). The scale design is the point: the global prefix sum
+    // is a TWO-LEVEL distributed cumsum — per-range-partition running
+    // sums plus a #partitions-row offset table broadcast back — never
+    // a single-partition window over the corpus (the weighted
+    // generalization of q142's rank machinery; result is invariant to
+    // where the sampled range boundaries fall, so the plan is
+    // deterministic even though repartitionByRange samples).
+    Q("q158_epoch_sample",
+      """WITH w AS (
+        |  SELECT doc_id, n_chars AS wt,
+        |    sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+        |  FROM documents),
+        |p AS (
+        |  SELECT sum(n_chars) // 100 AS stride,
+        |    (sum(n_chars) // 100) // 2 AS off
+        |  FROM documents)
+        |SELECT doc_id, CAST(wt AS BIGINT) AS weight,
+        |  CAST(least((cumw - off - 1 + 2 * stride) // stride - 1, 100)
+        |    - least((cumw - wt - off - 1 + 2 * stride) // stride - 1, 100)
+        |    AS BIGINT) AS multiplicity
+        |FROM w, p
+        |WHERE least((cumw - off - 1 + 2 * stride) // stride - 1, 100)
+        |    - least((cumw - wt - off - 1 + 2 * stride) // stride - 1, 100)
+        |    >= 1""".stripMargin) { (s, d) =>
+      val k = 100
+      val p = s.sparkContext.defaultParallelism
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("wt"))
+        .repartitionByRange(p, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lcum", sum(col("wt")).over(
+          Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
+        .persist()
+      // partition offset table: #partitions rows, window over the tiny
+      // frame only, broadcast back — the two-level cumsum
+      val offs = docs.groupBy(col("pid")).agg(max(col("lcum")).as("psum"))
+        .withColumn("poff", coalesce(sum(col("psum")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("tot", sum(col("psum")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("pid").as("pid2"), col("poff"),
+          expr(s"tot div $k").as("stride"),
+          expr(s"(tot div $k) div 2").as("off"))
+      docs.join(broadcast(offs), col("pid") === col("pid2"))
+        .withColumn("cumw", col("lcum") + col("poff"))
+        .select(col("doc_id"), col("wt").as("weight"),
+          (least(expr("(cumw - off - 1 + 2 * stride) div stride - 1"),
+            lit(k.toLong)) -
+           least(expr("(cumw - weight - off - 1 + 2 * stride) div stride - 1"),
+            lit(k.toLong))).as("multiplicity"))
+        .filter(col("multiplicity") >= 1)
     }
   )
 

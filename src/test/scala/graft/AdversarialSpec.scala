@@ -445,6 +445,41 @@ class AdversarialSpec extends AnyFunSuite {
       s"sorted layout prunes only $shpPruned of $natPairs bin-window pairs")
   }
 
+  test("systematic epoch sample: exact K, multiplicity tracks weight") {
+    import org.apache.spark.sql.functions._
+    // the fixture's near-uniform weights only ever exercise
+    // multiplicity = 1; a skewed corpus (one doc carrying ~90% of the
+    // mass) must reproduce a driver-side systematic sample EXACTLY —
+    // including the heavy doc appearing ~weight/stride times — and the
+    // multiplicities must sum to K with zero variance.
+    val rows = (0 until 50).map { i =>
+      val n = if (i == 25) 5000L else 10L
+      (i.toLong, "x " * 5, "en", "web", n)
+    }
+    val dir = Files.createTempDirectory("graft-epoch").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val k = 100
+    val w = rows.map(_._5)
+    val tot = w.sum
+    val stride = tot / k
+    val off = stride / 2
+    var cum = 0L
+    val expected = rows.map { case (id, _, _, _, wt) =>
+      val prev = cum; cum += wt
+      val below = (x: Long) =>
+        math.min((x - off - 1 + 2 * stride) / stride - 1, k.toLong)
+      id -> (below(cum) - below(prev))
+    }.filter(_._2 >= 1).toMap
+    val got = SparkEntry.queries("q158_epoch_sample")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"sample mismatch: missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+    assert(got.values.sum == k, s"multiplicities sum to ${got.values.sum}")
+    assert(got(25L) >= 80, s"heavy doc multiplicity ${got(25L)} — skew lost")
+  }
+
   test("attrition funnel reconciles with the survivors and the corpus") {
     import org.apache.spark.sql.functions._
     // the accounting identities a release report lives on: every doc
