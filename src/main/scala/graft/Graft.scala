@@ -137,6 +137,27 @@ object Graft {
         timestamp_micros(max(col("t"))).as("end_ts"))
       .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"))
       .createOrReplaceTempView("stream_sessions")
+
+    // ---- release-engineering views (the round-9 operator families) ------
+    // Each view IS the oracle-checked query's plan, resolved through
+    // the same SparkEntry registry the driver gate runs — zero drift
+    // possible between what SQL callers read and what the gate
+    // verifies. All of these build without running a job (the graph
+    // operators, whose banding derives from a corpus rowCount at plan
+    // build, stay Scala-side for that reason).
+    Seq(
+      "scd2_user_state" -> "q145_scd2_history",
+      "purchase_attribution" -> "q146_temporal_join",
+      "token_budget" -> "q148_token_budget",
+      "length_outliers" -> "q149_mad_outliers",
+      "join_key_stats" -> "q150_kmv_join_estimate",
+      "embedding_drift" -> "q153_embedding_drift",
+      "image_ahash" -> "q154_image_ahash",
+      "filter_attrition" -> "q157_filter_attrition",
+      "epoch_sample" -> "q158_epoch_sample"
+    ).foreach { case (view, q) =>
+      SparkEntry.queries(q)(spark, sfDir).createOrReplaceTempView(view)
+    }
   }
 
   /** Opt-in PERSISTENT catalog surface: write the two big fact tables

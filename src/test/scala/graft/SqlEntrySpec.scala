@@ -186,4 +186,20 @@ class SqlEntrySpec extends AnyFunSuite {
     assert(row.getLong(1) ==
       base.filter(col("o_orderkey") % 10 === 0).count())
   }
+
+  test("release-engineering views are the oracle-checked query plans") {
+    val s = registered
+    // spot-check two: row-identical to their SparkEntry counterparts
+    // (same registry resolution, so this pins the wiring, not a copy)
+    val attrSql = s.sql("SELECT mask, first_fail, n_docs FROM filter_attrition")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val attrOp = SparkEntry.queries("q157_filter_attrition")(s, Spec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(attrSql == attrOp)
+    val budget = s.sql("SELECT sum(quota) FROM token_budget").head().getLong(0)
+    assert(budget == 1000000L, s"token_budget view quotas sum to $budget")
+    // and the epoch sample keeps its exact-K invariant through SQL
+    assert(s.sql("SELECT sum(multiplicity) FROM epoch_sample")
+      .head().getLong(0) == 100L)
+  }
 }
