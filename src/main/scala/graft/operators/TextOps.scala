@@ -2040,7 +2040,12 @@ object TextOps {
           Window.rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)))
         .select(col("pid").as("pid2"), col("poff"),
-          expr(s"tot div $k").as("stride"),
+          // stride 0 (total weight < K) would NULL the multiplicity
+          // arithmetic and silently return an empty sample — fail
+          // loudly instead (the q142/parseWav discipline)
+          expr(s"if(tot div $k >= 1, tot div $k, " +
+            "raise_error('q158: total corpus weight below sample size'))")
+            .as("stride"),
           expr(s"(tot div $k) div 2").as("off"))
       docs.join(broadcast(offs), col("pid") === col("pid2"))
         .withColumn("cumw", col("lcum") + col("poff"))
