@@ -218,4 +218,36 @@ class PropertySpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
     assert(salted == plain)
   }
+
+  test("results are invariant to the shuffle partition count") {
+    // THE repo determinism rule, checked physically: every result must
+    // be bit-identical when aggregation/join shuffles split the data
+    // differently — which is exactly what order-sensitive float
+    // accumulation would break. A co-sessioned SQLConf override (7
+    // partitions vs the session's 32/4) re-runs a float-bearing
+    // representative of each family: decimal money sums, LSH banding,
+    // exact percentiles, star contraction, tf-idf rational scores,
+    // mixture-rate divisions, distributed rank, frozen-priority
+    // sampling, SCD2 windows, integer-centroid cosines, the two-level
+    // prefix sum.
+    val spark = Spec.spark
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    val qs = Seq("q01_pricing_summary", "q30_minhash_lsh", "q53_percentiles",
+      "q57_dup_clusters", "q63_tfidf", "q86_mixture_weights",
+      "q142_equidepth_histogram", "q144_weighted_sample",
+      "q145_scd2_history", "q153_embedding_drift", "q158_epoch_sample")
+    qs.foreach { name =>
+      def canon(s: org.apache.spark.sql.SparkSession): Seq[String] =
+        SparkEntry.queries(name)(s, Spec.sfDir).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val (base, seven) = (canon(spark), canon(alt))
+      assert(base == seven,
+        s"$name diverges at 7 shuffle partitions: " +
+          base.zip(seven).find { case (a, b) => a != b })
+      spark.catalog.clearCache(); alt.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
 }
