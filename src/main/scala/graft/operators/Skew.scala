@@ -130,6 +130,75 @@ object Skew {
             expr("(cnt * 32 + total - 1) div total"))).as("rec_salts"))
         .orderBy(col("cnt").desc, col("key"))
         .limit(10)
+    },
+
+    // ----- consistent-hash sharding (the resize-stability partitioner) -----
+    // Modular hashing (doc % N) reshuffles ~everything when N changes;
+    // a 100 TB store resizes with CONSISTENT hashing so only ~1/(N+1)
+    // of the data moves — and every moved doc moves TO the new shard,
+    // never between old ones. This op computes both assignments (16
+    // shards and 17, 32 virtual nodes each) and reports, per old
+    // shard: doc count (balance), docs moved, and docs moved anywhere
+    // OTHER than the new shard — which consistent hashing makes
+    // EXACTLY ZERO, a structural property the oracle hash-pins rather
+    // than approximates. Mechanics: the ring is a ~(N·V)-entry sorted
+    // array of vnode hashes with the shard id packed in the low 6 bits
+    // (order-preserving), embedded as a LITERAL in the plan — built
+    // driver-side in Spark and by the identical md5 arithmetic in SQL;
+    // per-doc assignment is one array_min(filter(...)) over the
+    // broadcast-by-construction literal, O(N·V) codegen'd work per
+    // row, zero joins and zero shuffles before the 16-row report
+    // aggregate. 48-bit hash positions × 64 stay far under 2^63.
+    Q("q159_consistent_sharding", {
+      def ringSql(n: Int) =
+        s"""SELECT list(h * 64 + s ORDER BY h * 64 + s) AS r
+           |FROM (
+           |  SELECT s.s, v.v,
+           |    ${TextOps.hex48Sql("'s:' || s.s || ':v:' || v.v")} AS h
+           |  FROM unnest(range(0, $n)) s(s)
+           |  CROSS JOIN unnest(range(0, 32)) v(v)) t""".stripMargin
+      s"""WITH r16 AS (${ringSql(16)}),
+         |r17 AS (${ringSql(17)}),
+         |sel AS (
+         |  SELECT doc_id,
+         |    coalesce(list_min(list_filter(r16.r, x -> x // 64 >=
+         |      ${TextOps.hex48Sql("doc_id")})), r16.r[1]) % 64 AS s16,
+         |    coalesce(list_min(list_filter(r17.r, x -> x // 64 >=
+         |      ${TextOps.hex48Sql("doc_id")})), r17.r[1]) % 64 AS s17
+         |  FROM documents CROSS JOIN r16 CROSS JOIN r17)
+         |SELECT CAST(s16 AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_moved,
+         |  CAST(sum(CASE WHEN s16 <> s17 AND s17 <> 16 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved_elsewhere
+         |FROM sel GROUP BY s16""".stripMargin
+    }) { (s, d) =>
+      def ring(n: Int): Array[Long] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (for (sh <- 0 until n; v <- 0 until 32) yield {
+          val hex = md.digest(s"s:$sh:v:$v".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.take(12), 16) * 64L + sh
+        }).sorted.toArray
+      }
+      def assign(col16: String): String =
+        s"coalesce(array_min(filter($col16, x -> x div 64 >= dh)), " +
+          s"element_at($col16, 1)) % 64"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 12), 16, 10).cast("long").as("dh"))
+        .withColumn("ra", typedLit(ring(16)))
+        .withColumn("rb", typedLit(ring(17)))
+        .select(col("doc_id"), expr(assign("ra")).as("s16"),
+          expr(assign("rb")).as("s17"))
+        .groupBy(col("s16").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(when(col("s16") =!= col("s17") && col("s17") =!= 16, 1L)
+            .otherwise(0L)).as("n_moved_elsewhere"))
     }
   )
 }

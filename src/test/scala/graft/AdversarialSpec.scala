@@ -445,6 +445,22 @@ class AdversarialSpec extends AnyFunSuite {
       s"sorted layout prunes only $shpPruned of $natPairs bin-window pairs")
   }
 
+  test("consistent sharding: bounded movement, only toward the new shard") {
+    // the two properties that justify the ring over doc_id % N: adding
+    // shard 17 moves a bounded minority (expected 1/17; asserted
+    // generously) and NEVER moves a doc between two old shards
+    val rows = SparkEntry.queries("q159_consistent_sharding")(
+        spark, Spec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSet == (0L until 16L).toSet)
+    assert(rows.map(_._4).sum == 0L,
+      "a doc moved between two OLD shards — the ring is broken")
+    val (total, moved) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(moved > 0 && moved.toDouble / total < 0.2,
+      s"moved $moved of $total — expected ~1/17")
+  }
+
   test("systematic epoch sample: exact K, multiplicity tracks weight") {
     import org.apache.spark.sql.functions._
     // the fixture's near-uniform weights only ever exercise
