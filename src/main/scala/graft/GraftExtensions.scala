@@ -12,5 +12,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(functions.VecOps.descriptor)
     e.injectFunction(functions.Sketches.descriptor)
+    e.injectFunction(functions.RingOps.descriptor)
   }
 }

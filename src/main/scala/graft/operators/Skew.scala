@@ -182,9 +182,12 @@ object Skew {
           java.lang.Long.parseLong(hex.take(12), 16) * 64L + sh
         }).sorted.toArray
       }
-      def assign(col16: String): String =
-        s"coalesce(array_min(filter($col16, x -> x div 64 >= dh)), " +
-          s"element_at($col16, 1)) % 64"
+      // native codegen'd binary search over the sorted ring literal
+      // (functions.RingOps) — O(log NV) compiled comparisons per row
+      // where the declarative array_min(filter(...)) pays O(NV)
+      // interpreted closure calls; result-identical, hashes unchanged
+      graft.functions.RingOps.ensureRegistered(s)
+      def assign(ring: String): String = s"ring_lookup($ring, dh) % 64"
       Tables.documents(s, d)
         .select(col("doc_id"),
           conv(substring(md5(col("doc_id").cast("string").cast("binary")),

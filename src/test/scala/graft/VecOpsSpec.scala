@@ -68,4 +68,28 @@ class VecOpsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(r == 50.0)
   }
+
+  test("ring_lookup binary search equals the linear fold for all positions") {
+    import graft.functions.RingOps
+    RingOps.ensureRegistered(spark)
+    // a small packed ring (position * 64 + shard) and every probe class:
+    // below the first vnode, exact hits, between vnodes, above the last
+    // (wrap). Reference is the declarative fold ring_lookup replaced.
+    val ring = Seq(5L * 64 + 1, 9L * 64 + 0, 20L * 64 + 2).sorted
+    val probes = Seq(0L, 4L, 5L, 6L, 9L, 10L, 20L, 21L, 100L)
+    val df = probes.map(h => (ring, h)).toDF("r", "h")
+    val fast = df.selectExpr("ring_lookup(r, h) AS v")
+      .collect().map(_.getLong(0)).toSeq
+    val slow = df.selectExpr(
+        "coalesce(array_min(filter(r, x -> x div 64 >= h)), r[0]) AS v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(fast == slow, s"fast=$fast slow=$slow")
+    // null contract + compiled code (no CodegenFallback in the plan)
+    val nr = Seq((Option.empty[Seq[Long]], 3L)).toDF("r", "h")
+      .selectExpr("ring_lookup(r, h)").collect()
+    assert(nr.head.isNullAt(0))
+    val plan = df.selectExpr("ring_lookup(r, h)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"))
+  }
 }
