@@ -1823,6 +1823,64 @@ object TextOps {
               x.getField("_1").cast("string"))), ",").as("postings"))
     },
 
+    // ----- index size economics (delta-gap varint posting lists) -----------
+    // The storage-planning half of q137: what does the inverted index
+    // COST on disk, and what does delta-gap varint coding save? Per
+    // token, the posting list's first entry is the raw doc_id and
+    // every later one the gap to its predecessor (sorted, so gaps are
+    // positive and SMALL for dense tokens — exactly why the encoding
+    // wins); each value's varint width is a pure integer CASE over
+    // 7-bit thresholds, so both engines compute identical byte
+    // counts. Report: top-20 tokens by bytes saved vs raw 8-byte
+    // postings. Scale shape: distinct (token, doc) pairs shuffle once
+    // on token — the index build's own shuffle — then the lag/agg
+    // ride that partitioning; per-token sequential gap coding is
+    // inherent to posting lists (real engines cap segment length by
+    // doc-partitioning, which re-bases the first entry per segment
+    // and leaves this arithmetic unchanged).
+    Q("q160_index_economics",
+      """WITH p AS (
+        |  SELECT DISTINCT tok, doc_id
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents) t),
+        |g AS (
+        |  SELECT tok, doc_id,
+        |    coalesce(doc_id - lag(doc_id) OVER
+        |      (PARTITION BY tok ORDER BY doc_id), doc_id) AS v
+        |  FROM p),
+        |b AS (
+        |  SELECT tok, count(*) AS df,
+        |    sum(CASE WHEN v < 128 THEN 1 WHEN v < 16384 THEN 2
+        |             WHEN v < 2097152 THEN 3 WHEN v < 268435456 THEN 4
+        |             ELSE 5 END) AS varint_bytes
+        |  FROM g GROUP BY tok)
+        |SELECT tok, CAST(df AS BIGINT) AS df,
+        |  CAST(df * 8 AS BIGINT) AS raw_bytes,
+        |  CAST(varint_bytes AS BIGINT) AS varint_bytes,
+        |  CAST(df * 8 - varint_bytes AS BIGINT) AS saved_bytes
+        |FROM b
+        |ORDER BY saved_bytes DESC, tok
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val postings = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .distinct()
+      val gaps = postings.withColumn("v",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(
+          Window.partitionBy(col("tok")).orderBy(col("doc_id"))),
+          col("doc_id")))
+      gaps.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"),
+          sum(when(col("v") < 128L, 1L).when(col("v") < 16384L, 2L)
+            .when(col("v") < 2097152L, 3L).when(col("v") < 268435456L, 4L)
+            .otherwise(5L)).as("varint_bytes"))
+        .select(col("tok"), col("df"), (col("df") * 8).as("raw_bytes"),
+          col("varint_bytes"),
+          (col("df") * 8 - col("varint_bytes")).as("saved_bytes"))
+        .orderBy(col("saved_bytes").desc, col("tok"))
+        .limit(20)
+    },
+
     // ----- collocation extraction (PMI lift, log-free) ----------------------
     // Which token pairs co-occur far more than chance — the
     // vocabulary/tokenizer-training signal (and the PMI ranking's
