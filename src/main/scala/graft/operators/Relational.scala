@@ -28,6 +28,20 @@ object Relational {
   private def sumMoney(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** 16-bit Morton (z-order) interleave of two 8-bit dims named `x`/`y`
+    * — ONE definition shared by the layout queries (q131 audit, q161
+    * prune measurement) in both engines. */
+  private val ZTERMS_SQL: String = (0 until 8).map(i =>
+    s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" + ")
+
+  private def zvalue: Column = {
+    def bit(c: Column, i: Int, off: Int): Column =
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + off)
+    (0 until 8).map(i =>
+      bit(col("x"), i, 0) + bit(col("y"), i, 1)).reduce(_ + _)
+  }
+
   /** Exact average: decimal sum divided by count (both engines promote
     * to double identically). */
   private def avgMoney(c: Column, scale: Int = 2): Column =
@@ -890,9 +904,7 @@ object Relational {
     // (`repartitionByRange(zv)` + sortWithinPartitions, the q-series
     // compaction machinery) to confirm the skipping contract holds.
     Q("q131_zorder_layout", {
-      val terms = (0 until 8).map(i =>
-        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
-        .mkString(" + ")
+      val terms = ZTERMS_SQL
       s"""WITH pts AS (
          |  SELECT l_orderkey & 255 AS x, l_partkey & 255 AS y FROM lineitem),
          |z AS (SELECT x, y, $terms AS zv FROM pts)
@@ -901,14 +913,10 @@ object Relational {
          |  min(y) AS y_lo, max(y) AS y_hi
          |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin
     }) { (s, d) =>
-      def bit(c: Column, i: Int, off: Int): Column =
-        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + off)
-      val zv = (0 until 8).map(i =>
-        bit(col("x"), i, 0) + bit(col("y"), i, 1)).reduce(_ + _)
       Tables.lineitem(s, d)
         .select(col("l_orderkey").bitwiseAND(lit(255L)).as("x"),
           col("l_partkey").bitwiseAND(lit(255L)).as("y"))
-        .select(col("x"), col("y"), shiftright(zv, 8).as("zcell"))
+        .select(col("x"), col("y"), shiftright(zvalue, 8).as("zcell"))
         .groupBy(col("zcell"))
         .agg(count(lit(1)).as("n"),
           min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
@@ -1149,6 +1157,98 @@ object Relational {
         .groupBy(col("layout"), col("k").as("w"))
         .agg(count(lit(1)).as("n_bins"),
           sum(when(col("hi") < col("wlo") || col("lo") >= col("whi"), 1L)
+            .otherwise(0L)).as("n_pruned"))
+    },
+
+    // ----- multi-dimension pruning: the experiment that justifies z-order --
+    // q151 measures one zone column; the real layout decision is
+    // MULTI-dimensional: sorting by x makes x-probes prune and
+    // y-probes worthless, while the Morton interleave (q131's zv)
+    // trades a little x-pruning for pruning on BOTH dims — the
+    // whole reason z-ordering exists. This op runs that experiment:
+    // three physical layouts (insertion order, x-sorted, z-ordered)
+    // × per-bin min/max zone maps on both 8-bit dims × eight probe
+    // windows per dim, reporting pruned bin counts per (layout, dim,
+    // window). All integers (dims are & 255 projections, windows are
+    // fixed 32-wide strips), positional binning via the q142/q151
+    // rank machinery — one range shuffle + zipWithIndex per layout,
+    // then a #bins-row zone-map table against 16 probe combos.
+    Q("q161_zorder_prune", {
+      s"""WITH li AS (
+         |  SELECT l_orderkey & 255 AS x, l_partkey & 255 AS y,
+         |    l_orderkey, l_linenumber
+         |  FROM lineitem),
+         |zt AS (SELECT x, y, l_orderkey, l_linenumber, $ZTERMS_SQL AS zv
+         |       FROM li),
+         |nat AS (
+         |  SELECT x, y, (row_number() OVER
+         |    (ORDER BY l_orderkey, l_linenumber) - 1) // 65536 AS bin
+         |  FROM zt),
+         |xs AS (
+         |  SELECT x, y, (row_number() OVER
+         |    (ORDER BY x, l_orderkey, l_linenumber) - 1) // 65536 AS bin
+         |  FROM zt),
+         |zs AS (
+         |  SELECT x, y, (row_number() OVER
+         |    (ORDER BY zv, l_orderkey, l_linenumber) - 1) // 65536 AS bin
+         |  FROM zt),
+         |bins AS (
+         |  SELECT 'natural' AS layout, bin, min(x) AS xlo, max(x) AS xhi,
+         |    min(y) AS ylo, max(y) AS yhi FROM nat GROUP BY bin
+         |  UNION ALL
+         |  SELECT 'x_sorted' AS layout, bin, min(x), max(x), min(y), max(y)
+         |  FROM xs GROUP BY bin
+         |  UNION ALL
+         |  SELECT 'z_order' AS layout, bin, min(x), max(x), min(y), max(y)
+         |  FROM zs GROUP BY bin),
+         |w AS (SELECT k, k * 32 AS wlo, (k + 1) * 32 AS whi
+         |      FROM unnest(range(0, 8)) AS u(k)),
+         |dims AS (SELECT 'x' AS dim UNION ALL SELECT 'y')
+         |SELECT b.layout, dims.dim, CAST(w.k AS BIGINT) AS w,
+         |  count(*) AS n_bins,
+         |  CAST(sum(CASE
+         |    WHEN dims.dim = 'x' AND (b.xhi < w.wlo OR b.xlo >= w.whi) THEN 1
+         |    WHEN dims.dim = 'y' AND (b.yhi < w.wlo OR b.ylo >= w.whi) THEN 1
+         |    ELSE 0 END) AS BIGINT) AS n_pruned
+         |FROM bins b CROSS JOIN w CROSS JOIN dims
+         |GROUP BY b.layout, dims.dim, w.k""".stripMargin
+    }) { (s, d) =>
+      val binRows = 65536L
+      val base = Tables.lineitem(s, d)
+        .select(col("l_orderkey").bitwiseAND(lit(255L)).as("x"),
+          col("l_partkey").bitwiseAND(lit(255L)).as("y"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("zv", zvalue)
+      def binStats(layout: String, keys: Seq[Column]) = {
+        val sorted = base
+          .repartitionByRange(s.sparkContext.defaultParallelism, keys: _*)
+          .sortWithinPartitions(keys: _*)
+        s.createDataFrame(
+            sorted.select(col("x"), col("y")).rdd.zipWithIndex()
+              .map { case (r, i) => (r.getLong(0), r.getLong(1), i / binRows) })
+          .toDF("x", "y", "bin")
+          .groupBy(col("bin"))
+          .agg(min(col("x")).as("xlo"), max(col("x")).as("xhi"),
+            min(col("y")).as("ylo"), max(col("y")).as("yhi"))
+          .select(lit(layout).as("layout"), col("bin"),
+            col("xlo"), col("xhi"), col("ylo"), col("yhi"))
+      }
+      val tie = Seq(col("l_orderkey"), col("l_linenumber"))
+      val bins = binStats("natural", tie)
+        .unionByName(binStats("x_sorted", col("x") +: tie))
+        .unionByName(binStats("z_order", col("zv") +: tie))
+      val probes = s.range(8).toDF("k")
+        .select(col("k"), (col("k") * 32).as("wlo"),
+          ((col("k") + 1) * 32).as("whi"))
+        .crossJoin(s.createDataFrame(Seq(Tuple1("x"), Tuple1("y")))
+          .toDF("dim"))
+      bins.crossJoin(broadcast(probes))
+        .groupBy(col("layout"), col("dim"), col("k").as("w"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(when(col("dim") === "x" &&
+              (col("xhi") < col("wlo") || col("xlo") >= col("whi")), 1L)
+            .when(col("dim") === "y" &&
+              (col("yhi") < col("wlo") || col("ylo") >= col("whi")), 1L)
             .otherwise(0L)).as("n_pruned"))
     },
 

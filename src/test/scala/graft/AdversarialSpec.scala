@@ -520,6 +520,27 @@ class AdversarialSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order prunes on both dims where single-column sort cannot") {
+    // the q161 experiment's economic claim at sf0.1 (10+ bins): the
+    // x-sort dominates on x-probes but is worthless on y; the Morton
+    // layout gives up some x-pruning to prune substantially on BOTH —
+    // and its two-dim total must beat the single-column layout's
+    val rows = SparkEntry.queries("q161_zorder_prune")(
+        spark, "/root/testdata/sf0.1")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(4)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(rows(("natural", "x")) == 0 && rows(("natural", "y")) == 0)
+    assert(rows(("x_sorted", "x")) > rows(("z_order", "x")),
+      "x-sort should dominate on its own dim")
+    assert(rows(("x_sorted", "y")) == 0, "x-sort cannot prune y-probes")
+    assert(rows(("z_order", "y")) > 0 && rows(("z_order", "x")) > 0,
+      "z-order must prune on BOTH dims")
+    val zTotal = rows(("z_order", "x")) + rows(("z_order", "y"))
+    val xTotal = rows(("x_sorted", "x")) + rows(("x_sorted", "y"))
+    assert(zTotal > xTotal, s"z-order total $zTotal <= x-sort total $xTotal")
+  }
+
   test("merged partial states equal the direct whole-table aggregate") {
     import org.apache.spark.sql.functions._
     // q152's DuckDB oracle proves merge-of-parts == aggregate-of-whole
