@@ -333,6 +333,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"q153 scans embeddings $scans times:\n$p")
   }
 
+  test("consistent sharding is scan + map + one aggregate — no joins") {
+    // q159's ring is a plan literal probed by the native codegen'd
+    // ring_lookup: the whole assignment must stay join-free with one
+    // corpus scan — a join against a vnode table here would shuffle
+    // the corpus to look up a 544-entry array
+    val p = plan("q159_consistent_sharding")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"q159 scans more than once:\n$p")
+    assert(!p.contains("Join"), s"q159 grew a join:\n$p")
+    assert(p.contains("ring_lookup"), s"q159 lost the native lookup:\n$p")
+  }
+
   test("incremental stats scans once per batch, merges states only") {
     // q152: one scan per batch branch (history + delta); the merge
     // operates on state rows, so exactly two file scans total
