@@ -898,6 +898,44 @@ object Dedup {
         .select(col("ea").as("doc_id"), col("core_degree"))
     },
 
+    // ----- inter-source overlap: where is a source's content exclusive? ----
+    // The mixture queries (q86/q148) weight sources by SIZE; a better
+    // signal is NOVELTY — a source whose shingles all exist elsewhere
+    // adds redundancy, not coverage, and should be down-weighted. Per
+    // source: distinct shingles, shingles EXCLUSIVE to it (appearing
+    // in no other source), and the exclusivity rate in integer ppm.
+    // Scale shape: distinct (source, shingle) pairs shuffle once on
+    // shingle (map-side partial dedup), the per-shingle source count
+    // rides the same key, and the final aggregate is #sources rows —
+    // no pairwise source×source stage even though the output answers
+    // a pairwise-sounding question.
+    Q("q162_source_overlap",
+      s"""WITH sh AS ($SHINGLE_SQL),
+         |ss AS (
+         |  SELECT DISTINCT d.source, sh.shingle
+         |  FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+         |ns AS (SELECT shingle, count(*) AS ns FROM ss GROUP BY shingle)
+         |SELECT ss.source, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN ns.ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exclusive,
+         |  CAST(sum(CASE WHEN ns.ns = 1 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS exclusive_ppm
+         |FROM ss JOIN ns ON ss.shingle = ns.shingle
+         |GROUP BY ss.source""".stripMargin) { (s, d) =>
+      val ss = shingles(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), col("shingle")).distinct()
+        .persist() // feeds the per-shingle count AND the final aggregate
+      val perShingle = ss.groupBy(col("shingle")).agg(count(lit(1)).as("ns"))
+      ss.join(perShingle, "shingle")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+        .select(col("source"), col("n_shingles"), col("n_exclusive"),
+          expr("n_exclusive * 1000000 div n_shingles").as("exclusive_ppm"))
+    },
+
     // ----- benchmark decontamination (n-gram overlap vs an eval set) -------
     // Training corpora must not contain evaluation data; the standard
     // check flags any document sharing ≥ K shingles with the benchmark
