@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Disk-materialized derived tables — the engine's lakehouse layer.
+  *
+  * The heavy dedup/similarity family shares a chain of derived tables
+  * (df-capped shingle index → MinHash signature table → banded-LSH
+  * candidate pairs; SimHash fingerprints alongside), and SEVEN queries
+  * consume them (q30/q32/q49/q57/q91/q134/q147/q156 + q69). Rebuilding
+  * that chain inside every consumer is exactly what a production
+  * pipeline never does: at 100 TB the shingle scan alone is a
+  * multi-hour job, while the signature table is ~one narrow row per
+  * document and the candidate pair list is smaller still. The standard
+  * architecture materializes the chain ONCE per corpus snapshot (as
+  * Delta/Iceberg tables in a real deployment; plain parquet here) and
+  * lets every consumer start from the materialized artifact — which is
+  * also what keeps the per-query cost of the graph family (components,
+  * k-core, BFS radius, PageRank) proportional to the GRAPH, not to the
+  * corpus.
+  *
+  * Correctness contract: an artifact is a pure function of the fixture
+  * directory's bytes, so artifacts are keyed by a content fingerprint
+  * (relative path + size + mtime of every file under the fixture dir).
+  * Regenerating a fixture in place — same path, new bytes — changes the
+  * fingerprint and orphans the stale artifact; nothing can serve stale
+  * derived data (the r7 fixture-regeneration incident class). The
+  * DuckDB oracle never sees artifacts: it recomputes every derivation
+  * from the raw tables, so the per-query hash gate also certifies the
+  * materialization layer.
+  *
+  * Builds are atomic: written to a sibling temp dir, `ATOMIC_MOVE`d
+  * into place, and only ever read through the final path — concurrent
+  * builders in other threads/JVMs race benignly (one rename wins, the
+  * loser deletes its temp and reads the winner's output).
+  */
+object Artifacts {
+
+  private def root: Path = Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft-artifacts"))
+
+  /** Content fingerprint of a fixture dir: sha-256 over the sorted
+    * (relative path, size, mtime-millis) triples of every regular file
+    * beneath it, truncated to 16 hex chars. A pure stat walk — no file
+    * reads — so callers can afford to re-check it on every access,
+    * which is what makes in-place fixture regeneration safe. */
+  def fingerprint(dir: String): String = {
+    val base = Paths.get(dir)
+    val md = MessageDigest.getInstance("SHA-256")
+    val stream = Files.walk(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map { p =>
+          val a = Files.readAttributes(p,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          s"${base.relativize(p)}:${a.size}:${a.lastModifiedTime.toMillis}"
+        }
+        .toSeq.sorted
+        .foreach(s => md.update(s.getBytes("UTF-8")))
+    } finally stream.close()
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Reader-plan cache, keyed per (session, final artifact path): the
+    * same listing/footer dedup [[Tables]] applies to the fixtures. The
+    * path embeds the fixture fingerprint, so a regenerated fixture maps
+    * to a different key and naturally misses. */
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Per-path build locks (JVM-local; cross-JVM races resolve at the
+    * atomic rename). */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The artifact named `name` derived from fixture `d`: read it if the
+    * current fixture fingerprint already has it, otherwise run `build`
+    * and materialize it first. `name` must embed every derivation
+    * parameter that is not a function of the fixture bytes (e.g. the
+    * LSH band-row count rides in the name so a corpus-count-driven
+    * layout change can never alias). */
+  def derived(s: SparkSession, d: String, name: String)
+             (build: => DataFrame): DataFrame = {
+    val slug = d.replaceAll("[^A-Za-z0-9._-]+", "_").replaceAll("^_+", "")
+    val dir = root.resolve(s"$slug-${fingerprint(d)}")
+    val path = dir.resolve(name)
+    val key = (s, path.toString)
+    val hit = dfCache.get(key)
+    if (hit != null) return hit
+    val lock = locks.computeIfAbsent(path.toString, _ => new Object)
+    lock.synchronized {
+      if (!Files.exists(path)) {
+        Files.createDirectories(dir)
+        val tmp = dir.resolve(
+          s"$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        build.write.parquet(tmp.toString)
+        try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException =>
+            // another JVM won the race; its artifact is byte-equivalent
+            deleteRecursively(tmp)
+        }
+      }
+    }
+    val df = s.read.parquet(path.toString)
+    val prev = dfCache.putIfAbsent(key, df)
+    if (prev != null) prev else df
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    val stream = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    } finally stream.close()
+  }
+}

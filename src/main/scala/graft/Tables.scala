@@ -28,13 +28,15 @@ object Tables {
     * analog of a real deployment's catalog metastore, where table schema
     * and file manifests are resolved once, not per query.
     *
-    * Contract: a fixture dir is immutable for the life of the process
-    * (TESTDATA.md fixtures and `tools/ScaleData` outputs are
-    * write-once). Keyed on the session instance so a stopped session's
+    * A DataFrame snapshots its file listing at creation, so the key
+    * carries the fixture-dir content fingerprint (a stat walk,
+    * [[Artifacts.fingerprint]]): a fixture regenerated in place in a
+    * live JVM misses the cache and re-lists instead of reading a stale
+    * snapshot. Keyed on the session instance so a stopped session's
     * plans are never handed to a new one.
     */
   private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
 
   // get-then-putIfAbsent rather than computeIfAbsent: the events
   // loader re-enters this cache for the raw read while building the
@@ -43,7 +45,7 @@ object Tables {
   // plan twice.
   private def cached(s: SparkSession, d: String, key: String)
                     (mk: => DataFrame): DataFrame = {
-    val k = (s, d, key)
+    val k = (s, d, Artifacts.fingerprint(d), key)
     val hit = dfCache.get(k)
     if (hit != null) hit
     else {
@@ -61,14 +63,18 @@ object Tables {
     * width, k-means K, ANN table count …) need only `count(table)`, and
     * re-running that scan as a Spark job at every plan build is the
     * single largest share of those queries' fixed overhead. Keyed by
-    * (dir, table): the count is a property of the immutable fixture
-    * files, not of any session.
+    * (dir, fixture fingerprint, table) — the count is a property of the
+    * fixture BYTES, not of any session, and the fingerprint component
+    * (a stat walk, [[Artifacts.fingerprint]]) means a fixture
+    * regenerated in place in a live JVM can never serve a stale
+    * derive-from-n parameter.
     */
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
 
   def rowCount(s: SparkSession, d: String, name: String): Long =
-    countCache.computeIfAbsent((d, name), _ => apply(s, d, name).count())
+    countCache.computeIfAbsent((d, Artifacts.fingerprint(d), name),
+      _ => apply(s, d, name).count())
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
