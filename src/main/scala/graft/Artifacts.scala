@@ -85,11 +85,35 @@ object Artifacts {
     * parameter that is not a function of the fixture bytes (e.g. the
     * LSH band-row count rides in the name so a corpus-count-driven
     * layout change can never alias). */
+  private def pathOf(d: String, name: String): Path = {
+    val slug = d.replaceAll("[^A-Za-z0-9._-]+", "_").replaceAll("^_+", "")
+    root.resolve(s"$slug-${fingerprint(d)}").resolve(name)
+  }
+
+  /** The artifact if (and only if) it is already materialized for the
+    * CURRENT fixture fingerprint — never builds, never runs a job. View
+    * registration uses this to stay job-free: present → the view reads
+    * the artifact; absent → the caller falls back to a lazy derivation
+    * plan. */
+  def existing(s: SparkSession, d: String, name: String): Option[DataFrame] = {
+    val path = pathOf(d, name)
+    if (!Files.exists(path)) None
+    else {
+      val key = (s, path.toString)
+      val hit = dfCache.get(key)
+      if (hit != null) Some(hit)
+      else {
+        val df = s.read.parquet(path.toString)
+        val prev = dfCache.putIfAbsent(key, df)
+        Some(if (prev != null) prev else df)
+      }
+    }
+  }
+
   def derived(s: SparkSession, d: String, name: String)
              (build: => DataFrame): DataFrame = {
-    val slug = d.replaceAll("[^A-Za-z0-9._-]+", "_").replaceAll("^_+", "")
-    val dir = root.resolve(s"$slug-${fingerprint(d)}")
-    val path = dir.resolve(name)
+    val path = pathOf(d, name)
+    val dir = path.getParent
     val key = (s, path.toString)
     val hit = dfCache.get(key)
     if (hit != null) return hit

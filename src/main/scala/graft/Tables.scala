@@ -73,8 +73,39 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
 
   def rowCount(s: SparkSession, d: String, name: String): Long =
-    countCache.computeIfAbsent((d, Artifacts.fingerprint(d), name),
-      _ => apply(s, d, name).count())
+    countCache.computeIfAbsent((d, Artifacts.fingerprint(d), name), _ => {
+      val n: Long = footerRowCount(s, s"$d/$name.parquet")
+        .getOrElse(apply(s, d, name).count())
+      java.lang.Long.valueOf(n)
+    })
+
+  /** Row count straight from the parquet footers — driver-side metadata
+    * I/O, ZERO Spark jobs. This is what lets plan-build-time sizing
+    * (and [[Graft.registerAll]]'s graph views) stay job-free even on a
+    * cold cache: parquet stores the exact record count per file, the
+    * same statistic a lakehouse catalog serves from its manifest.
+    * Returns None on any surprise (missing path, non-parquet layout) so
+    * the caller can fall back to a Spark count. */
+  private def footerRowCount(s: SparkSession, path: String): Option[Long] = try {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sessionState.newHadoopConf()
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return None
+    val files: Seq[HPath] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.filter(_.isFile).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") ||
+            p.getName.startsWith("part-"))
+      else Seq(root)
+    if (files.isEmpty) return None
+    Some(files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum)
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

@@ -85,14 +85,17 @@ object Dedup {
     * the df filter is a broadcast anti-join: no extra shuffle of the
     * data side. */
   private def shinglesCapped(s: SparkSession, d: String): DataFrame =
-    graft.Artifacts.derived(s, d, s"shingles_df$DF_CAP") {
-      val hot = shingles(s, d).groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > DF_CAP)
-        .select(col("shingle"))
-      shingles(s, d).join(broadcast(hot), Seq("shingle"), "left_anti")
-        .select(col("doc_id"), col("shingle"))
-    }
+    graft.Artifacts.derived(s, d, s"shingles_df$DF_CAP")(
+      buildShinglesCapped(s, d))
+
+  private def buildShinglesCapped(s: SparkSession, d: String): DataFrame = {
+    val hot = shingles(s, d).groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > DF_CAP)
+      .select(col("shingle"))
+    shingles(s, d).join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(col("doc_id"), col("shingle"))
+  }
 
   private val SHINGLE_CAPPED_SQL =
     s"""SELECT doc_id, shingle FROM (
@@ -132,16 +135,18 @@ object Dedup {
     * re-join later. The hash family is md5 with a per-j salt, min taken
     * lexicographically over hex digests. */
   private def minhashSigs(s: SparkSession, d: String): DataFrame =
-    graft.Artifacts.derived(s, d, s"minhash_sigs_h${NUM_HASHES}_df$DF_CAP") {
-      val mins = (0 until NUM_HASHES).map { j =>
-        min(md5(concat(lit(s"$j:"), col("shingle")).cast("binary"))).as(s"m$j")
-      }
-      shinglesCapped(s, d)
-        .groupBy(col("doc_id"))
-        .agg(mins.head, mins.tail: _*)
-        .select(col("doc_id"),
-          array((0 until NUM_HASHES).map(j => col(s"m$j")): _*).as("sig"))
+    graft.Artifacts.derived(s, d, s"minhash_sigs_h${NUM_HASHES}_df$DF_CAP")(
+      buildMinhashSigs(shinglesCapped(s, d)))
+
+  private def buildMinhashSigs(shd: DataFrame): DataFrame = {
+    val mins = (0 until NUM_HASHES).map { j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")).cast("binary"))).as(s"m$j")
     }
+    shd.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NUM_HASHES).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
   private val MINHASH_SIGS_SQL =
     s"""SELECT doc_id, [${(0 until NUM_HASHES)
@@ -182,10 +187,109 @@ object Dedup {
     * q147's BFS walks and the graph specs re-derive against: the
     * two-directional closure of [[nearDupPairs]], a narrow union over
     * the materialized artifact (no signature join at consume time). */
-  private[graft] def nearDupEdges(s: SparkSession, d: String): DataFrame = {
-    val p = nearDupPairs(s, d)
+  private[graft] def nearDupEdges(s: SparkSession, d: String): DataFrame =
+    symmetric(nearDupPairs(s, d))
+
+  private def symmetric(p: DataFrame): DataFrame =
     p.select(col("doc_a").as("ea"), col("doc_b").as("eb"))
       .unionByName(p.select(col("doc_b").as("ea"), col("doc_a").as("eb")))
+
+  // ---- lazy view plans -----------------------------------------------------
+  // [[graft.Graft.registerAll]] registers the graph family as SQL views
+  // under a ZERO-JOBS-AT-REGISTRATION contract. Each plan reads the
+  // materialized artifact when the current fixture fingerprint has one
+  // (the common case — any prior run of the family built it) and
+  // otherwise falls back to the full derivation LINEAGE as a lazy plan:
+  // either way nothing executes until the first SELECT.
+
+  /** [[nearDupPairs]] as a lazy plan: artifact read or full lineage. */
+  private[graft] def nearDupPairsPlan(s: SparkSession, d: String): DataFrame = {
+    val r = bandRows(Tables.rowCount(s, d, "documents"))
+    graft.Artifacts.existing(s, d, s"near_dup_pairs_r$r").getOrElse {
+      val shd = graft.Artifacts.existing(s, d, s"shingles_df$DF_CAP")
+        .getOrElse(buildShinglesCapped(s, d))
+      val sigs = graft.Artifacts
+        .existing(s, d, s"minhash_sigs_h${NUM_HASHES}_df$DF_CAP")
+        .getOrElse(buildMinhashSigs(shd))
+      bandPairs(bandSignatures(sigs, r), _ < _)
+    }
+  }
+
+  /** [[nearDupEdges]] as a lazy plan (view `near_dup_edges`). */
+  private[graft] def nearDupEdgesPlan(s: SparkSession, d: String): DataFrame =
+    symmetric(nearDupPairsPlan(s, d))
+
+  /** Cluster labels as a lazy plan (view `dup_clusters`): the
+    * materialized [[dupClusters]] artifact when present; otherwise
+    * bounded min-label propagation — `hops` rounds of one join + one
+    * min-aggregate with a self-loop for retention (the q147 linear-
+    * lineage shape; the star-contraction loop cannot be a lazy plan
+    * because its convergence probes are driver-side jobs). Bounded
+    * rounds are exact only if every component's diameter is ≤ `hops`,
+    * so the plan carries its own LOUD GUARD: a broadcast 1-row count of
+    * label-inconsistent edges, raised as a runtime error rather than
+    * ever returning a silently-wrong labeling. Edge-consistent labels
+    * ARE the component minima: big→small orientation means the minimum
+    * node of a component only ever labels itself. */
+  private[graft] def dupClustersView(s: SparkSession, d: String,
+      hops: Int = 8): DataFrame = {
+    val r = bandRows(Tables.rowCount(s, d, "documents"))
+    graft.Artifacts.existing(s, d, s"dup_clusters_r$r")
+      .getOrElse(dupClustersProp(s, d, hops))
+  }
+
+  /** The bounded-propagation fallback plan itself (see
+    * [[dupClustersView]]); exposed separately so the guard and the
+    * equivalence with the star-contraction labels stay testable even
+    * when the artifact exists. */
+  private[graft] def dupClustersProp(s: SparkSession, d: String,
+      hops: Int): DataFrame = {
+    {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val e = nearDupEdgesPlan(s, d)
+        .unionByName(docs.select(col("doc_id").as("ea"),
+          col("doc_id").as("eb")))
+      var lbl = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+      (1 to hops).foreach { _ =>
+        lbl = e.join(lbl, col("ea") === col("node"))
+          .groupBy(col("eb")).agg(min(col("lbl")).as("l"))
+          .select(col("eb").as("node"), col("l").as("lbl"))
+      }
+      val viol = nearDupEdgesPlan(s, d)
+        .join(lbl.select(col("node").as("ea"), col("lbl").as("la")), "ea")
+        .join(lbl.select(col("node").as("eb"), col("lbl").as("lb")), "eb")
+        .filter(col("la") =!= col("lb"))
+        .agg(count(lit(1)).as("n_viol"))
+      // the raise_error message references n_viol so the branch can
+      // never constant-fold at optimization time
+      val guardMsg = concat(
+        lit(s"dup_clusters view: min-label propagation not converged " +
+          s"within $hops hops ("), col("n_viol").cast("string"),
+        lit(" inconsistent edges); materialize Dedup.dupClusters"))
+      lbl.crossJoin(broadcast(viol))
+        .select(col("node").as("doc_id"),
+          when(col("n_viol") > 0, raise_error(guardMsg).cast("long"))
+            .otherwise(col("lbl")).as("cluster_id"))
+    }
+  }
+
+  /** Bounded k-core peel shared by q156 and the `kcore_nodes` view:
+    * `rounds` rounds of drop-degree-<2 nodes + restrict edges to
+    * survivors, then the surviving degree per node. Lazy persist marks
+    * only — safe in a view plan (zero jobs until first SELECT). */
+  private[graft] def kcorePeel(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+    var e = edges0.persist()
+    (1 to rounds).foreach { _ =>
+      val kept = e.groupBy(col("ea")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= 2)
+      e = e.join(kept.select(col("ea").as("ka")),
+          col("ea") === col("ka"), "left_semi")
+        .join(kept.select(col("ea").as("kb")),
+          col("eb") === col("kb"), "left_semi")
+        .persist()
+    }
+    e.groupBy(col("ea")).agg(count(lit(1)).as("core_degree"))
+      .select(col("ea").as("doc_id"), col("core_degree"))
   }
 
   /** Candidate pairs from a band-signature table: the inverted-index
@@ -302,6 +406,98 @@ object Dedup {
        |SELECT * FROM s16 WHERE (SELECT w FROM nw0) = 16
        |UNION ALL
        |SELECT * FROM s60 WHERE (SELECT w FROM nw0) = 60""".stripMargin
+
+  /** Transitive near-dup cluster labels (doc_id → component-min
+    * cluster_id over [[nearDupPairs]]) — materialized like the pair
+    * artifact: the label table is what downstream curation actually
+    * joins against, and the star-contraction loop below is a
+    * driver-coordinated iteration (convergence probes = Spark jobs), so
+    * it runs once per corpus snapshot, not once per consumer. The
+    * band-row parameter rides in the name via the pair artifact's rule. */
+  private[graft] def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val r = bandRows(Tables.rowCount(s, d, "documents"))
+    graft.Artifacts.derived(s, d, s"dup_clusters_r$r") {
+      // undirected candidate edges from the materialized pair artifact,
+      // one row per pair, big > small
+      val edges0 = nearDupPairs(s, d)
+        .select(col("doc_b").as("big"), col("doc_a").as("small"))
+      // localCheckpoint blocks live at the RDD level (outside the
+      // catalog cache manager); Iterative.checkpointed hands back the
+      // exact backing RDD so each superseded round is freed directly.
+      // Checkpoints are LAZY here: the convergence probe right below is
+      // always the frame's first action, so probe + checkpoint
+      // materialization share ONE job per round (VERDICT r5 #5 — the
+      // eager variant paid a second action per round purely for the
+      // probe).
+      var (edges, edgeRdd) = Iterative.checkpointed(edges0, eager = false)
+      // Converged ⟺ the edge set is a star forest: every source has
+      // exactly one target and no target is itself a source. ONE
+      // aggregation pass: each edge is keyed by both endpoints (the
+      // big side carrying its target, the small side a null marker),
+      // so per key `count(small)` = appearances as a source,
+      // `count(*) − count(small)` = appearances as a target, and
+      // min≠max spots a source with two distinct targets — the two
+      // violation kinds fall out of one shuffle with no join and no
+      // union-of-aggregates (the earlier two-branch probe spawned ~5
+      // AQE jobs per round; this shape spawns ~2). `count` (not
+      // `isEmpty`) so the probe reads EVERY partition in one job —
+      // exactly what materializing the lazy checkpoint needs anyway,
+      // whereas an empty-result `take(1)` escalates through several
+      // partial jobs. (big > small invariantly, so a star's center is
+      // its component minimum by construction.)
+      def isStarForest(e: DataFrame): Boolean = {
+        e.select(col("big").as("k"), col("small"))
+          .unionAll(e.select(col("small").as("k"),
+            lit(null).cast("long").as("small")))
+          .groupBy(col("k"))
+          .agg(min(col("small")).as("mn"), max(col("small")).as("mx"),
+            count(col("small")).as("nsrc"), count(lit(1)).as("nall"))
+          .filter(col("mn") =!= col("mx") ||
+            (col("nsrc") > 0 && col("nall") > col("nsrc")))
+          .count() == 0L
+      }
+      var converged = isStarForest(edges)
+      val maxIters = 30 // ≫ the proven O(log n) bound for any real corpus
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        // large-star: for each node u with neighborhood Γ(u), attach
+        // every neighbor v > u to m = min(Γ(u) ∪ {u})
+        val sym = edges.select(col("big").as("u"), col("small").as("v"))
+          .union(edges.select(col("small").as("u"), col("big").as("v")))
+        val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        val large = sym.join(mins, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("big"), least(col("mn"), col("u")).as("small"))
+        // small-star: for each source u re-point every (smaller)
+        // neighbor, and u itself, at m = min of the group
+        val smins = large.groupBy(col("big")).agg(min(col("small")).as("m"))
+        val viaSmalls = large.join(smins, "big")
+          .filter(col("small") =!= col("m"))
+          .select(col("small").as("b2"), col("m").as("s2"))
+        val viaBig = smins.select(col("big").as("b2"), col("m").as("s2"))
+        val (next, nextRdd) = Iterative.checkpointed(
+          viaSmalls.union(viaBig).distinct()
+            .select(col("b2").as("big"), col("s2").as("small")),
+          eager = false)
+        converged = isStarForest(next)
+        Iterative.release(edgeRdd)
+        edges = next
+        edgeRdd = nextRdd
+        iter += 1
+      }
+      // a silent cap would return stale edges that LOOK like clusters;
+      // non-convergence must fail loudly
+      if (!converged) throw new IllegalStateException(
+        s"star contraction did not converge within $maxIters rounds")
+      // star forest → labels: leaves point at their center; centers and
+      // edgeless singletons label themselves
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(edges.select(col("big").as("doc_id"), col("small").as("cl")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cl"), col("doc_id")).as("cluster_id"))
+    }
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -644,87 +840,7 @@ object Dedup {
          |  UNION
          |  SELECT e.eb, r.lbl FROM r JOIN edges e ON e.ea = r.node)
          |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-         |FROM r GROUP BY node""".stripMargin) { (s, d) =>
-      // undirected candidate edges from the materialized pair artifact,
-      // one row per pair, big > small
-      val edges0 = nearDupPairs(s, d)
-        .select(col("doc_b").as("big"), col("doc_a").as("small"))
-      // localCheckpoint blocks live at the RDD level (outside the
-      // catalog cache manager); Iterative.checkpointed hands back the
-      // exact backing RDD so each superseded round is freed directly.
-      // Checkpoints are LAZY here: the convergence probe right below is
-      // always the frame's first action, so probe + checkpoint
-      // materialization share ONE job per round (VERDICT r5 #5 — the
-      // eager variant paid a second action per round purely for the
-      // probe).
-      var (edges, edgeRdd) = Iterative.checkpointed(edges0, eager = false)
-      // Converged ⟺ the edge set is a star forest: every source has
-      // exactly one target and no target is itself a source. ONE
-      // aggregation pass: each edge is keyed by both endpoints (the
-      // big side carrying its target, the small side a null marker),
-      // so per key `count(small)` = appearances as a source,
-      // `count(*) − count(small)` = appearances as a target, and
-      // min≠max spots a source with two distinct targets — the two
-      // violation kinds fall out of one shuffle with no join and no
-      // union-of-aggregates (the earlier two-branch probe spawned ~5
-      // AQE jobs per round; this shape spawns ~2). `count` (not
-      // `isEmpty`) so the probe reads EVERY partition in one job —
-      // exactly what materializing the lazy checkpoint needs anyway,
-      // whereas an empty-result `take(1)` escalates through several
-      // partial jobs. (big > small invariantly, so a star's center is
-      // its component minimum by construction.)
-      def isStarForest(e: DataFrame): Boolean = {
-        e.select(col("big").as("k"), col("small"))
-          .unionAll(e.select(col("small").as("k"),
-            lit(null).cast("long").as("small")))
-          .groupBy(col("k"))
-          .agg(min(col("small")).as("mn"), max(col("small")).as("mx"),
-            count(col("small")).as("nsrc"), count(lit(1)).as("nall"))
-          .filter(col("mn") =!= col("mx") ||
-            (col("nsrc") > 0 && col("nall") > col("nsrc")))
-          .count() == 0L
-      }
-      var converged = isStarForest(edges)
-      val maxIters = 30 // ≫ the proven O(log n) bound for any real corpus
-      var iter = 0
-      while (!converged && iter < maxIters) {
-        // large-star: for each node u with neighborhood Γ(u), attach
-        // every neighbor v > u to m = min(Γ(u) ∪ {u})
-        val sym = edges.select(col("big").as("u"), col("small").as("v"))
-          .union(edges.select(col("small").as("u"), col("big").as("v")))
-        val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        val large = sym.join(mins, "u")
-          .filter(col("v") > col("u"))
-          .select(col("v").as("big"), least(col("mn"), col("u")).as("small"))
-        // small-star: for each source u re-point every (smaller)
-        // neighbor, and u itself, at m = min of the group
-        val smins = large.groupBy(col("big")).agg(min(col("small")).as("m"))
-        val viaSmalls = large.join(smins, "big")
-          .filter(col("small") =!= col("m"))
-          .select(col("small").as("b2"), col("m").as("s2"))
-        val viaBig = smins.select(col("big").as("b2"), col("m").as("s2"))
-        val (next, nextRdd) = Iterative.checkpointed(
-          viaSmalls.union(viaBig).distinct()
-            .select(col("b2").as("big"), col("s2").as("small")),
-          eager = false)
-        converged = isStarForest(next)
-        Iterative.release(edgeRdd)
-        edges = next
-        edgeRdd = nextRdd
-        iter += 1
-      }
-      // a silent cap would return stale edges that LOOK like clusters;
-      // non-convergence must fail loudly
-      if (!converged) throw new IllegalStateException(
-        s"star contraction did not converge within $maxIters rounds")
-      // star forest → labels: leaves point at their center; centers and
-      // edgeless singletons label themselves
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(edges.select(col("big").as("doc_id"), col("small").as("cl")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cl"), col("doc_id")).as("cluster_id"))
-    },
+         |FROM r GROUP BY node""".stripMargin) { (s, d) => dupClusters(s, d) },
 
     // ----- PageRank over the near-dup graph (fixed-point integer) ----------
     // Graph analytics beyond components: importance within the LSH
@@ -890,21 +1006,7 @@ object Dedup {
          |${(1 to 3).map(step).mkString(",\n")}
          |SELECT ea AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
          |FROM e3 GROUP BY ea""".stripMargin
-    }) { (s, d) =>
-      val rounds = 3
-      var e = nearDupEdges(s, d).persist()
-      (1 to rounds).foreach { _ =>
-        val kept = e.groupBy(col("ea")).agg(count(lit(1)).as("dg"))
-          .filter(col("dg") >= 2)
-        e = e.join(kept.select(col("ea").as("ka")),
-            col("ea") === col("ka"), "left_semi")
-          .join(kept.select(col("ea").as("kb")),
-            col("eb") === col("kb"), "left_semi")
-          .persist()
-      }
-      e.groupBy(col("ea")).agg(count(lit(1)).as("core_degree"))
-        .select(col("ea").as("doc_id"), col("core_degree"))
-    },
+    }) { (s, d) => kcorePeel(nearDupEdges(s, d)) },
 
     // ----- inter-source overlap: where is a source's content exclusive? ----
     // The mixture queries (q86/q148) weight sources by SIZE; a better

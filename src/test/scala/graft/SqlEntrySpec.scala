@@ -202,4 +202,67 @@ class SqlEntrySpec extends AnyFunSuite {
     assert(s.sql("SELECT sum(multiplicity) FROM epoch_sample")
       .head().getLong(0) == 100L)
   }
+
+  test("graph views from pure SQL match the DataFrame operators") {
+    // ensure the artifact chain exists, then registration must be
+    // ZERO Spark jobs (the registerAll contract, VERDICT r9 #5)
+    operators.Dedup.dupClusters(spark, Spec.sfDir).count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Graft.registerAll(spark, Spec.sfDir)
+      // listener delivery is async; a small bounded wait keeps this
+      // deterministic without touching Spark internals
+      Thread.sleep(500)
+      assert(jobs.get == 0,
+        s"registerAll ran ${jobs.get} Spark jobs; the contract is zero")
+    } finally spark.sparkContext.removeSparkListener(l)
+    val s = spark
+    // near_dup_edges: symmetric closure of the canonical pair artifact
+    val edgesSql = s.sql("SELECT ea, eb FROM near_dup_edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edgesOp = operators.Dedup.nearDupEdges(s, Spec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgesSql == edgesOp && edgesSql.nonEmpty)
+    assert(edgesSql.forall { case (a, b) => edgesSql.contains((b, a)) })
+    // dup_clusters: row-identical to the oracle-checked q57 labels
+    val clSql = s.sql("SELECT doc_id, cluster_id FROM dup_clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clOp = SparkEntry.queries("q57_dup_clusters")(s, Spec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clSql == clOp && clSql.nonEmpty)
+    // kcore_nodes: row-identical to the oracle-checked q156 peel
+    val kcSql = s.sql("SELECT doc_id, core_degree FROM kcore_nodes")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kcOp = SparkEntry.queries("q156_kcore_peel")(s, Spec.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kcSql == kcOp && kcSql.nonEmpty)
+  }
+
+  test("dup_clusters lazy fallback equals the materialized labels (or fails loudly)") {
+    // Drive the bounded-propagation path DIRECTLY (the plan a fresh
+    // environment's view falls back to when no artifact exists) and
+    // pin it against the star-contraction labels. hops=8 must converge
+    // on the fixture's band-clique components; hops=0 must raise the
+    // loud guard rather than return self-labels silently.
+    val viewPlan = operators.Dedup.dupClustersProp(spark, Spec.sfDir, hops = 8)
+    val artifact = operators.Dedup.dupClusters(spark, Spec.sfDir)
+    assert(viewPlan.exceptAll(artifact).isEmpty &&
+      artifact.exceptAll(viewPlan).isEmpty)
+    val zeroHop = operators.Dedup.dupClustersProp(spark, Spec.sfDir, hops = 0)
+    // NOTE collect, not count: count() column-prunes the projection,
+    // so only a consumer that READS cluster_id trips the guard — which
+    // is the correct contract (an unconverged label can never be read)
+    val ex = intercept[Exception] { zeroHop.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("not converged")),
+      s"expected the loud guard, got: ${ex.getMessage}")
+  }
 }
