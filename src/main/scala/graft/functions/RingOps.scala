@@ -55,6 +55,10 @@ object RingOps {
       val ring = a.asInstanceOf[ArrayData]
       val target = b.asInstanceOf[Long] * 64L
       val n = ring.numElements()
+      // registered for arbitrary SQL callers: an empty ring is a
+      // caller error, not an engine state — null, never an
+      // ArrayIndexOutOfBounds from ring.getLong(0)
+      if (n == 0) return null
       var lo = 0
       var hi = n
       while (lo < hi) {
@@ -74,14 +78,18 @@ object RingOps {
         val mid = ctx.freshName("mid")
         s"""
            |int $n = $r.numElements();
-           |long $t = $h * 64L;
-           |int $lo = 0;
-           |int $hi = $n;
-           |while ($lo < $hi) {
-           |  int $mid = ($lo + $hi) >>> 1;
-           |  if ($r.getLong($mid) >= $t) { $hi = $mid; } else { $lo = $mid + 1; }
+           |if ($n == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $t = $h * 64L;
+           |  int $lo = 0;
+           |  int $hi = $n;
+           |  while ($lo < $hi) {
+           |    int $mid = ($lo + $hi) >>> 1;
+           |    if ($r.getLong($mid) >= $t) { $hi = $mid; } else { $lo = $mid + 1; }
+           |  }
+           |  ${ev.value} = ($lo == $n) ? $r.getLong(0) : $r.getLong($lo);
            |}
-           |${ev.value} = ($lo == $n) ? $r.getLong(0) : $r.getLong($lo);
          """.stripMargin
       })
 

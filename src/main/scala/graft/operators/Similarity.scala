@@ -827,9 +827,11 @@ object Similarity {
     // and squared norms are exact integers, and the only inexact steps
     // are int64→double conversion, IEEE sqrt (correctly rounded by
     // spec), one multiply, one divide — all bit-identical across
-    // engines. Int64 bounds: |component| ≤ ~3·10^3 quantized, so sums
-    // and their pairwise products stay < 2^63 up to ~10^7 vectors per
-    // (label, snapshot); beyond that, widen to DECIMAL — same plan.
+    // engines. Int64 bounds: |component| ≤ ~3·10^3 quantized, so a
+    // component sum over n vectors is ≤ 3·10^3·n and the dot's 64
+    // pairwise products total ≤ 5.76·10^8·n² — under 2^63 only up to
+    // n ≈ 1.3·10^5 vectors per (label, snapshot); beyond that, widen
+    // sa/sb to DECIMAL before the products — same plan.
     // Scale shape: ONE corpus scan → posexplode to (label, pos) skinny
     // rows with map-side partial sums (the q82 centroid discipline,
     // never collect_list of vectors), then a #labels×64-row aggregate;

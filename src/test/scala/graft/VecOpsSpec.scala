@@ -88,6 +88,19 @@ class VecOpsSpec extends AnyFunSuite {
     val nr = Seq((Option.empty[Seq[Long]], 3L)).toDF("r", "h")
       .selectExpr("ring_lookup(r, h)").collect()
     assert(nr.head.isNullAt(0))
+    // empty ring (an arbitrary-SQL-caller state): null, never an
+    // ArrayIndexOutOfBounds — both codegen and interpreted paths
+    val er = Seq((Seq.empty[Long], 3L)).toDF("r", "h")
+      .selectExpr("ring_lookup(r, h)").collect()
+    assert(er.head.isNullAt(0))
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = RingOps.RingLookup(
+      Literal(ArrayData.toArrayData(Array.empty[Long]),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      Literal(3L)).eval(null)
+    assert(interp == null)
     val plan = df.selectExpr("ring_lookup(r, h)")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CodegenFallback"))
