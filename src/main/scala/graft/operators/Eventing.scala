@@ -379,6 +379,37 @@ object Eventing {
           (max(col("t")) - min(col("t"))).as("dur_us"))
     },
 
+    // ----- native session_window grouping (the engine-managed variant) -----
+    // Same gap semantics as q39 (new session ⟺ t − prev > gap; an event
+    // exactly gap after its predecessor MERGES — Spark treats touching
+    // [ts, ts+gap) windows as one session, pinned in StreamingSpec),
+    // but via Spark's built-in merging-session operator, which is the
+    // form that runs on an unbounded stream with watermark-evicted
+    // per-session state. Oracle replays the lag rule and reconstructs
+    // the merged bounds: start = min(t), end = max(t) + gap.
+    Q("q163_session_window",
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END AS new_s,
+        |    event_id
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM y)
+        |SELECT user_id, min(t) AS sess_start_us,
+        |  max(t) + 1800000000 AS sess_end_us, count(*) AS n_events
+        |FROM z
+        |GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      Streams.sessionWindowCounts(Tables.events(s, d), "30 minutes")
+    },
+
     // ----- hopping 10-min/5-min windows (each event in 2 windows) ----------
     // Oracle replicates Spark's epoch-aligned window starts: an event at
     // t belongs to starts floor(t/slide)*slide and that minus one slide.

@@ -47,6 +47,28 @@ object Streams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Native session windows: Spark's `session_window` grouping (the
+    * built-in merging-session operator, distinct from the gap-RULE
+    * sessionization [[sessionize]]/q39 implement by hand). Each event
+    * opens a window `[ts, ts + gap)`; overlapping-or-touching windows
+    * of the same key merge, so `window.start` is the first event time
+    * and `window.end` is the LAST event time + gap — same membership as
+    * the q39 lag-rule (new session ⟺ t − prev > gap) but with the
+    * engine-managed merging state that makes it streamable: on a
+    * stream, pair with [[withEventWatermark]] and the state store keeps
+    * one (start, end, agg) triple per open session per key, merged and
+    * evicted by watermark — never the events. Batch/stream duality as
+    * [[tumblingCounts]]: this exact plan is the batch oracle for the
+    * streaming run. */
+  def sessionWindowCounts(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"))
+
   /** Hopping (sliding) windows: length > slide, so each event lands in
     * length/slide overlapping windows. Same batch/stream duality as
     * [[tumblingCounts]]. */

@@ -231,6 +231,47 @@ class StreamingSpec extends AnyFunSuite {
       s.start_ts == ts(0, 0) && s.end_ts == ts(0, 30)))
   }
 
+  test("native session_window: touching windows merge; streams with watermark") {
+    implicit val sc = spark.sqlContext
+    // --- batch semantics pin: the q163 oracle's lag rule is
+    // new-session ⟺ t − prev > gap, so an event EXACTLY gap after its
+    // predecessor must merge. e1@0:00 and e2@1:00 touch at gap=1min
+    // (e1's [0:00,1:00) ends where e2's starts); e3@2:01 is 61s past
+    // e2 → its own session. Merge-on-touching ⟹ sessions {e1,e2},{e3}.
+    val pin = Streams.sessionWindowCounts(Seq(
+        Event(1, ts(0, 0), 1, "click", 1.0),
+        Event(2, ts(1, 0), 1, "click", 1.0),
+        Event(3, ts(2, 1), 1, "click", 1.0)).toDF(), "1 minute")
+      .orderBy("sess_start_us")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = ts(0, 0).getTime * 1000L
+    assert(pin.toSeq == Seq(
+      (base, base + 120000000L, 2L),           // e1+e2: end = e2 + gap
+      (base + 121000000L, base + 181000000L, 1L)),
+      s"session_window gap-boundary semantics drifted: ${pin.toSeq}")
+    // --- the same transform on a real stream: engine-managed session
+    // state, watermark-evicted; append mode emits only CLOSED sessions
+    val input = MemoryStream[Event]
+    val agg = Streams.sessionWindowCounts(
+      Streams.withEventWatermark(input.toDF(), "0 seconds"), "1 minute")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("swin_out").start()
+    input.addData(
+      Event(1, ts(0, 0), 1, "click", 1.0),
+      Event(2, ts(0, 30), 1, "click", 1.0),
+      Event(3, ts(0, 10), 2, "view", 1.0))
+    q.processAllAvailable()
+    // watermark advances past user 1's session end (0:30 + 1min) →
+    // that session closes and must appear in the sink
+    input.addData(Event(4, ts(5, 0), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val done = spark.table("swin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(done.contains((1L, base, base + 90000000L, 2L)),
+      s"closed session missing from append output: ${done.toSeq}")
+  }
+
   test("stateful incremental stats over a multi-batch stream equal the batch fold") {
     import org.apache.spark.sql.functions._
     // q152 proves the monoid merge in batch; this runs the SAME state
