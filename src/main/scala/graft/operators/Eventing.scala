@@ -410,6 +410,45 @@ object Eventing {
       Streams.sessionWindowCounts(Tables.events(s, d), "30 minutes")
     },
 
+    // ----- dynamic-gap session_window (per-event gap expression) -----------
+    // The dynamic-gap overload: interactive events (click/view) close a
+    // session after a 10-min lull, the rest after 30. Each event opens
+    // [t, t + gap(event)); overlapping-or-touching windows merge, so a
+    // session's end is the MAX per-event end over the merged set — the
+    // oracle replays interval merging with the cumulative-max rule (new
+    // session ⟺ t > running max of prior ends; exact for interval
+    // union because the running max is monotone) and takes max(t + g)
+    // per session for the end.
+    Q("q164_session_window_dynamic",
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CASE WHEN event_type IN ('click', 'view')
+        |      THEN 600000000 ELSE 1800000000 END AS g
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, t, g,
+        |    max(t + g) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pend,
+        |    event_id
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, t, g,
+        |    CAST(sum(CASE WHEN pend IS NULL OR t > pend THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sid
+        |  FROM y)
+        |SELECT user_id, min(t) AS sess_start_us, max(t + g) AS sess_end_us,
+        |  count(*) AS n_events
+        |FROM z
+        |GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      // interval STRINGS, not ANSI interval literals: session_window's
+      // analyzer rule requires CalendarIntervalType and casts strings
+      Streams.sessionWindowDynamic(Tables.events(s, d),
+        when(col("event_type").isin("click", "view"),
+          lit("10 minutes")).otherwise(lit("30 minutes")))
+    },
+
     // ----- hopping 10-min/5-min windows (each event in 2 windows) ----------
     // Oracle replicates Spark's epoch-aligned window starts: an event at
     // t belongs to starts floor(t/slide)*slide and that minus one slide.

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -61,6 +61,22 @@ object Streams {
     * [[tumblingCounts]]: this exact plan is the batch oracle for the
     * streaming run. */
   def sessionWindowCounts(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"))
+
+  /** [[sessionWindowCounts]] with a PER-EVENT gap expression (the
+    * dynamic-gap overload): an interactive click tolerates a short
+    * lull, a batch-ish event type a long one. Each event opens
+    * `[ts, ts + gap(event))`; overlapping-or-touching windows merge,
+    * so the session end is the MAX per-event end across the merged
+    * set, not last-event + one gap — pinned in StreamingSpec with a
+    * short-gap event inside a longer predecessor window. */
+  def sessionWindowDynamic(events: DataFrame, gap: Column): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"))

@@ -272,6 +272,32 @@ class StreamingSpec extends AnyFunSuite {
       s"closed session missing from append output: ${done.toSeq}")
   }
 
+  test("dynamic-gap session_window: merged end is the max per-event end") {
+    // e1@0:00 with a 2-min gap opens [0:00, 2:00); e2@0:30 with a
+    // 30-SECOND gap opens [0:30, 1:00) ⊂ e1's window. The merged
+    // session must end at 2:00 (the MAX end), not 1:00 (last event +
+    // its own gap) — the q164 oracle's max(t + g) rule. e3@2:00
+    // touches the merged end exactly and must merge (same boundary
+    // semantics as the static-gap pin); e4@5:00 is past 2:00 + 2min.
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // gap strings cast to CalendarIntervalType inside session_window
+    // (ANSI DayTimeIntervalType literals are rejected by the analyzer)
+    val gap = when(col("event_type") === "view", lit("30 seconds"))
+      .otherwise(lit("2 minutes"))
+    val out = Streams.sessionWindowDynamic(Seq(
+        Event(1, ts(0, 0), 1, "click", 1.0),
+        Event(2, ts(0, 30), 1, "view", 1.0),
+        Event(3, ts(2, 0), 1, "click", 1.0),
+        Event(4, ts(5, 0), 1, "click", 1.0)).toDF(), gap)
+      .orderBy("sess_start_us")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = ts(0, 0).getTime * 1000L
+    assert(out.toSeq == Seq(
+      (base, base + 240000000L, 3L),          // e1+e2+e3: end = e3 + 2min
+      (base + 300000000L, base + 420000000L, 1L)),
+      s"dynamic session_window merge semantics drifted: ${out.toSeq}")
+  }
+
   test("stateful incremental stats over a multi-batch stream equal the batch fold") {
     import org.apache.spark.sql.functions._
     // q152 proves the monoid merge in batch; this runs the SAME state
