@@ -29,6 +29,20 @@ object Graft {
     * the q77 stage chain the fixture events actually contain. */
   val DefaultFunnel: Seq[String] = Seq("view", "click", "purchase")
 
+  /** Memoized view plans, keyed (session, fixture fingerprint, view):
+    * a long-lived SQL service re-registers on refresh, and view plans
+    * whose builders carry lazy `persist()` marks (q150's KMV sketches)
+    * would otherwise register FRESH CacheManager entries per call —
+    * unbounded growth, the leak CacheHygieneSpec pins. Re-registering
+    * the SAME DataFrame is a no-op on the cache; the fingerprint key
+    * drops memoized plans when a fixture is regenerated in place. */
+  private val viewPlanCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), org.apache.spark.sql.DataFrame]()
+  private def memoView(spark: SparkSession, sfDir: String, view: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    viewPlanCache.computeIfAbsent(
+      (spark, Artifacts.fingerprint(sfDir), view), _ => build)
+
   /** Register fixture tables, derived operator views, and scalar
     * functions on `spark` for SQL callers reading from `sfDir`.
     * Idempotent; safe to call on caller-built sessions. */
@@ -148,7 +162,8 @@ object Graft {
       .createOrReplaceTempView("near_dup_edges")
     operators.Dedup.dupClustersView(spark, sfDir)
       .createOrReplaceTempView("dup_clusters")
-    operators.Dedup.kcorePeel(operators.Dedup.nearDupEdgesPlan(spark, sfDir))
+    operators.Dedup.kcorePeel(operators.Dedup.nearDupEdgesPlan(spark, sfDir),
+        persist = false)
       .createOrReplaceTempView("kcore_nodes")
 
     // ---- release-engineering views (the round-9 operator families) ------
@@ -169,7 +184,8 @@ object Graft {
       "filter_attrition" -> "q157_filter_attrition",
       "epoch_sample" -> "q158_epoch_sample"
     ).foreach { case (view, q) =>
-      SparkEntry.queries(q)(spark, sfDir).createOrReplaceTempView(view)
+      memoView(spark, sfDir, view)(SparkEntry.queries(q)(spark, sfDir))
+        .createOrReplaceTempView(view)
     }
   }
 

@@ -291,18 +291,24 @@ object Dedup {
 
   /** Bounded k-core peel shared by q156 and the `kcore_nodes` view:
     * `rounds` rounds of drop-degree-<2 nodes + restrict edges to
-    * survivors, then the surviving degree per node. Lazy persist marks
-    * only — safe in a view plan (zero jobs until first SELECT). */
-  private[graft] def kcorePeel(edges0: DataFrame, rounds: Int = 3): DataFrame = {
-    var e = edges0.persist()
+    * survivors, then the surviving degree per node. `persist = false`
+    * for the VIEW path: repeated `registerAll` calls would accumulate
+    * fresh never-unpersisted cache entries per registration, and the
+    * view's edges are an artifact-backed parquet read — cheap to
+    * re-scan per round, so the marks buy nothing there. The one-shot
+    * q156 query path keeps them (its edges frame is worth pinning
+    * across the rounds of one execution). */
+  private[graft] def kcorePeel(edges0: DataFrame, rounds: Int = 3,
+      persist: Boolean = true): DataFrame = {
+    def mark(df: DataFrame): DataFrame = if (persist) df.persist() else df
+    var e = mark(edges0)
     (1 to rounds).foreach { _ =>
       val kept = e.groupBy(col("ea")).agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= 2)
-      e = e.join(kept.select(col("ea").as("ka")),
+      e = mark(e.join(kept.select(col("ea").as("ka")),
           col("ea") === col("ka"), "left_semi")
         .join(kept.select(col("ea").as("kb")),
-          col("eb") === col("kb"), "left_semi")
-        .persist()
+          col("eb") === col("kb"), "left_semi"))
     }
     e.groupBy(col("ea")).agg(count(lit(1)).as("core_degree"))
       .select(col("ea").as("doc_id"), col("core_degree"))
@@ -1294,6 +1300,51 @@ object Dedup {
         .filter(col("n_inter") * 5 >= col("n_union") * 3)
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ----- incremental near-dup: a delta batch vs the corpus snapshot ------
+    // The O(delta) ingest path a growing corpus needs: for each NEW
+    // document (the top decile of doc ids standing in for a day's
+    // batch), its banded-LSH matches against the EXISTING snapshot —
+    // without re-running all-pairs candidate generation. The plan
+    // starts from the materialized signature artifact (one narrow row
+    // per doc): band the delta's signatures, band the snapshot's, join
+    // on (band, bsig), aggregate per new doc. Cost structure at 100 TB:
+    // the snapshot side is ONE narrow scan of the signature table (no
+    // shuffle of raw documents), the delta side is proportional to the
+    // batch, and the join key (band, bsig) is the same bounded-bucket
+    // LSH key as q30 — AQE broadcasts the delta side when the batch is
+    // small (the common ingest case) and falls back to a shuffle join
+    // when a backfill-sized delta isn't broadcastable, both correct.
+    // The cutoff derives from max(doc_id) INSIDE the plan (broadcast
+    // 1-row frame, `div` = floor for non-negatives in both engines) —
+    // zero driver-side actions at plan build.
+    Q("q165_incremental_neardup",
+      s"""WITH nr AS ($NR_SQL),
+         |sigs AS ($MINHASH_SIGS_SQL),
+         |b AS ($BANDS_SQL),
+         |cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents)
+         |SELECT bn.doc_id AS new_doc,
+         |  CAST(count(DISTINCT bo.doc_id) AS BIGINT) AS n_matches,
+         |  min(bo.doc_id) AS first_dup
+         |FROM b bn, b bo, cut
+         |WHERE bn.band = bo.band AND bn.bsig = bo.bsig
+         |  AND bn.doc_id > cut.c AND bo.doc_id <= cut.c
+         |GROUP BY bn.doc_id""".stripMargin) { (s, d) =>
+      val r = bandRows(Tables.rowCount(s, d, "documents"))
+      val sigs = minhashSigs(s, d)
+      val cut = Tables.documents(s, d)
+        .agg(expr("(max(doc_id) * 9) div 10").as("c"))
+      val withCut = sigs.crossJoin(broadcast(cut))
+      val newBands = bandSignatures(
+        withCut.filter(col("doc_id") > col("c")).select("doc_id", "sig"), r)
+      val oldBands = bandSignatures(
+        withCut.filter(col("doc_id") <= col("c")).select("doc_id", "sig"), r)
+        .select(col("doc_id").as("old_doc"), col("band"), col("bsig"))
+      newBands.join(oldBands, Seq("band", "bsig"))
+        .groupBy(col("doc_id").as("new_doc"))
+        .agg(countDistinct(col("old_doc")).as("n_matches"),
+          min(col("old_doc")).as("first_dup"))
     }
   )
 }

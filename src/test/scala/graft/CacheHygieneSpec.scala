@@ -55,6 +55,30 @@ class CacheHygieneSpec extends AnyFunSuite {
       s"net persisted RDDs after artifact consumers: ${persisted.size}")
   }
 
+  test("repeated registerAll does not grow the cache (memoized view plans)") {
+    reset()
+    // a long-lived SQL service re-registers on session refresh. Some
+    // view builders legitimately carry LAZY persist marks inside one
+    // plan (q150's KMV sketches are referenced three times each); the
+    // contract is ZERO GROWTH per re-registration — the memoized plan
+    // is re-registered, never rebuilt. Entry count via reflection
+    // (CacheManager keeps no public size; test-only).
+    val cm = spark.sharedState.cacheManager
+    def entries: Int = {
+      val f = cm.getClass.getDeclaredMethod("cachedData")
+      f.setAccessible(true)
+      f.invoke(cm).asInstanceOf[scala.collection.immutable.IndexedSeq[_]].size
+    }
+    Graft.registerAll(spark, Spec.sfDir)
+    val after1 = entries
+    (1 to 2).foreach(_ => Graft.registerAll(spark, Spec.sfDir))
+    assert(entries == after1,
+      s"registerAll grew the cache: $after1 -> $entries entries")
+    // registration runs zero actions, so no mark can have materialized
+    assert(persisted.isEmpty,
+      s"registerAll materialized persisted RDDs: ${persisted.size}")
+  }
+
   test("q82 k-means frees superseded centroid rounds and keeps the corpus cache") {
     reset()
     SparkEntry.queries("q82_kmeans")(spark, Spec.sfDir).count()
