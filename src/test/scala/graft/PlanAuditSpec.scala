@@ -345,6 +345,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ring_lookup"), s"q159 lost the native lookup:\n$p")
   }
 
+  test("incremental near-dup starts from the signature artifact, not raw docs") {
+    // q165's whole point is O(delta): both banded sides must read the
+    // materialized signature table (plus one documents scan for the
+    // 1-row cutoff) — a text/shingle scan here means the chain is
+    // being re-derived per ingest batch
+    operators.Dedup.warmArtifacts(spark, Spec.sfDir)
+    // inspect scan roots programmatically — plan-string Locations
+    // truncate at 100 chars, hiding the artifact dir name
+    // sparkPlan, not executedPlan: AQE's wrapper node hides children
+    // from collect() until execution
+    val scans = SparkEntry.queries("q165_incremental_neardup")(spark, Spec.sfDir)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString).mkString(",")
+      }
+    assert(scans.exists(_.contains("minhash_sigs")),
+      s"q165 does not read the signature artifact: $scans")
+    assert(!scans.exists(_.contains("shingle")),
+      s"q165 re-derives shingles at ingest time: $scans")
+  }
+
   test("incremental stats scans once per batch, merges states only") {
     // q152: one scan per batch branch (history + delta); the merge
     // operates on state rows, so exactly two file scans total
