@@ -1346,16 +1346,23 @@ object Relational {
     * O(m√m) plan that survives power-law graphs at 100 TB, where the
     * naive a<b<c self-join explodes on hub nodes. Fully lazy (no
     * plan-build jobs), so [[graft.Graft.registerAll]] can expose it as
-    * the `copurchase_triangles` SQL view. */
-  def copurchaseTriangles(s: SparkSession, d: String): DataFrame = {
+    * the `copurchase_triangles` SQL view (which passes
+    * `persist = false`: the memoized view plan must not carry cache
+    * marks; the one-shot query path keeps the default — the edge list
+    * is referenced four times (degrees, both wedge sides, the closing
+    * join), and without the mark each reference recomputes the
+    * lineitem self-join + distinct). */
+  def copurchaseTriangles(s: SparkSession, d: String,
+      persist: Boolean = true): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_quantity") >= 25)
       .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
       .distinct()
-    val e = li.select(col("o"), col("p").as("u"))
+    val e0 = li.select(col("o"), col("p").as("u"))
       .join(li.select(col("o").as("o2"), col("p").as("v")),
         col("o") === col("o2") && col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
+    val e = if (persist) e0.persist() else e0
     val deg = e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
