@@ -972,6 +972,72 @@ object Relational {
         .orderBy(col("root"), col("depth"))
     },
 
+    // ----- NATIVE recursive CTE: per-customer running credit balance -------
+    // Spark 4.1 executes WITH RECURSIVE natively (UnionLoop), so the
+    // one recursion class the path-doubling operator (q132) cannot
+    // express declaratively — a NON-LINEAR per-row recurrence — runs as
+    // one SQL statement in BOTH engines: per customer, orders in date
+    // order feed bal_i = greatest(0, bal_{i-1} + amt_i − C), the capped
+    // running-ledger pattern (payments of C per period, balance floored
+    // at 0). greatest() makes the recurrence non-associative: no window
+    // frame or prefix-scan computes it, and every output value depends
+    // on the entire path — a single-row hash mismatch would flag any
+    // divergence anywhere in the recursion. Integer-exact: amounts in
+    // BIGINT cents (round(×100) un-floats the fixture's 2-decimal
+    // doubles identically in both engines). Scale shape: each iteration
+    // is one (cust, rn)-equi-join of the frontier (one row per still-
+    // active customer) against the pre-ranked orders — depth = max
+    // orders per customer (24 on every fixture rung; the scale corpora
+    // densify facts per order, not orders per customer), frontier
+    // shrinks monotonically, all joins equi/shuffle-free after the
+    // first co-partition. Spark caps recursion at
+    // spark.sql.cteRecursionLevelLimit (default 100) and fails loudly
+    // past it — a deeper ledger (daily postings for a year) needs the
+    // conf raised, or the q132 path-doubling shape when the recurrence
+    // is associative. The identical SQL text runs on DuckDB as the
+    // oracle.
+    Q("q166_recursive_balance", {
+      val sql =
+        """WITH RECURSIVE o AS (
+          |  SELECT o_custkey AS cust,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS amt,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_orderdate, o_orderkey) AS rn
+          |  FROM orders),
+          |r AS (
+          |  SELECT cust, rn, greatest(0, amt - 20000000) AS bal
+          |  FROM o WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.cust, o.rn, greatest(0, r.bal + o.amt - 20000000)
+          |  FROM r JOIN o ON o.cust = r.cust AND o.rn = r.rn + 1)
+          |SELECT cust, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(max(bal) AS BIGINT) AS peak_cents,
+          |  CAST(max_by(bal, rn) AS BIGINT) AS final_cents
+          |FROM r
+          |GROUP BY cust""".stripMargin
+      sql
+    }) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """WITH RECURSIVE o AS (
+          |  SELECT o_custkey AS cust,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS amt,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_orderdate, o_orderkey) AS rn
+          |  FROM orders),
+          |r AS (
+          |  SELECT cust, rn, greatest(CAST(0 AS BIGINT), amt - 20000000) AS bal
+          |  FROM o WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.cust, o.rn, greatest(CAST(0 AS BIGINT), r.bal + o.amt - 20000000)
+          |  FROM r JOIN o ON o.cust = r.cust AND o.rn = r.rn + 1)
+          |SELECT cust, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(max(bal) AS BIGINT) AS peak_cents,
+          |  CAST(max_by(bal, rn) AS BIGINT) AS final_cents
+          |FROM r
+          |GROUP BY cust""".stripMargin)
+    },
+
     // ----- sorted-neighborhood record linkage (Hernández–Stolfo SNM) -------
     // The third classic blocking scheme, complementing q93's length-band
     // key blocking and q30/q134's set-similarity candidates: sort all
