@@ -462,6 +462,26 @@ object Eventing {
       Streams.hoppingCounts(Tables.events(s, d), "10 minutes", "5 minutes")
     },
 
+    // ----- LEFT OUTER interval join (the streaming null-emission shape) ----
+    // q50's inner join never has to DECIDE a click is unmatched; the
+    // outer variant does, and on a stream that decision waits for the
+    // watermark (state-expiry emission — StreamingSpec drives it live).
+    // This batch mirror is the oracle: every click row appears, view_id
+    // null when no view fell in the trailing 5 minutes.
+    Q("q167_interval_left_join",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events)
+        |SELECT c.event_id AS click_id, v.event_id AS view_id
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        |  AND v.t BETWEEN c.t - 300000000 AND c.t""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      Streams.intervalPairsOuter(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+    },
+
     // ----- time-RANGE window frame: per-user trailing 10-minute sum --------
     // RANGE frames bound by event-time distance, not row counts — the
     // frame is over integer microseconds so both engines agree exactly.

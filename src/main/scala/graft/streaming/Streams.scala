@@ -119,6 +119,28 @@ object Streams {
       .select(col("click_id"), col("view_id"))
   }
 
+  /** LEFT OUTER event-time interval join — a different state machine
+    * than [[intervalPairs]]'s inner join: a click with no view in its
+    * trailing window must still emit (with a null view_id), and on an
+    * unbounded stream that decision is only safe once the WATERMARK
+    * passes the click's window end — Spark holds the unmatched left row
+    * in state and emits the null-padded result at expiry, so outer
+    * results are correct-but-delayed by the lateness bound, never
+    * speculative. Both inputs need watermarks and the time-range
+    * condition bounds state on both sides. Batch mode is the plain
+    * left outer join — the oracle for the streaming run. */
+  def intervalPairsOuter(clicks: DataFrame, views: DataFrame,
+                         gap: String = "5 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_id"))
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id"))
+    c.join(v, col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $gap") &&
+        col("v_ts") <= col("c_ts"), "left_outer")
+      .select(col("click_id"), col("view_id"))
+  }
+
   /** Exact dedup by event id, stream-safe: on an unbounded input the
     * dedup state is scoped to the watermark (`dropDuplicatesWithin
     * Watermark` — state for ids older than the watermark is dropped, so

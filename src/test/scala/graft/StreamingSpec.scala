@@ -209,6 +209,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(!pairs.exists { case (c, v) => c == 21L || v == 11L })
   }
 
+  test("left-outer interval join emits unmatched clicks only at watermark expiry") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = Streams.intervalPairsOuter(
+      clicks.toDF().withWatermark("ts", "1 minute"),
+      views.toDF().withWatermark("ts", "1 minute"), gap = "1 minute")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("loj_out").start()
+    views.addData(Event(10, ts(0, 30), 1, "view", 1.0))
+    clicks.addData(
+      Event(20, ts(1, 0), 1, "click", 1.0),  // view 30 s before → match
+      Event(21, ts(1, 0), 3, "click", 1.0))  // user 3 has no view
+    q.processAllAvailable()
+    // BEFORE the watermark passes click 21's window, no null row may
+    // exist — emitting it now would be speculative (a matching view
+    // could still arrive within the lateness bound)
+    def rows = spark.table("loj_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(!rows.exists(_._1 == 21L),
+      s"unmatched click emitted before watermark expiry: $rows")
+    // advance both watermarks far past the window → state expires and
+    // the null-padded row MUST emit
+    clicks.addData(Event(22, ts(30, 0), 9, "click", 1.0))
+    views.addData(Event(12, ts(30, 0), 9, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows.contains((20L, 10L)), s"matched pair missing: $rows")
+    assert(rows.contains((21L, -1L)),
+      s"unmatched click never emitted with null view: $rows")
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
