@@ -80,10 +80,24 @@ def main(outdir, sfdir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    n_pass = n_fail = n_noracle = 0
+    n_pass = n_fail = n_noracle = n_skip = 0
+    # Scale-rung controls (builder-side; the driver gate sets neither):
+    # GRAFT_COMPARE_SKIP — comma list of names to skip outright (e.g.
+    # already verified in a prior partial run); GRAFT_ORACLE_TIMEOUT_SEC
+    # — per-query DuckDB budget, after which the oracle is interrupted
+    # and the query recorded as a documented stop-line SKIP, not a FAIL
+    # (at 16x+ the interpreted list-lambda oracles, not the engine, are
+    # the binding cost — see SURVEY §15.9).
+    skip = set(s for s in os.environ.get("GRAFT_COMPARE_SKIP", "").split(",")
+               if s)
+    tmo = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_SEC", "0") or 0)
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
     for name in names:
+        if name in skip:
+            n_skip += 1
+            print(f"  - {name}: SKIPPED (GRAFT_COMPARE_SKIP)")
+            continue
         # Spark side: pyarrow→pandas, the driver's read path for the
         # Verify parquet dumps.
         got = pd.read_parquet(os.path.join(outdir, name))
@@ -93,15 +107,31 @@ def main(outdir, sfdir):
             print(f"  ~ {name}: no oracle, rows={len(got)}"
                   + ("  [EMPTY!]" if not len(got) else ""))
             continue
+        timer = None
+        timed_out = []
+        if tmo > 0:
+            import threading
+            timer = threading.Timer(tmo, lambda: (timed_out.append(True),
+                                                  con.interrupt()))
+            timer.start()
         try:
             # Oracle side: DuckDB via .df() — pandas conversion applies
             # the same type coercions the driver sees (DECIMAL→float64).
             exp = con.sql(oracle[name]).df()
             exp.columns = [c.lower() for c in exp.columns]
         except Exception as e:
-            print(f"  ✗ {name}: oracle SQL failed: {e}")
-            n_fail += 1
+            if timed_out:
+                n_skip += 1
+                print(f"  - {name}: ORACLE TIMEOUT after {tmo:.0f}s "
+                      f"(stop-line: oracle cost, engine result present, "
+                      f"rows={len(got)})")
+            else:
+                print(f"  ✗ {name}: oracle SQL failed: {e}")
+                n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         if sorted(got.columns) != sorted(exp.columns):
             print(f"  ✗ {name}: columns differ got={sorted(got.columns)}"
                   f" exp={sorted(exp.columns)}")
@@ -125,7 +155,10 @@ def main(outdir, sfdir):
         else:
             print(f"  ✓ {name}: {len(g)} rows match")
             n_pass += 1
-    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
+    line = f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}"
+    if n_skip:
+        line += f" SKIP={n_skip}"
+    print(line)
     return 1 if n_fail else 0
 
 
