@@ -1017,20 +1017,33 @@ object Relational {
           |GROUP BY cust""".stripMargin
       sql
     }) { (s, d) =>
-      Tables.orders(s, d).createOrReplaceTempView("orders")
+      // The non-recursive `o` CTE is NOT materialized by UnionLoop:
+      // every one of the ~24 iterations would re-scan + re-window
+      // orders (measured 9.5 s at sf0.1). Rank ONCE into a cached temp
+      // view the recursion reads — the loop then joins its one-row-per-
+      // active-customer frontier against an InMemoryRelation, and the
+      // per-iteration cost is the frontier, not the fact table. Lazy
+      // mark (no job at plan build); released at the query boundary by
+      // the bench/catalog discipline like every per-query persist.
+      // What remains (~0.2 s × depth at sf0.1) is the native operator's
+      // per-iteration constant — UnionLoop re-plans and re-compiles each
+      // unrolled step (fresh attribute ids defeat the codegen cache) —
+      // data-independent, so it does NOT grow at 100 TB; the data cost
+      // per iteration is the frontier join against the cached table.
+      val ranked = Tables.orders(s, d)
+        .select(col("o_custkey").as("cust"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("amt"),
+          row_number().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))
+        .persist()
+      ranked.createOrReplaceTempView("o_ranked")
       s.sql(
-        """WITH RECURSIVE o AS (
-          |  SELECT o_custkey AS cust,
-          |    CAST(round(o_totalprice * 100) AS BIGINT) AS amt,
-          |    row_number() OVER (PARTITION BY o_custkey
-          |      ORDER BY o_orderdate, o_orderkey) AS rn
-          |  FROM orders),
-          |r AS (
+        """WITH RECURSIVE r AS (
           |  SELECT cust, rn, greatest(CAST(0 AS BIGINT), amt - 20000000) AS bal
-          |  FROM o WHERE rn = 1
+          |  FROM o_ranked WHERE rn = 1
           |  UNION ALL
           |  SELECT o.cust, o.rn, greatest(CAST(0 AS BIGINT), r.bal + o.amt - 20000000)
-          |  FROM r JOIN o ON o.cust = r.cust AND o.rn = r.rn + 1)
+          |  FROM r JOIN o_ranked o ON o.cust = r.cust AND o.rn = r.rn + 1)
           |SELECT cust, CAST(count(*) AS BIGINT) AS n_orders,
           |  CAST(max(bal) AS BIGINT) AS peak_cents,
           |  CAST(max_by(bal, rn) AS BIGINT) AS final_cents
