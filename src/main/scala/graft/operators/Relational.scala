@@ -1367,7 +1367,11 @@ object Relational {
         |FROM x GROUP BY p
         |ORDER BY n_tri DESC, part
         |LIMIT 20""".stripMargin) { (s, d) =>
-      copurchaseTriangles(s, d)
+      // persist = false on purpose: A/B at 32 cpus/sf0.1 measured the
+      // cached edge list SLOWER (3.45 vs 2.76 s median) — ReuseExchange
+      // already dedupes the identical distinct exchanges, and the cache
+      // materialization barrier costs more than the pipelined recompute
+      copurchaseTriangles(s, d, persist = false)
         .orderBy(col("n_tri").desc, col("part"))
         .limit(20)
     },
