@@ -373,4 +373,23 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = "FileScan parquet".r.findAllIn(p).size
     assert(scans == 2, s"q152 has $scans scans (want 2 batch branches):\n$p")
   }
+
+  test("setsim join starts from the prefix-index artifact, no query-time window") {
+    // q134's cost model: the rare-first df-rank window runs ONCE per
+    // corpus snapshot inside the artifact build; the query is candidate
+    // join + profile verify. A WindowExec (or a shingles-source window
+    // lineage) in the query plan means the index is being re-derived
+    // per query — the regression that cost 3.4 s at sf0.1.
+    operators.Dedup.warmArtifacts(spark, Spec.sfDir)
+    val qe = SparkEntry.queries("q134_setsim_join")(spark, Spec.sfDir)
+      .queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString).mkString(",")
+    }
+    assert(scans.exists(_.contains("setsim_prefix")),
+      s"q134 does not read the prefix-index artifact: $scans")
+    assert(!qe.sparkPlan.toString.contains("Window"),
+      "q134 re-runs the df-rank window at query time")
+  }
 }
