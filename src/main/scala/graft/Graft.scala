@@ -110,7 +110,7 @@ object Graft {
     // zero-jobs-at-registration contract (unlike q132's hierarchy,
     // whose checkpointed rounds materialize at plan build and so stay
     // a Scala-API operator).
-    operators.Relational.copurchaseTriangles(spark, sfDir, persist = false)
+    operators.Relational.copurchaseTriangles(spark, sfDir, forView = true)
       .createOrReplaceTempView("copurchase_triangles")
 
     val orders = Tables.orders(spark, sfDir)
