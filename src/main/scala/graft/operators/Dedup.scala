@@ -1238,9 +1238,22 @@ object Dedup {
          |LIMIT 20""".stripMargin) { (s, d) =>
       val shd = shinglesCapped(s, d)
       val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // The inverted-index self-join is CPU-bound, not byte-bound: each
+      // input row fans out to ≤ DF_CAP matches, so post-shuffle work is
+      // ~50× the shuffled bytes and AQE's size-based coalescer (which
+      // sees ~1 MB/partition as "parallel enough") packs it onto a
+      // fraction of the cores. Explicit repartition by the join key at
+      // session parallelism pins the join's width — the documented
+      // exception mirroring Session.scala's parallelismFirst note; the
+      // partition count derives from the session, not a literal, so a
+      // 1000-executor cluster spreads the same plan over its real
+      // core count.
+      val p = s.sparkContext.defaultParallelism
       val a = shd.select(col("doc_id").as("doc_a"), col("shingle"))
+        .repartition(p, col("shingle"))
       val b = shd.select(col("doc_id").as("doc_b"),
         col("shingle").as("shingle2"))
+        .repartition(p, col("shingle2"))
       val inter = a.join(b, col("shingle") === col("shingle2") &&
           col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
