@@ -1319,10 +1319,16 @@ object Dedup {
       // its true intersection is ≤ the bound and ≥ the requirement),
       // and it also subsumes the τ·sb ≤ sa length filter (rka=rkb=1
       // reduces the bound to min(sa, sb)).
+      // same CPU-bound-join width pin as q32: the candidate join fans
+      // out per shingle, so AQE's byte-based coalescing underestimates
+      // its cost; partition count derives from the session
+      val p = s.sparkContext.defaultParallelism
       val a = pref.select(col("doc_id").as("doc_a"), col("shingle"),
         col("rk").as("rka"), col("sz").as("sa"))
+        .repartition(p, col("shingle"))
       val b = pref.select(col("doc_id").as("doc_b"),
         col("shingle").as("sh2"), col("rk").as("rkb"), col("sz").as("sb"))
+        .repartition(p, col("sh2"))
       // LAST-MATCH count filter on top: the candidate dedup is a
       // counting aggregate anyway (same shuffle as distinct), and the
       // matched prefix tokens bound the intersection EXACTLY. Both
