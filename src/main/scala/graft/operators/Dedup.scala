@@ -1088,12 +1088,22 @@ object Dedup {
         .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
           "doc_id")
         .select(col("source"), col("shingle")).distinct()
-        .persist() // feeds the per-shingle count AND the final aggregate
-      val perShingle = ss.groupBy(col("shingle")).agg(count(lit(1)).as("ns"))
-      ss.join(perShingle, "shingle")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+        .persist() // feeds the per-source count AND the exclusivity agg
+      // No shingle-keyed join back onto the pair table: a shingle is
+      // exclusive iff its source count is 1, and then min(source) IS
+      // its unique owner — so per-source exclusive counts fall out of
+      // the per-shingle aggregate alone, and the only join left is
+      // #sources × #sources at metadata scale (left join: a source
+      // whose every shingle appears elsewhere has no exclusivity row).
+      val perSource = ss.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val excl = ss.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("ns"), min(col("source")).as("src"))
+        .filter(col("ns") === 1)
+        .groupBy(col("src")).agg(count(lit(1)).as("nx"))
+      perSource.join(broadcast(excl), col("source") === col("src"), "left")
+        .select(col("source"), col("n_shingles"),
+          coalesce(col("nx"), lit(0L)).as("n_exclusive"))
         .select(col("source"), col("n_shingles"), col("n_exclusive"),
           expr("n_exclusive * 1000000 div n_shingles").as("exclusive_ppm"))
     },
