@@ -1442,6 +1442,109 @@ object Relational {
            |AS (col_name, n_rows, n_nonnull, ndv, min_v, max_v)"""
           .stripMargin))
         .orderBy(col("col_name"))
+    },
+
+    // ----- VARIANT: Spark 4's semi-structured type -------------------------
+    // q16 re-parses the JSON TEXT on every access (get_json_object is a
+    // per-call string parse). The 100 TB answer is Spark 4's VARIANT:
+    // parse ONCE into the binary-encoded, field-indexed form
+    // (`parse_json`), then every `variant_get` is a typed path lookup —
+    // and a VARIANT column written to parquet shreds into columnar
+    // subfields, so repeated analytics over semi-structured ingest pay
+    // string parsing exactly once per byte, not once per query. Here the
+    // round-trip is built in-plan (documents metadata → JSON text →
+    // VARIANT → typed extraction incl. a nested path) and aggregated;
+    // DuckDB's oracle does the same construct-then-extract through its
+    // JSON type, so both engines certify the extraction semantics, not
+    // just the final numbers.
+    Q("q168_variant_shred",
+      """SELECT json_extract_string(j, '$.meta.lang') AS lang,
+        |  json_extract_string(j, '$.meta.src') AS src,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract(j, '$.len') AS BIGINT)) AS BIGINT)
+        |    AS sum_len
+        |FROM (SELECT to_json(struct_pack(id := doc_id,
+        |        meta := struct_pack(lang := lang, src := source),
+        |        len := n_chars)) AS j
+        |      FROM documents) t
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(to_json(struct(col("doc_id").as("id"),
+          struct(col("lang"), col("source").as("src")).as("meta"),
+          col("n_chars").as("len"))).as("j"))
+        .select(parse_json(col("j")).as("v"))
+        .select(
+          variant_get(col("v"), "$.meta.lang", "string").as("lang"),
+          variant_get(col("v"), "$.meta.src", "string").as("src"),
+          variant_get(col("v"), "$.len", "long").as("len"))
+        .groupBy(col("lang"), col("src"))
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("sum_len"))
+    },
+
+    // ----- correlated LATERAL subquery (per-outer-row top-k) ---------------
+    // The DECLARATIVE form of q97's top-k-per-group: the query states
+    // "for each nation, its 3 highest-balance customers" as a correlated
+    // LATERAL subquery with ORDER BY + LIMIT, and Catalyst's
+    // DecorrelateInnerQuery rewrites it into the distributed plan (a
+    // ranked window over the correlation key — no per-outer-row
+    // re-execution, which is what LATERAL means on a single-node
+    // engine). That rewrite is the point at 100 TB: the naive reading is
+    // O(|outer|) subquery runs; the planned shape is one shuffle by the
+    // correlation key. Tie-break on c_name makes the top-3 a total
+    // order, so both engines agree row-for-row. DuckDB plans the
+    // IDENTICAL SQL text through its own unnesting — same semantics,
+    // independently derived.
+    // (Oracle note: DuckDB's grammar wants comma-LATERAL — its JOIN
+    // LATERAL form requires an ON clause; Spark's wants JOIN LATERAL.
+    // Same ISO construct, two spellings.)
+    Q("q169_lateral_topk",
+      """SELECT n_name, t.c_name, t.bal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal AS bal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 3) t""".stripMargin) {
+      (s, d) =>
+      Seq("nation", "customer")
+        .foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+      s.sql(
+        """SELECT n_name, t.c_name, t.bal
+          |FROM nation JOIN LATERAL (
+          |  SELECT c_name, c_acctbal AS bal FROM customer
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 3) t""".stripMargin)
+    },
+
+    // ----- listagg: ordered string aggregation -----------------------------
+    // Spark 4.1's native `listagg(DISTINCT …) WITHIN GROUP (ORDER BY …)`
+    // — the ISO string-agg the report layer wants (distinct market
+    // segments per nation as one ordered CSV cell). Determinism is the
+    // whole contract: an UNORDERED listagg is a nondeterministic value
+    // under distributed aggregation (partition arrival order), so the
+    // WITHIN GROUP clause is not cosmetic — it is what makes the result
+    // a value at all. The dedup happens in a subquery, NOT via
+    // listagg(DISTINCT …): combining it with a second distinct
+    // aggregate trips Spark 4.1.2's distinct-rewrite (Expand) into a
+    // ClassCastException on the WITHIN GROUP SortOrder, and the
+    // pre-collapsed form is the scale shape anyway — the heavy
+    // distinct collapse runs as a normal partial-aggregate, and
+    // listagg's sort-based state only ever sees the collapsed
+    // (group × ≤5 segments) rows. DuckDB spells the same plan
+    // string_agg(… ORDER BY …) over the same subquery.
+    Q("q170_listagg",
+      """SELECT c_nationkey,
+        |  string_agg(seg, ',' ORDER BY seg) AS segs,
+        |  CAST(count(*) AS BIGINT) AS n_segs
+        |FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg
+        |      FROM customer) t
+        |GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_nationkey,
+          |  listagg(seg, ',') WITHIN GROUP (ORDER BY seg) AS segs,
+          |  CAST(count(*) AS BIGINT) AS n_segs
+          |FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg
+          |      FROM customer) t
+          |GROUP BY c_nationkey""".stripMargin)
     }
   )
 

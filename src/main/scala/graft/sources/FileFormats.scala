@@ -217,6 +217,60 @@ object FileFormats {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), min(col("s_name")).as("first_name"),
           max(col("s_suppkey")).as("max_suppkey"))
+    },
+
+    // ----- binaryFile: the raw-blob ingest connector ------------------------
+    // THE entry point for multimodal corpora: a directory of opaque
+    // files (images, audio, model shards) read as rows of (path,
+    // modificationTime, length, content) with NO decode — Spark
+    // enumerates and splits the listing across executors, so a
+    // billion-object bucket ingests as a distributed scan, file
+    // metadata rides as columns, and q36/q37's decode operators pick up
+    // from `content`. Fixture: a deterministic 1-in-97 document subset
+    // is written once per fixture dir as doc_<id>.bin files (executor-
+    // side writes via foreachPartition — no driver collect; the shared
+    // scratch dir stands in for the object store). The query re-derives
+    // each file's identity (id parsed from the path), size, and an md5
+    // content digest; the oracle recomputes all three from the
+    // documents table, so any byte lost or altered by the write→list→
+    // read round-trip is a hash mismatch. binaryFile caps single files
+    // at 2 GB — past that, the object store's ranged reads (or a
+    // custom DataSource V2) take over; corpus-scale is unaffected
+    // (files × executors, not bytes × driver).
+    Q("q171_binary_source",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents WHERE doc_id % 97 = 0""".stripMargin) { (s, d) =>
+      val dir = binaryDocsDir.computeIfAbsent(d, { sfDir =>
+        val out = java.nio.file.Files
+          .createTempDirectory(scratchRoot, "binary_docs").toString
+        Tables.documents(s, sfDir)
+          .filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(out, s"doc_${r.getLong(0)}.bin"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        out
+      })
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("digest"))
     }
   )
+
+  /** sfDir → written-once binary-blob fixture dir for q171 (memoized
+    * for the same reason as [[evolvedOrdersDir]]: the file set is a
+    * function of the fixture, and re-writing hundreds of small files
+    * per invocation would dominate the timed read). */
+  private val binaryDocsDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }
