@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Skew.queries ++
     sources.FileFormats.queries ++
     sources.Jdbc.queries ++
-    functions.Aggregators.queries
+    functions.Aggregators.queries ++
+    functions.SqlUdfs.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -392,4 +392,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!qe.sparkPlan.toString.contains("Window"),
       "q134 re-runs the df-rank window at query time")
   }
+
+  test("SQL UDF bodies inline — no UDF boundary in the plan") {
+    // q172's claim: CREATE FUNCTION … RETURN is Catalyst-visible SQL,
+    // not an opaque call. The executed plan must contain no UDF
+    // evaluation operator, and the aggregate must stay inside
+    // whole-stage codegen (the `*(n)` markers).
+    val df = SparkEntry.queries("q172_sql_udf")(spark, Spec.sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(!finalPlan.contains("ScalaUDF") && !finalPlan.contains("EvalPython"),
+      s"q172 has an opaque UDF boundary:\n$finalPlan")
+    assert(finalPlan.contains("*("), s"q172 fell out of codegen:\n$finalPlan")
+  }
+
+  test("correlated LATERAL top-k decorrelates to a ranked window, not a loop") {
+    // q169's scale contract: the naive LATERAL reading is one subquery
+    // execution per outer row; Catalyst's DecorrelateInnerQuery must
+    // rewrite the ORDER BY + LIMIT subquery into a rank window over the
+    // correlation key joined back equi-style. A nested-loop join (the
+    // fallback when decorrelation fails) would be O(|outer| × |inner|)
+    // — at 100 TB, the difference between one shuffle and a cluster
+    // melt.
+    val p = plan("q169_lateral_topk")
+    assert(p.contains("Window"), s"q169 lost the rank-window rewrite:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q169 fell back to a loop join:\n$p")
+  }
 }
