@@ -1015,6 +1015,42 @@ object Eventing {
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dt)")
             .cast("long").as("p90_us"),
           min(col("dt")).as("min_us"), max(col("dt")).as("max_us"))
+    },
+
+    // ----- transformWithState, batch-executed ------------------------------
+    // q152 proves the monoid merge relationally; the StreamingSpec TWS
+    // test proves the live multi-batch fold; this row closes the
+    // triangle by running the ACTUAL [[Streams.StatsProcessor]] — the
+    // transformWithState operator itself — in batch mode (one batch =
+    // the whole log, state transient) against the same per-user
+    // aggregate oracle. Batch execution of the stateful operator is a
+    // first-class Spark contract (it is how stateful pipelines are
+    // backfilled: same processor class, pointed at the historical
+    // table), so the hash gate here certifies that a backfill through
+    // the TWS path and a streaming run agree with plain SQL. The fold
+    // emits integer cents and min/max event micros — batch-boundary-
+    // and order-insensitive by construction.
+    Q("q174_tws_stats",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_t,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_t
+        |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // TWS requires the RocksDB provider in batch mode too (the
+      // transient per-batch state still goes through a real store);
+      // session-scoped and idempotent.
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      // Batch execution still resolves the driver's
+      // StateStoreCoordinator RPC endpoint, which only registers when
+      // the session's StreamingQueryManager is instantiated — touch it
+      // (idempotent) so a pure-batch backfill session has the endpoint.
+      s.streams.active
+      Streams.incrementalStatsTws(
+        Tables.events(s, d).as[Streams.Event]).toDF()
     }
   )
 }

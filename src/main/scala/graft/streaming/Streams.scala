@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface. The reference is strictly batch
   * ("streaming" in its README means pipelined I/O — SURVEY §2.C), so
@@ -197,6 +198,55 @@ object Streams {
           state.update(s)
           s
       }
+  }
+
+  /** [[incrementalStats]] on Spark 4's `transformWithState` — the
+    * successor arbitrary-state API (SPARK-40434's evolution) and the
+    * one a new 100 TB pipeline should target: typed named state
+    * primitives (`ValueState`/`ListState`/`MapState`) instead of one
+    * opaque blob, per-state TTL, timers decoupled from output mode,
+    * and schema-evolvable state backed by the RocksDB provider
+    * (changelog-checkpointed — state snapshots stream incrementally
+    * instead of full-file uploads, which is what keeps multi-TB state
+    * checkpointable). Semantics here are IDENTICAL to
+    * [[incrementalStats]] by construction — same fold, same state row
+    * — and StreamingSpec pins the two APIs batch-equal on the same
+    * multi-batch stream. State per key is one [[UserStats]] row;
+    * TTLConfig.NONE mirrors NoTimeout (profile state for the key's
+    * lifetime).
+    */
+  def incrementalStatsTws(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new StatsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Per-user running-stats processor for [[incrementalStatsTws]]:
+    * folds each batch's rows into a single `ValueState[UserStats]` and
+    * emits the updated row. */
+  private[streaming] class StatsProcessor
+      extends StatefulProcessor[Long, Event, UserStats] {
+    @transient private var st: ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserStats]("stats",
+        org.apache.spark.sql.Encoders.product[UserStats], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      var s =
+        if (st.exists()) st.get()
+        else UserStats(uid, 0L, 0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { e =>
+        val t = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+        s = UserStats(uid, s.n + 1,
+          s.sum_cents + math.round(e.value * 100),
+          math.min(s.min_t, t), math.max(s.max_t, t))
+      }
+      st.update(s)
+      Iterator.single(s)
+    }
   }
 
   /** Custom stateful operator: gap-based sessionization with

@@ -375,6 +375,56 @@ class StreamingSpec extends AnyFunSuite {
       s"single-batch run: ${emitted.length} rows for ${expected.size} users")
   }
 
+  test("transformWithState matches mapGroupsWithState on the same multi-batch stream") {
+    import org.apache.spark.sql.functions._
+    // Same fold as the previous test, through Spark 4's successor
+    // arbitrary-state API (typed ValueState + the RocksDB provider it
+    // requires). The contract pinned here: the TWS processor's final
+    // per-user states are IDENTICAL to the mapGroupsWithState path's —
+    // one semantics, two state APIs — and the run was genuinely
+    // incremental (update-mode rows across >1 micro-batch).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-twsstats").toString
+    Tables.events(spark, Spec.sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .repartitionByRange(3, col("event_id"))
+      .write.parquet(s"$dir/ev")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/ev").as[Event]
+      val q = Streams.incrementalStatsTws(stream).writeStream
+        .outputMode("update").format("memory").queryName("tws_stats")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val emitted = spark.table("tws_stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val got = emitted.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+    // cross-API oracle: the mapGroupsWithState operator run in BATCH
+    // mode (one batch = the whole log) yields the same final states
+    val expected = Streams
+      .incrementalStats(Tables.events(spark, Spec.sfDir).as[Event])
+      .collect().map(s => s.user_id -> ((s.user_id, s.n, s.sum_cents,
+        s.min_t, s.max_t))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (u, exp) => assert(got(u) == exp, s"user $u") }
+    assert(emitted.length > expected.size,
+      s"single-batch run: ${emitted.length} rows for ${expected.size} users")
+  }
+
   test("rate source: watermarked window agg holds state bounded on a live stream") {
     // A GENUINELY unbounded built-in source (wall-clock rows, no end):
     // values are deterministic (0,1,2,...) but timing is not, so the
