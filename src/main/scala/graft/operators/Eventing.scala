@@ -1051,6 +1051,66 @@ object Eventing {
       s.streams.active
       Streams.incrementalStatsTws(
         Tables.events(s, d).as[Streams.Event]).toDF()
+    },
+
+    // ----- state-store READER: offline inspection of checkpointed state ----
+    // The ops half of stateful streaming at 100 TB: when a pipeline
+    // carries multi-TB of keyed state, you debug/audit/migrate it by
+    // QUERYING THE CHECKPOINT — Spark 4's `statestore` data source
+    // reads a checkpoint's state as rows (per state variable, per
+    // partition) without replaying any stream. Here the
+    // [[Streams.StatsProcessor]] pipeline runs once per fixture
+    // (AvailableNow, RocksDB provider, noop sink — only the checkpoint
+    // matters), then the query is a pure batch read of the "stats"
+    // ValueState. The oracle recomputes the same per-user profile from
+    // the raw events table, so the hash gate certifies the checkpoint
+    // CONTENT — fold semantics, encoder round-trip, and reader — not
+    // just row counts. State rows arrive as (key struct, value struct,
+    // partition_id); the projection flattens the typed value.
+    Q("q175_state_reader",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_t,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_t
+        |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ckpt = twsCheckpointDir.computeIfAbsent(d, { sfDir =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-tws-ckpt").toString
+        // stage the fixture through Tables.events once so the stream's
+        // declared schema is immune to fixture timestamp-encoding drift
+        Tables.events(s, sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .write.parquet(s"$root/src")
+        val stream = s.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+            "event_type STRING, value DOUBLE")
+          .parquet(s"$root/src").as[Streams.Event]
+        val q = Streams.incrementalStatsTws(stream).writeStream
+          .outputMode("update").format("noop")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s"$root/ckpt"
+      })
+      s.read.format("statestore").option("path", ckpt)
+        .option("stateVarName", "stats").load()
+        .select(col("value.user_id").as("user_id"), col("value.n").as("n"),
+          col("value.sum_cents").as("sum_cents"),
+          col("value.min_t").as("min_t"), col("value.max_t").as("max_t"))
     }
   )
+
+  /** sfDir → written-once TWS checkpoint for q175 (the checkpoint is a
+    * function of the fixture; re-running the streaming job per
+    * invocation would time the state WRITE, not the reader under
+    * test). */
+  private val twsCheckpointDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }
