@@ -1545,6 +1545,33 @@ object Relational {
           |FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg
           |      FROM customer) t
           |GROUP BY c_nationkey""".stripMargin)
+    },
+
+    // ----- SQL pipe syntax -------------------------------------------------
+    // Spark 4's `|>` operator pipeline (the GoogleSQL-derived linear
+    // form): each stage consumes the previous stage's table, so the
+    // query reads in DATAFLOW order — the textual twin of the
+    // DataFrame API this engine is built on, and sugar only: the
+    // parser lowers stages to the same logical operators, so plans,
+    // optimization, and execution are identical to the nested-SELECT
+    // spelling (which is exactly what the DuckDB oracle runs —
+    // including the aggregate-then-filter stage, the HAVING
+    // equivalent). One surface, two grammars, one Catalyst plan.
+    Q("q176_pipe_syntax",
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_discount >= 0.05
+        |GROUP BY l_returnflag
+        |HAVING count(*) > 100""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """FROM lineitem
+          ||> WHERE l_discount >= 0.05
+          ||> AGGREGATE count(*) AS n,
+          |     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |   GROUP BY l_returnflag AS flag
+          ||> WHERE n > 100""".stripMargin)
     }
   )
 
