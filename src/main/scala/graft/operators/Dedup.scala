@@ -1312,6 +1312,129 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE m * 5 >= (sa.n + sb.n - m) * 3
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      setsimJoin(s, d).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ----- LSH candidate-generator quality: precision/recall harness -------
+    // The measurement that TUNES a probabilistic dedup deployment: how
+    // does q30's banded-LSH candidate generator score against the
+    // EXACT τ = 3/5 set-similarity join (q134's plan) as ground truth?
+    // Both pair sets come from machinery this engine already certifies
+    // — the LSH side reads the materialized candidate-pair artifact,
+    // the exact side is [[setsimJoin]] — so the harness itself is one
+    // full-outer join on (doc_a, doc_b) plus a count aggregate:
+    // n_hit/n_lsh = precision (how much verify work the bands waste),
+    // n_hit/n_exact = recall (what the S-curve misses at this (b, r)).
+    // Corpus-scale cost is the PAIR sets, not the corpus — both are
+    // near-dup-volume-sized by construction. The divisions run on
+    // exact BIGINTs in both engines → bit-identical doubles. At 100 TB
+    // this is the nightly quality audit next to the dedup pipeline: a
+    // band-parameter drift (bandRows derives from corpus count) shows
+    // up here as a recall cliff before it ships survivors.
+    Q("q177_lsh_eval",
+      s"""WITH shd AS MATERIALIZED ($SHINGLE_CAPPED_SQL),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+         |  FROM shd a JOIN shd b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b),
+         |exact AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE m * 5 >= (sa.n + sb.n - m) * 3),
+         |sigs AS MATERIALIZED ($MINHASH_SIGS_SQL),
+         |nr AS ($NR_SQL),
+         |bands AS MATERIALIZED ($BANDS_SQL),
+         |lsh AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT e.doc_a IS NOT NULL AS ex, l.doc_a IS NOT NULL AS ls
+         |  FROM exact e FULL JOIN lsh l
+         |    ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+         |SELECT CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN ls THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+         |  CAST(sum(CASE WHEN ex AND ls THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST(CAST(sum(CASE WHEN ex AND ls THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS DOUBLE)
+         |    / CAST(sum(CASE WHEN ls THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS precision_lsh,
+         |  CAST(CAST(sum(CASE WHEN ex AND ls THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS DOUBLE)
+         |    / CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS recall_lsh
+         |FROM j""".stripMargin) { (s, d) =>
+      val exact = setsimJoin(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("ex"))
+      val lsh = nearDupPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("ls"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("ls"), 1L).otherwise(0L)).as("n_lsh"),
+          sum(when(col("ex") && col("ls"), 1L).otherwise(0L)).as("n_hit"))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_lsh")).as("precision_lsh"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall_lsh"))
+    },
+
+    // ----- incremental near-dup: a delta batch vs the corpus snapshot ------
+    // The O(delta) ingest path a growing corpus needs: for each NEW
+    // document (the top decile of doc ids standing in for a day's
+    // batch), its banded-LSH matches against the EXISTING snapshot —
+    // without re-running all-pairs candidate generation. The plan
+    // starts from the materialized signature artifact (one narrow row
+    // per doc): band the delta's signatures, band the snapshot's, join
+    // on (band, bsig), aggregate per new doc. Cost structure at 100 TB:
+    // the snapshot side is ONE narrow scan of the signature table (no
+    // shuffle of raw documents), the delta side is proportional to the
+    // batch, and the join key (band, bsig) is the same bounded-bucket
+    // LSH key as q30 — AQE broadcasts the delta side when the batch is
+    // small (the common ingest case) and falls back to a shuffle join
+    // when a backfill-sized delta isn't broadcastable, both correct.
+    // The cutoff derives from max(doc_id) INSIDE the plan (broadcast
+    // 1-row frame, `div` = floor for non-negatives in both engines) —
+    // zero driver-side actions at plan build.
+    Q("q165_incremental_neardup",
+      s"""WITH nr AS ($NR_SQL),
+         |sigs AS ($MINHASH_SIGS_SQL),
+         |b AS ($BANDS_SQL),
+         |cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents)
+         |SELECT bn.doc_id AS new_doc,
+         |  CAST(count(DISTINCT bo.doc_id) AS BIGINT) AS n_matches,
+         |  min(bo.doc_id) AS first_dup
+         |FROM b bn, b bo, cut
+         |WHERE bn.band = bo.band AND bn.bsig = bo.bsig
+         |  AND bn.doc_id > cut.c AND bo.doc_id <= cut.c
+         |GROUP BY bn.doc_id""".stripMargin) { (s, d) =>
+      val r = bandRows(Tables.rowCount(s, d, "documents"))
+      val sigs = minhashSigs(s, d)
+      val cut = Tables.documents(s, d)
+        .agg(expr("(max(doc_id) * 9) div 10").as("c"))
+      val withCut = sigs.crossJoin(broadcast(cut))
+      val newBands = bandSignatures(
+        withCut.filter(col("doc_id") > col("c")).select("doc_id", "sig"), r)
+      val oldBands = bandSignatures(
+        withCut.filter(col("doc_id") <= col("c")).select("doc_id", "sig"), r)
+        .select(col("doc_id").as("old_doc"), col("band"), col("bsig"))
+      newBands.join(oldBands, Seq("band", "bsig"))
+        .groupBy(col("doc_id").as("new_doc"))
+        .agg(countDistinct(col("old_doc")).as("n_matches"),
+          min(col("old_doc")).as("first_dup"))
+    }
+  )
+
+
+  /** Exact thresholded set-similarity join at τ = 3/5 over the capped
+    * shingle universe — q134's entire plan (prefix-index candidates,
+    * PPJoin positional + last-match filters, profile-array verify),
+    * exposed unordered so the q177 quality harness can treat it as the
+    * ground-truth pair set without re-stating the plan. */
+  private[graft] def setsimJoin(s: SparkSession, d: String): DataFrame = {
       val shd = shinglesCapped(s, d)
       // The prefix index is a materialized chain artifact (one
       // rare-first window pass per corpus snapshot, [[setsimPrefix]]);
@@ -1399,52 +1522,5 @@ object Dedup {
         .withColumn("n_union", col("n_ab") - col("n_inter"))
         .filter(col("n_inter") * 5 >= col("n_union") * 3)
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-
-    // ----- incremental near-dup: a delta batch vs the corpus snapshot ------
-    // The O(delta) ingest path a growing corpus needs: for each NEW
-    // document (the top decile of doc ids standing in for a day's
-    // batch), its banded-LSH matches against the EXISTING snapshot —
-    // without re-running all-pairs candidate generation. The plan
-    // starts from the materialized signature artifact (one narrow row
-    // per doc): band the delta's signatures, band the snapshot's, join
-    // on (band, bsig), aggregate per new doc. Cost structure at 100 TB:
-    // the snapshot side is ONE narrow scan of the signature table (no
-    // shuffle of raw documents), the delta side is proportional to the
-    // batch, and the join key (band, bsig) is the same bounded-bucket
-    // LSH key as q30 — AQE broadcasts the delta side when the batch is
-    // small (the common ingest case) and falls back to a shuffle join
-    // when a backfill-sized delta isn't broadcastable, both correct.
-    // The cutoff derives from max(doc_id) INSIDE the plan (broadcast
-    // 1-row frame, `div` = floor for non-negatives in both engines) —
-    // zero driver-side actions at plan build.
-    Q("q165_incremental_neardup",
-      s"""WITH nr AS ($NR_SQL),
-         |sigs AS ($MINHASH_SIGS_SQL),
-         |b AS ($BANDS_SQL),
-         |cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents)
-         |SELECT bn.doc_id AS new_doc,
-         |  CAST(count(DISTINCT bo.doc_id) AS BIGINT) AS n_matches,
-         |  min(bo.doc_id) AS first_dup
-         |FROM b bn, b bo, cut
-         |WHERE bn.band = bo.band AND bn.bsig = bo.bsig
-         |  AND bn.doc_id > cut.c AND bo.doc_id <= cut.c
-         |GROUP BY bn.doc_id""".stripMargin) { (s, d) =>
-      val r = bandRows(Tables.rowCount(s, d, "documents"))
-      val sigs = minhashSigs(s, d)
-      val cut = Tables.documents(s, d)
-        .agg(expr("(max(doc_id) * 9) div 10").as("c"))
-      val withCut = sigs.crossJoin(broadcast(cut))
-      val newBands = bandSignatures(
-        withCut.filter(col("doc_id") > col("c")).select("doc_id", "sig"), r)
-      val oldBands = bandSignatures(
-        withCut.filter(col("doc_id") <= col("c")).select("doc_id", "sig"), r)
-        .select(col("doc_id").as("old_doc"), col("band"), col("bsig"))
-      newBands.join(oldBands, Seq("band", "bsig"))
-        .groupBy(col("doc_id").as("new_doc"))
-        .agg(countDistinct(col("old_doc")).as("n_matches"),
-          min(col("old_doc")).as("first_dup"))
-    }
-  )
+  }
 }
