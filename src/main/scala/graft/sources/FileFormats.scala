@@ -264,6 +264,33 @@ object FileFormats {
             .cast("long").as("doc_id"),
           col("length").as("n_bytes"),
           md5(col("content")).as("digest"))
+    },
+
+    // ----- custom DataSourceV2 connector (graft-seq) -----------------------
+    // The from-scratch V2 source ([[SeqSource]]): filter pushdown on the
+    // clustering key prunes input partitions at PLANNING time, and
+    // column pruning means `payload` is never materialized. The oracle
+    // re-derives the identical sequence relationally (row_number over a
+    // same-cardinality fixture table), so the hash gate certifies the
+    // generator formulas, the pushed-range arithmetic (floor division
+    // matches `//`), and the pruned read path. DsvSourceSpec pins the
+    // plan-shape claims: fewer planned partitions under the pushed
+    // range, consumed filters absent from the post-scan Filter, and a
+    // two-column read schema.
+    Q("q178_dsv2_source",
+      """WITH ids AS (SELECT row_number() OVER () - 1 AS id FROM orders),
+        |nn AS (SELECT count(*) AS c FROM orders)
+        |SELECT CAST(id % 16 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((id * 37 + 11) % 1000) AS BIGINT) AS sum_v
+        |FROM ids, nn
+        |WHERE id >= c // 4 AND id < (3 * c) // 4
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val n = Tables.rowCount(s, d, "orders")
+      s.read.format("graft-seq").option("end", n).load()
+        .filter(col("id") >= n / 4 && col("id") < (3 * n) / 4)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
     }
   )
 
