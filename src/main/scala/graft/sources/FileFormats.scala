@@ -289,8 +289,48 @@ object FileFormats {
       val n = Tables.rowCount(s, d, "orders")
       s.read.format("graft-seq").option("end", n).load()
         .filter(col("id") >= n / 4 && col("id") < (3 * n) / 4)
+        // defeat the connector's complete aggregate pushdown (v+1-1 is
+        // not a bare column reference): q178's gate must keep
+        // certifying the ROW-scan path — generator formulas, pushed
+        // range arithmetic, pruned read — while q179 gates the
+        // closed-form aggregate path over the same range algebra. The
+        // identity arithmetic folds away inside the aggregate, so the
+        // computed values are untouched.
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v") + lit(1L) - lit(1L)).as("sum_v"))
+    },
+
+    // ----- DSv2 COMPLETE aggregate pushdown (graft-seq, q179) --------------
+    // Same relational answer as a groupBy over the rows, but the scan
+    // builder ([[SeqScanBuilder]]) answers COUNT/SUM(v)/MIN/MAX(id)
+    // grouped by bucket IN CLOSED FORM over the pushed id range, and
+    // Catalyst erases the Aggregate node: the physical plan is a
+    // driver-local row set (LocalTableScan), zero cluster jobs, O(1)
+    // in the range length. This is the connector contract that lets
+    // `SELECT count(*) FROM t` on a 100 TB table answer from catalog
+    // statistics instead of a full scan; DsvSourceSpec pins the plan
+    // shape (no aggregate operator), the row-scan fallback for
+    // unsupported shapes (SUM(id)), and closed-form == row-scan
+    // equality across period-boundary ranges. The oracle re-derives
+    // everything relationally at fixture cardinality.
+    Q("q179_dsv2_agg_pushdown",
+      """WITH ids AS (SELECT row_number() OVER () - 1 AS id FROM orders),
+        |nn AS (SELECT count(*) AS c FROM orders)
+        |SELECT CAST(id % 16 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((id * 37 + 11) % 1000) AS BIGINT) AS sum_v,
+        |  CAST(min(id) AS BIGINT) AS min_id,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM ids, nn
+        |WHERE id >= c // 8 AND id < (7 * c) // 8
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val n = Tables.rowCount(s, d, "orders")
+      s.read.format("graft-seq").option("end", n).load()
+        .filter(col("id") >= n / 8 && col("id") < (7 * n) / 8)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
     }
   )
 

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -56,6 +57,12 @@ object SeqSource {
   val V = "v"
   val PAYLOAD = "payload"
 
+  /** Hard extent cap (10^15 ids): keeps every closed-form Long
+    * aggregate below 2^63 (max per-id v is 999, so any SUM(v) ≤
+    * ~10^18 < Long.MaxValue) — the source never wraps where an exact
+    * engine wouldn't. */
+  val MAX_END = 1000000000000000L
+
   val fullSchema: StructType = StructType(Seq(
     StructField(ID, LongType, nullable = false),
     StructField(BUCKET, IntegerType, nullable = false),
@@ -65,6 +72,73 @@ object SeqSource {
   def bucketOf(id: Long): Int = (id % 16L).toInt
   def vOf(id: Long): Long = (id * 37L + 11L) % 1000L
   def payloadOf(id: Long): String = "p" + (id % 7L)
+
+  // ---- closed-form aggregate layer (SupportsPushDownAggregates) ----------
+  // `bucket` has period 16 in id and `v` period 1000 (gcd(37,1000)=1),
+  // so the joint (bucket, v) structure repeats every lcm = 2000 ids —
+  // any COUNT/SUM/MIN/MAX over an id range decomposes into
+  // whole-period multiples (alignment-independent: a full period
+  // covers every residue class mod 2000 exactly once) plus a < 2000-id
+  // remainder loop. O(period) work no matter how many ids the range
+  // spans — the connector-side analogue of answering an aggregate from
+  // parquet footer statistics instead of scanning rows.
+  private val PERIOD = 2000L
+  private val PER_BUCKET_PER_PERIOD = PERIOD / 16L // 125
+
+  private lazy val (periodSumV, periodMinV, periodMaxV) = {
+    val s = new Array[Long](16)
+    val mn = Array.fill(16)(Long.MaxValue)
+    val mx = Array.fill(16)(Long.MinValue)
+    var k = 0L
+    while (k < PERIOD) {
+      val b = bucketOf(k)
+      val v = vOf(k)
+      s(b) += v
+      if (v < mn(b)) mn(b) = v
+      if (v > mx(b)) mx(b) = v
+      k += 1L
+    }
+    (s, mn, mx)
+  }
+
+  /** Per-bucket exact stats over `[lo, hi)`. */
+  final case class BucketStat(bucket: Int, cnt: Long, sumV: Long,
+      minId: Long, maxId: Long, minV: Long, maxV: Long)
+
+  def bucketStats(lo: Long, hi: Long): Seq[BucketStat] = {
+    if (hi <= lo) return Seq.empty
+    val nFull = (hi - lo) / PERIOD
+    val cnt = new Array[Long](16)
+    val sumV = new Array[Long](16)
+    val minV = Array.fill(16)(Long.MaxValue)
+    val maxV = Array.fill(16)(Long.MinValue)
+    if (nFull > 0) {
+      var b = 0
+      while (b < 16) {
+        cnt(b) = nFull * PER_BUCKET_PER_PERIOD
+        sumV(b) = nFull * periodSumV(b)
+        minV(b) = periodMinV(b)
+        maxV(b) = periodMaxV(b)
+        b += 1
+      }
+    }
+    var id = lo + nFull * PERIOD
+    while (id < hi) {
+      val b = bucketOf(id)
+      val v = vOf(id)
+      cnt(b) += 1L
+      sumV(b) += v
+      if (v < minV(b)) minV(b) = v
+      if (v > maxV(b)) maxV(b) = v
+      id += 1L
+    }
+    (0 until 16).iterator.filter(cnt(_) > 0L).map { b =>
+      // first/last id ≡ b (mod 16) inside [lo, hi): pure arithmetic
+      val first = lo + (((b - lo) % 16L + 16L) % 16L)
+      val last = (hi - 1L) - (((hi - 1L - b) % 16L + 16L) % 16L)
+      BucketStat(b, cnt(b), sumV(b), first, last, minV(b), maxV(b))
+    }.toSeq
+  }
 }
 
 class SeqDataSource extends TableProvider
@@ -83,6 +157,9 @@ final class SeqTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private val start = options.getLong("start", 0L)
   private val end = options.getLong("end", 0L)
+  require(start >= 0L && end <= SeqSource.MAX_END,
+    s"graft-seq extent must lie in [0, ${SeqSource.MAX_END}), " +
+      s"got [$start, $end)")
 
   override def name(): String = s"graft_seq($start, $end)"
   override def schema(): StructType = SeqSource.fullSchema
@@ -96,14 +173,28 @@ final class SeqTable(options: CaseInsensitiveStringMap)
 /** Accumulates the pushed `id` range and the pruned schema. Filters on
   * `id` are fully consumed (the generator emits exactly `[lo, hi)`), so
   * `pushFilters` returns only the residual set for Spark to re-apply.
-  */
+  *
+  * [[SupportsPushDownAggregates]] with COMPLETE pushdown: when the
+  * query's aggregate is `COUNT(*) / COUNT(col) / SUM(v|bucket) /
+  * MIN / MAX(id|v|bucket)`, optionally grouped by `bucket`, the source
+  * answers it in closed form over the pushed id range
+  * ([[SeqSource.bucketStats]]) and the planner erases the Aggregate
+  * node entirely — the plan degenerates to a driver-local row set
+  * ([[LocalScan]]). A `COUNT(*)` over 10^14 generated ids costs the
+  * same as over 10^2: the connector contract that lets a catalog
+  * answer `SELECT count(*) FROM t` from manifest statistics instead of
+  * scanning 100 TB. Unsupported shapes (`SUM(id)`, distinct aggs, AVG
+  * partials) return false and fall back to the ordinary row scan —
+  * pushdown must never change semantics, only cost. */
 final class SeqScanBuilder(start: Long, end: Long) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = start
   private var hi = end
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.fullSchema
+  private var aggPlan: Option[SeqAggPlan] = None
 
   // saturating bound updates; EqualTo pins both ends
   private def consume(f: Filter): Boolean = f match {
@@ -127,8 +218,142 @@ final class SeqScanBuilder(start: Long, end: Long) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SeqScan(start, end, lo, math.max(lo, hi), required, pushed)
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    SeqAggPlan.translate(a).isDefined
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    SeqAggPlan.translate(a) match {
+      case some @ Some(_) => aggPlan = some; true
+      case None => false
+    }
+
+  override def build(): Scan = aggPlan match {
+    case Some(p) => new SeqAggScan(lo, math.max(lo, hi), p, pushed)
+    case None => new SeqScan(start, end, lo, math.max(lo, hi), required, pushed)
+  }
+}
+
+/** A translated, fully-answerable pushed aggregation: optional
+  * group-by-`bucket` plus per-function evaluators over
+  * [[SeqSource.BucketStat]]. Translation is total-or-nothing — one
+  * unsupported function rejects the whole Aggregation, because
+  * complete pushdown replaces the Aggregate node wholesale. */
+final case class SeqAggPlan(groupByBucket: Boolean,
+    fields: Seq[(String, DataType, SeqSource.BucketStat => Any)]) {
+  def schema: StructType = {
+    val group = if (groupByBucket)
+      Seq(StructField(SeqSource.BUCKET, IntegerType, nullable = false))
+    else Seq.empty
+    StructType(group ++ fields.map { case (n, t, _) =>
+      StructField(n, t, nullable = true)
+    })
+  }
+}
+
+object SeqAggPlan {
+  import SeqSource.BucketStat
+
+  private def colOf(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames()(0).toLowerCase)
+    case _ => None
+  }
+
+  private def fn(f: AggregateFunc)
+      : Option[(String, DataType, BucketStat => Any)] = f match {
+    case _: CountStar => Some(("cnt", LongType, s => s.cnt))
+    // every generated column is non-null, so COUNT(col) == COUNT(*)
+    case c: Count if !c.isDistinct && colOf(c.column).exists(
+        Set(SeqSource.ID, SeqSource.BUCKET, SeqSource.V, SeqSource.PAYLOAD)) =>
+      Some(("cnt", LongType, s => s.cnt))
+    case c: Sum if !c.isDistinct => colOf(c.column) match {
+      // SUM(id) is deliberately unsupported: no wrap-free closed form
+      // at full extent, and a silent Long wrap is exactly the
+      // divergence pushdown must not introduce. Falls back to row scan.
+      case Some(SeqSource.V) => Some(("sum_v", LongType, s => s.sumV))
+      case Some(SeqSource.BUCKET) =>
+        Some(("sum_b", LongType, s => s.bucket.toLong * s.cnt))
+      case _ => None
+    }
+    case m: Min => colOf(m.column) match {
+      case Some(SeqSource.ID) => Some(("min_id", LongType, s => s.minId))
+      case Some(SeqSource.V) => Some(("min_v", LongType, s => s.minV))
+      case Some(SeqSource.BUCKET) =>
+        Some(("min_b", IntegerType, s => s.bucket))
+      case _ => None
+    }
+    case m: Max => colOf(m.column) match {
+      case Some(SeqSource.ID) => Some(("max_id", LongType, s => s.maxId))
+      case Some(SeqSource.V) => Some(("max_v", LongType, s => s.maxV))
+      case Some(SeqSource.BUCKET) =>
+        Some(("max_b", IntegerType, s => s.bucket))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  def translate(a: Aggregation): Option[SeqAggPlan] = {
+    val groupBy = a.groupByExpressions.toSeq.map(colOf)
+    val groupOk = groupBy match {
+      case Seq() => Some(false)
+      case Seq(Some(SeqSource.BUCKET)) => Some(true)
+      case _ => None
+    }
+    for {
+      g <- groupOk
+      fs <- {
+        val t = a.aggregateExpressions.toSeq.map(fn)
+        if (t.forall(_.isDefined)) Some(t.flatten) else None
+      }
+    } yield SeqAggPlan(g, fs)
+  }
+}
+
+/** The pushed-aggregate scan: a [[LocalScan]] whose rows are computed
+  * on the driver from [[SeqSource.bucketStats]] — O(period), never a
+  * cluster job. Global (ungrouped) aggregation over an empty range
+  * follows SQL semantics: COUNT = 0, MIN/MAX/SUM = NULL. */
+final class SeqAggScan(lo: Long, hi: Long, plan: SeqAggPlan,
+    pushedFilters: Array[Filter]) extends LocalScan {
+
+  override def readSchema(): StructType = plan.schema
+  override def description(): String =
+    s"graft-seq agg [$lo, $hi) groupByBucket=${plan.groupByBucket} " +
+      s"aggs=[${plan.fields.map(_._1).mkString(", ")}], " +
+      s"PushedFilters: [${pushedFilters.mkString(", ")}]"
+
+  override def rows(): Array[InternalRow] = {
+    val stats = SeqSource.bucketStats(lo, hi)
+    if (plan.groupByBucket) {
+      stats.map { st =>
+        InternalRow.fromSeq(st.bucket +: plan.fields.map(_._3(st)))
+      }.toArray
+    } else if (stats.isEmpty) {
+      Array(InternalRow.fromSeq(plan.fields.map {
+        case ("cnt", _, _) => 0L
+        case _ => null
+      }))
+    } else {
+      // fold the per-bucket stats into one global BucketStat; the
+      // bucket field itself is unused by any ungrouped evaluator
+      // except min_b/max_b, which read the folded extremes below
+      val cnt = stats.map(_.cnt).sum
+      val global = SeqSource.BucketStat(
+        bucket = stats.map(_.bucket).min,
+        cnt = cnt,
+        sumV = stats.map(_.sumV).sum,
+        minId = stats.map(_.minId).min,
+        maxId = stats.map(_.maxId).max,
+        minV = stats.map(_.minV).min,
+        maxV = stats.map(_.maxV).max)
+      Array(InternalRow.fromSeq(plan.fields.map {
+        case ("sum_b", _, _) =>
+          stats.map(st => st.bucket.toLong * st.cnt).sum
+        case ("max_b", _, _) => stats.map(_.bucket).max
+        case (_, _, eval) => eval(global)
+      }))
+    }
+  }
 }
 
 final class SeqScan(tableStart: Long, tableEnd: Long, lo: Long, hi: Long,

@@ -76,4 +76,87 @@ class DsvSourceSpec extends AnyFunSuite {
   test("empty pushed range plans zero partitions") {
     assert(seq().filter(col("id") >= N + 5).count() === 0)
   }
+
+  // ---- SupportsPushDownAggregates (complete pushdown) ----------------------
+
+  private def aggNodes(df: org.apache.spark.sql.DataFrame) = {
+    // AQE wraps the fallback plan; its children are hidden from a
+    // top-level collect until materialization, so unwrap explicitly
+    val top = df.queryExecution.executedPlan
+    val p = top match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+  }
+
+  private def localScans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }
+
+  test("complete agg pushdown erases the Aggregate and matches a row loop") {
+    // 5000 ids = 2 full (bucket, v) periods + a 1000-id remainder —
+    // exercises both the whole-period closed form and the tail loop
+    val lo = 17L
+    val hi = 5000L
+    val df = seq().filter(col("id") >= lo && col("id") < hi)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    assert(aggNodes(df).isEmpty, "aggregate must be fully pushed")
+    assert(localScans(df).nonEmpty, "pushed agg must plan as a local scan")
+    // independent reference: a plain Scala loop over the same range
+    val ref = (lo until hi).map(id => (id % 16).toInt -> ((id * 37 + 11) % 1000, id))
+      .groupBy(_._1).view.mapValues { g =>
+        val vs = g.map(_._2._1); val ids = g.map(_._2._2)
+        (g.size.toLong, vs.sum, ids.min, ids.max, vs.min, vs.max)
+      }.toMap
+    val got = df.collect().map { r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    }.toMap
+    assert(got === ref)
+  }
+
+  test("pushed global aggregate over 1e14 ids answers from arithmetic") {
+    val big = 100000000000000L // 10^14 — unscannable row-by-row
+    val df = spark.read.format("graft-seq").option("end", big).load()
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+    assert(aggNodes(df).isEmpty)
+    val r = df.collect()(0)
+    assert(r.getLong(0) === big)
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === big - 1)
+  }
+
+  test("unsupported shape (SUM(id)) falls back to the row scan, correct") {
+    val df = seq().filter(col("id") < 1000)
+      .agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
+    assert(aggNodes(df).nonEmpty, "SUM(id) must NOT be pushed")
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 999L * 1000L / 2L)
+    assert(r.getLong(1) === 1000L)
+  }
+
+  test("pushed empty-range global aggregate keeps SQL semantics") {
+    val df = seq().filter(col("id") >= N + 1)
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mv"))
+    assert(aggNodes(df).isEmpty)
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1))
+  }
+
+  test("COUNT(col) on a non-null generated column pushes as COUNT(*)") {
+    val df = seq().filter(col("id") < 160)
+      .groupBy(col("bucket")).agg(count(col("payload")).as("n"))
+    assert(aggNodes(df).isEmpty)
+    assert(df.collect().map(_.getLong(1)).toSeq === Seq.fill(16)(10L))
+  }
 }
