@@ -1425,6 +1425,68 @@ object Dedup {
         .groupBy(col("doc_id").as("new_doc"))
         .agg(countDistinct(col("old_doc")).as("n_matches"),
           min(col("old_doc")).as("first_dup"))
+    },
+
+    // ----- containment (near-subset) join: C(a→b) = |A∩B|/|A| ≥ 0.9 --------
+    // The ASYMMETRIC complement to q134's Jaccard join: a short doc
+    // pasted inside a long one scores low Jaccard (the union is big)
+    // but containment ≈ 1 — quoted articles, boilerplate-wrapped
+    // bodies, prefix-truncated crawls. Ordered pairs: A is the
+    // contained side; sa ≥ 8 drops degenerate short-set probes.
+    // Prefix filter, containment flavor: if |A∩B| ≥ ceil(0.9·sa), A's
+    // tokens OUTSIDE B number ≤ sa − ceil(0.9·sa), so A's first
+    // sa − ceil(0.9·sa) + 1 tokens in the global rare-first order must
+    // hit B (pigeonhole) — and since ceil(9s/10) ≥ ceil(3s/5), that
+    // prefix is a PREFIX OF the materialized τ=3/5 AllPairs index
+    // ([[setsimPrefix]]): the same chain artifact serves both
+    // thresholds, filtered down by rank (rk ≤ sz − ceil(9·sz/10) + 1,
+    // integer-exact: ceil(9x/10) = (9x+9) DIV 10). Candidates come
+    // from probing that ~0.1·sa-token prefix against the full df-capped
+    // inverted index — per-token fan-out ≤ DF_CAP keeps generation
+    // linear in corpus size — then exact verify intersects the per-doc
+    // sorted profile arrays (no re-expansion of the shingle table).
+    // Same CPU-bound-join width pin as q134: fan-out joins defeat
+    // AQE's byte-based coalescing, so the width derives from session
+    // parallelism.
+    Q("q180_containment_join",
+      s"""WITH shd AS ($SHINGLE_CAPPED_SQL),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+         |  FROM shd a JOIN shd b
+         |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |  GROUP BY doc_a, doc_b)
+         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+         |  CAST(m AS BIGINT) AS n_inter, CAST(sa.n AS BIGINT) AS n_a
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |WHERE sa.n >= 8 AND m * 10 >= sa.n * 9
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val shd = shinglesCapped(s, d)
+      val p = s.sparkContext.defaultParallelism
+      val probe = setsimPrefix(s, d)
+        .filter(col("sz") >= 8 &&
+          col("rk") <= col("sz") - expr("(9 * sz + 9) DIV 10") + 1)
+        .select(col("doc_id").as("doc_a"), col("shingle"))
+        .repartition(p, col("shingle"))
+      val index = shd
+        .select(col("doc_id").as("doc_b"), col("shingle").as("sh2"))
+        .repartition(p, col("sh2"))
+      val cand = probe.join(index,
+          col("shingle") === col("sh2") && col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val prof = shd.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("shingle"))).as("toks"))
+      cand
+        .join(prof.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+          "doc_a")
+        .join(prof.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long")
+            .as("n_inter"),
+          size(col("ta")).cast("long").as("n_a"))
+        .filter(col("n_inter") * 10 >= col("n_a") * 9)
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 
