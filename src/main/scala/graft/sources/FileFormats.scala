@@ -331,8 +331,57 @@ object FileFormats {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    },
+
+    // ----- DSv2 WRITE path (graft-dsv commit protocol, q181) ---------------
+    // The write half of the connector surface ([[DsvTable]]): per-order
+    // lineitem aggregates flow through the V2 BatchWrite contract —
+    // executor-side temp files, commit-coordinator attempt fencing,
+    // driver-side atomic rename to the reference's `part-%05d` layout
+    // with TRUNCATE overwrite — then the self-describing directory
+    // (schema from its own `_schema.ddl`) is read back and
+    // re-aggregated to the returnflag level. The oracle computes the
+    // same two-level aggregate straight from parquet, so any row lost
+    // or mangled across the write/read round-trip is a hash mismatch.
+    // The write runs on every invocation (overwriting the same
+    // per-fixture directory): the COMMIT PROTOCOL is the operator
+    // under test, not a cached artifact. Quantities are integral
+    // doubles; the BIGINT cast is exact in both engines.
+    Q("q181_dsv2_sink",
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, l_orderkey AS okey,
+        |    count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT flag, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_lines,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM g GROUP BY flag""".stripMargin) { (s, d) =>
+      val dir = dsvSinkDir(d)
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_orderkey").as("okey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .write.format("graft-dsv").mode("overwrite")
+        .option("path", dir).save()
+      s.read.format("graft-dsv").option("path", dir).load()
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_lines"),
+          sum(col("qty")).as("sum_qty"))
     }
   )
+
+  /** Per-fixture graft-dsv output directory: STABLE across invocations
+    * (unlike [[roundTrip]]'s fresh-per-call dirs) so repeated runs
+    * exercise the TRUNCATE/overwrite path of the commit protocol
+    * against existing parts; still under the JVM-scoped scratch root,
+    * so concurrent verify/bench processes never share a directory. */
+  private val dsvDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dsvSinkDir(d: String): String =
+    dsvDirs.computeIfAbsent(d, _ =>
+      java.nio.file.Files.createTempDirectory(scratchRoot, "dsv-sink")
+        .toString + "/t")
 
   /** sfDir → written-once binary-blob fixture dir for q171 (memoized
     * for the same reason as [[evolvedOrdersDir]]: the file set is a

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graft-dsv` V2 write contract ([[sources.DsvTable]]): staged
+  * temp files published by a driver-side atomic commit (reference
+  * `part-%05d` layout), TRUNCATE overwrite, abort leaving the previous
+  * table contents untouched, self-describing schema, and the
+  * no-escaping encoding contract.
+  */
+class DsvWriteSpec extends AnyFunSuite {
+
+  lazy val spark = Spec.spark
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-dsv-spec").toString + "/t"
+
+  private def names(dir: String): Seq[String] = {
+    val f = new java.io.File(dir)
+    if (!f.exists()) Seq.empty
+    else f.listFiles().map(_.getName).toSeq.sorted
+  }
+
+  private def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    df.write.format("graft-dsv").mode("overwrite")
+      .option("path", dir).save()
+
+  private def read(dir: String) =
+    spark.read.format("graft-dsv").option("path", dir).load()
+
+  test("round-trip preserves longs, ints, doubles, strings, and nulls") {
+    import spark.implicits._
+    val dir = freshDir()
+    val df = Seq(
+      (1L, 10, 1.5, Option("alpha")),
+      (2L, 20, -0.25, Option.empty[String]),
+      (3L, 30, 0.0, Option("b c d"))
+    ).toDF("a", "b", "c", "s")
+    write(df, dir)
+    val back = read(dir)
+    // _schema.ddl round-trips nullability too (NOT NULL in the DDL)
+    assert(back.schema === df.schema)
+    assert(back.collect().map(r => (r.get(0), r.get(1), r.get(2),
+      Option(r.get(3)))).toSet ===
+      Set((1L, 10, 1.5, Some("alpha")), (2L, 20, -0.25, None),
+        (3L, 30, 0.0, Some("b c d"))))
+  }
+
+  test("commit publishes part-%05d + _SUCCESS + _schema.ddl, no temp residue") {
+    import spark.implicits._
+    val dir = freshDir()
+    write(spark.range(100).select(col("id")).repartition(3), dir)
+    val fs = names(dir)
+    assert(fs.count(_.startsWith("part-")) === 3)
+    assert(fs.filter(_.startsWith("part-")) ===
+      Seq("part-00000", "part-00001", "part-00002"))
+    assert(fs.contains("_SUCCESS") && fs.contains("_schema.ddl"))
+    assert(!fs.contains("_tmp"), s"temp area must be cleaned: $fs")
+    assert(read(dir).as[Long].collect().sorted.toSeq === (0L until 100L))
+  }
+
+  test("overwrite truncates: old parts vanish, not just get shadowed") {
+    val dir = freshDir()
+    write(spark.range(90).toDF("id").repartition(3), dir)
+    assert(names(dir).count(_.startsWith("part-")) === 3)
+    write(spark.range(7).toDF("id").repartition(1), dir)
+    assert(names(dir).count(_.startsWith("part-")) === 1)
+    assert(read(dir).count() === 7)
+  }
+
+  test("failed job aborts cleanly: previous table contents stay intact") {
+    import spark.implicits._
+    val dir = freshDir()
+    write(spark.range(50).toDF("id").repartition(2), dir)
+    val before = read(dir).as[Long].collect().sorted.toSeq
+    // an overwrite whose partition 1 always throws: the job fails,
+    // BatchWrite.abort runs, and the PREVIOUS publish must be intact —
+    // the atomic-publish property (nothing a task wrote is visible,
+    // truncate never happened because commit never ran)
+    val poisoned = spark.range(40).as[Long].repartition(2)
+      .mapPartitions { it =>
+        if (org.apache.spark.TaskContext.get().partitionId() == 1)
+          throw new RuntimeException("poisoned partition")
+        it
+      }.toDF("id")
+    intercept[Exception] {
+      poisoned.write.format("graft-dsv").mode("overwrite")
+        .option("path", dir).save()
+    }
+    assert(read(dir).as[Long].collect().sorted.toSeq === before,
+      "previous contents must survive a failed overwrite")
+    assert(!names(dir).contains("_tmp"),
+      "job-level abort must remove the temp area")
+  }
+
+  test("strings containing the delimiter are rejected with a clear error") {
+    import spark.implicits._
+    val dir = freshDir()
+    val e = intercept[Exception] {
+      write(Seq(("bad|cell", 1L)).toDF("s", "n"), dir)
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("unsupported column types are rejected at write-builder time") {
+    import spark.implicits._
+    val dir = freshDir()
+    intercept[Exception] {
+      write(Seq((java.sql.Date.valueOf("2026-01-01"), 1L)).toDF("d", "n"),
+        dir)
+    }
+  }
+}
