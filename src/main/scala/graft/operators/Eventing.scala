@@ -74,6 +74,30 @@ object Eventing {
       Streams.tumblingCounts(Tables.events(s, d), "5 minutes")
     },
 
+    // ----- chained stateful pipeline: dedup → windowed agg -----------------
+    // Two stateful operators in one query ([[Streams.dedupThenWindow]]):
+    // watermark-scoped exact dedup feeding the tumbling aggregate — the
+    // at-least-once ingestion shape (transport retries collapsed BEFORE
+    // they can double-count a window). The fixture has no duplicate
+    // event ids, so the query INJECTS a deterministic duplicate subset
+    // (event_id % 13 = 0, exact row copies via union) ahead of the
+    // chain; the oracle aggregates the raw table directly — a dedup
+    // that leaks even one duplicate inflates exactly those windows and
+    // hash-mismatches. StreamingSpec runs the same chain live on a
+    // MemoryStream (cross-batch duplicate, watermark-closed window).
+    Q("q182_chained_stateful",
+      """SELECT strftime(make_timestamp(
+        |    CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY wstart, event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val withDups = ev.unionByName(ev.filter(col("event_id") % 13 === 0))
+      Streams.dedupThenWindow(withDups, "10 minutes", "5 minutes")
+    },
+
     // ----- navigation analytics: lag / lead / ntile over user timelines ----
     // Inter-event gaps and time-to-next per user plus quartile position
     // within each timeline — all integer-microsecond arithmetic, with

@@ -154,6 +154,24 @@ object Streams {
       events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** CHAINED stateful pipeline — watermark-scoped exact dedup feeding a
+    * tumbling-window aggregate, two stateful operators in ONE streaming
+    * query (multi-stateful support; before it, each stateful step
+    * needed its own query + intermediate sink, doubling latency and
+    * storage). The watermark is applied once at the dedup
+    * ([[dedupEvents]]) and propagates through to scope BOTH state
+    * stores: dedup ids older than the watermark are dropped AND closed
+    * windows are emitted/evicted off the same clock. This is the
+    * at-least-once ingestion shape at 100 TB/day — the transport
+    * retries (Kafka redelivery, file re-lists) are collapsed by the
+    * dedup BEFORE they can double-count a window, with state bounded
+    * by the lateness horizon on both operators. Batch/stream duality
+    * as everywhere in this module: the same composition over a bounded
+    * frame is the oracle. */
+  def dedupThenWindow(events: DataFrame, delay: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    tumblingCounts(dedupEvents(events, delay), windowLen)
+
   /** Stream-static enrichment join: attach a small static dimension to
     * an (unbounded or bounded) event frame. The static side is
     * broadcast — on a stream this is the ONLY join shape that needs no

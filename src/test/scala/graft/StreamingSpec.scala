@@ -184,6 +184,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("chained stateful: dedup feeds the window agg in one append query") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val chained = Streams.dedupThenWindow(input.toDF(), "10 minutes",
+      "5 minutes")
+    val q = chained.writeStream.outputMode("append")
+      .format("memory").queryName("chain_out").start()
+    input.addData(
+      Event(1, ts(0, 10), 1, "click", 1.0),
+      Event(1, ts(0, 10), 1, "click", 1.0), // same-batch duplicate
+      Event(2, ts(1, 0), 2, "click", 2.0))
+    q.processAllAvailable()
+    // the cross-batch duplicate of id 2 must be dropped by the dedup
+    // STATE before it reaches the window aggregate's state
+    input.addData(Event(2, ts(1, 0), 2, "click", 2.0),
+      Event(3, ts(4, 0), 1, "view", 4.0))
+    q.processAllAvailable()
+    assert(spark.table("chain_out").isEmpty,
+      "append mode must hold the window until the watermark passes it")
+    // watermark past 00:05 + 10 min lateness → [00:00, 00:05) emits
+    input.addData(Event(9, ts(16, 0), 9, "click", 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("chain_out").orderBy("wstart", "event_type")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 00:00:00", "view", 1L, 4.0)))
+  }
+
   test("stream-stream interval join pairs views with clicks in the bound") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[Event]
