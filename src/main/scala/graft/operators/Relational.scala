@@ -658,6 +658,35 @@ object Relational {
       s.sql(SHARED_SQL_Q58)
     },
 
+    // ----- parameterized SQL: named parameters + IDENTIFIER binding --------
+    // The injection-safe dynamic-SQL contract: values arrive as TYPED
+    // named parameters (`:minprice`, bound via spark.sql(text, args) —
+    // never string-spliced into the query), and the dynamic TABLE NAME
+    // goes through the IDENTIFIER(:tbl) clause, which binds a string
+    // parameter in identifier position — the parser rejects anything
+    // that isn't a plain multi-part name, closing the
+    // concat-a-table-name injection hole. At scale this is also the
+    // plan-cache shape: a fleet of per-tenant queries differing only
+    // in bound values parses to the same parameterized tree. The
+    // oracle inlines the same constants literally.
+    Q("q183_parameterized_sql",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |WHERE o_totalprice >= 1000.0 AND o_orderstatus = 'O'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue
+          |FROM IDENTIFIER(:tbl)
+          |WHERE o_totalprice >= :minprice AND o_orderstatus = :status
+          |GROUP BY o_orderpriority""".stripMargin,
+        Map("tbl" -> "orders", "minprice" -> 1000.0, "status" -> "O"))
+    },
+
     // ----- correlated-subquery semantics (orders above customer average) ---
     // Expressed as a window aggregate (one shuffle on the correlation
     // key — the scale shape for correlated scalar subqueries); the
