@@ -885,6 +885,136 @@ object Similarity {
           (col("dt").cast("double") /
             (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))))
             .as("cos_drift"))
+    },
+
+    // ----- product quantization ANN: per-subspace codebooks + ADC ----------
+    // The compressed-ANN rung between brute force (q33) and IVF (q44):
+    // split each 64-dim vector into M=8 subspaces of 8 dims, train a
+    // 16-entry codebook PER SUBSPACE (the q82 Lloyd machinery with
+    // `sub` as one more grouping key — one shared plan trains all
+    // eight codebooks), encode every vector as 8 centroid ids, and
+    // answer a query by ASYMMETRIC DISTANCE: per (sub, cid) the exact
+    // distance from the query's subvector to the codebook entry (a
+    // 128-row table), summed over each vector's code — the classic
+    // lookup-table scan. Why it matters at 100 TB: the search-time
+    // corpus representation is M small ints per vector (~8 bytes vs
+    // 256 for float32), so the scan is a narrow code table joined to a
+    // broadcast 128-row lookup — memory-resident at scales where raw
+    // vectors are not, and the train step stays bounded (tiny
+    // codebook, fixed iterations; a production deployment trains on a
+    // sample and broadcasts the same lookup). All arithmetic in the
+    // quantized integer space — assignments, floor-divided centroids,
+    // ADC sums are bit-identical across engines, so top-k with a
+    // vec_id tiebreak hash-matches exactly. Approximate BY DESIGN
+    // (ADC ranks by codebook cells, not raw vectors); the oracle
+    // certifies the PQ pipeline itself, brute-force truth lives in
+    // q33/q123.
+    Q("q184_pq_ann", {
+      val M = 8; val SUB = 8; val KSUB = 16; val iters = 2
+      def dot8(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${SUB + 1}), i -> $a[i] * $b[i]))"
+      def step(k: Int) =
+        s"""a$k AS (
+           |  SELECT vec_id, sub, sv, xx, cid, row_number() OVER (
+           |    PARTITION BY vec_id, sub
+           |    ORDER BY xx - 2 * ${dot8("sv", "cv")} + ${dot8("cv", "cv")},
+           |    cid) AS rn
+           |  FROM x2 JOIN c${k - 1} USING (sub)),
+           |b$k AS (SELECT vec_id, sub, sv, cid FROM a$k WHERE rn = 1),
+           |c$k AS (
+           |  SELECT p.sub, p.cid, coalesce(u.cv, p.cv) AS cv
+           |  FROM c${k - 1} p LEFT JOIN (
+           |    SELECT sub, cid, list(CAST(CAST(sm AS BIGINT) // n AS DOUBLE)
+           |                          ORDER BY i) AS cv
+           |    FROM (SELECT sub, cid, i, sum(sv[i]) AS sm,
+           |            CAST(count(*) AS BIGINT) AS n
+           |          FROM b$k CROSS JOIN unnest(range(1, ${SUB + 1})) AS t$k(i)
+           |          GROUP BY sub, cid, i) g GROUP BY sub, cid) u
+           |  ON p.sub = u.sub AND p.cid = u.cid)"""
+      s"""WITH x AS MATERIALIZED (
+         |  SELECT vec_id, sub,
+         |    list_transform(range(1, ${SUB + 1}), i -> qv[sub * $SUB + i])
+         |      AS sv
+         |  FROM (SELECT vec_id, $QUANT_SQL AS qv FROM embeddings) q
+         |  CROSS JOIN unnest(range(0, $M)) AS s(sub)),
+         |x2 AS MATERIALIZED (
+         |  SELECT vec_id, sub, sv, ${dot8("sv", "sv")} AS xx FROM x),
+         |c0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM x2
+         |       WHERE vec_id BETWEEN 1 AND $KSUB),
+         |${(1 to iters).map(step).mkString(",\n")},
+         |codes AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid, row_number() OVER (
+         |      PARTITION BY vec_id, sub
+         |      ORDER BY xx - 2 * ${dot8("sv", "cv")} + ${dot8("cv", "cv")},
+         |      cid) AS rn
+         |    FROM x2 JOIN c$iters USING (sub)) t
+         |  WHERE rn = 1 AND vec_id <> 0),
+         |qd AS (
+         |  SELECT c.sub, c.cid,
+         |    q.xx - 2 * ${dot8("q.sv", "c.cv")} + ${dot8("c.cv", "c.cv")}
+         |      AS d
+         |  FROM c$iters c JOIN x2 q ON q.sub = c.sub AND q.vec_id = 0)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(sum(d) AS BIGINT) AS adc
+         |FROM codes JOIN qd USING (sub, cid)
+         |GROUP BY vec_id ORDER BY adc, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      val M = 8; val SUB = 8; val KSUB = 16; val iters = 2
+      val subs = embTable(s, d)
+        .select(col("vec_id"), quant(col("embedding")).as("sv"))
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(M - 1))).as("sub"), col("sv"))
+        .select(col("vec_id"), col("sub"),
+          expr(s"slice(sv, sub * $SUB + 1, $SUB)").as("ssv"))
+        .withColumn("xx", dot(col("ssv"), col("ssv")))
+        .persist()
+      var (cents, centRdd) = Iterative.checkpointed(
+        subs.filter(col("vec_id").between(1, KSUB))
+          .select(col("sub"), col("vec_id").cast("long").as("cid"),
+            col("ssv").as("cv")))
+      def assign(c: DataFrame) =
+        subs.join(broadcast(c), Seq("sub"))
+          .select(col("vec_id"), col("sub"), col("ssv"), col("cid"),
+            (col("xx") - lit(2) * dot(col("ssv"), col("cv")) +
+              dot(col("cv"), col("cv"))).as("d"))
+      (1 to iters).foreach { _ =>
+        val best = assign(cents).groupBy(col("vec_id"), col("sub"))
+          .agg(expr("min_by(cid, struct(d, cid))").as("cid"),
+            expr("any_value(ssv)").as("ssv"))
+        val upd = best.select(col("sub"), col("cid"), posexplode(col("ssv")))
+          .groupBy(col("sub"), col("cid"), col("pos"))
+          .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
+          .select(col("sub"), col("cid"), col("pos"),
+            expr("cast(cast(sm as bigint) div n as double)").as("cval"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, cval))), p -> p.cval)")
+            .as("cvNew"))
+        val (next, nextRdd) = Iterative.checkpointed(
+          cents.join(upd, Seq("sub", "cid"), "left")
+            .select(col("sub"), col("cid"),
+              coalesce(col("cvNew"), col("cv")).as("cv")))
+        Iterative.release(centRdd)
+        cents = next
+        centRdd = nextRdd
+      }
+      val codes = assign(cents).groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+        .filter(col("vec_id") =!= 0)
+      val qd = subs.filter(col("vec_id") === 0)
+        .select(col("sub"), col("ssv").as("qsv"), col("xx").as("qxx"))
+        .join(cents, Seq("sub"))
+        .select(col("sub"), col("cid"),
+          (col("qxx") - lit(2) * dot(col("qsv"), col("cv")) +
+            dot(col("cv"), col("cv"))).as("d"))
+      codes.join(broadcast(qd), Seq("sub", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("d")).cast("long").as("adc"))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("adc"))
     }
   )
 }
