@@ -687,6 +687,33 @@ object Relational {
         Map("tbl" -> "orders", "minprice" -> 1000.0, "status" -> "O"))
     },
 
+    // ----- engine-rewritten bounded top-k (graft.plans vertical) ------------
+    // The query is the NATURAL declarative spelling — row_number over a
+    // window, filtered to rk <= 3 — and the engine's injected
+    // TopKRewrite rule plans it as the heap-based TopKPerKey
+    // partial/final pair: no sort anywhere, and the exchange carries at
+    // most 3 rows per (user, input partition) instead of every purchase
+    // event. The interesting artifact is the PLAN (pinned in
+    // PlanAuditSpec/TopKSpec); the rows must be exactly what the window
+    // (and DuckDB's window, below) would produce — the order is total
+    // (value DESC, event_id), so the rewrite is hash-exact.
+    Q("q185_topk_rewrite",
+      """SELECT user_id, event_id, value, CAST(rk AS INTEGER) AS rk
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events WHERE event_type = 'purchase') t
+        |WHERE rk <= 3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+    },
+
     // ----- correlated-subquery semantics (orders above customer average) ---
     // Expressed as a window aggregate (one shuffle on the correlation
     // key — the scale shape for correlated scalar subqueries); the

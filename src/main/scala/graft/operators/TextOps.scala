@@ -1730,6 +1730,55 @@ object TextOps {
             / (col("n1").cast("double") * col("n2").cast("double"))).as("l1"))
     },
 
+    // ----- Kolmogorov–Smirnov drift over the length distribution -----------
+    // q125's L1 token drift answers "did the vocabulary shift"; the KS
+    // statistic answers "did a NUMERIC distribution shift" — max
+    // absolute ECDF gap between two corpus halves over n_chars, the
+    // two-sample test a data-quality monitor runs per ingest batch.
+    // Exact across engines by the q125 rule: D's numerator is computed
+    // as max |cum1·n2 − cum2·n1| over the AGGREGATED per-length count
+    // frame (|distinct lengths| rows — metadata-scale, so the
+    // unpartitioned cumulative window never sees corpus-sized data;
+    // the corpus-sized work is one groupBy(len) with map-side partial
+    // aggregation). Integer math rides decimal(38,0) so 100 TB corpus
+    // counts (cum·n up to ~10^19) cannot wrap; the exact numerator
+    // ships as a string carrier and the double D is ONE division of
+    // exact integers — bit-identical in both engines.
+    Q("q186_ks_drift",
+      """WITH h AS (
+        |  SELECT n_chars AS len,
+        |    CAST(count(*) FILTER (doc_id % 2 = 0) AS HUGEINT) AS c1,
+        |    CAST(count(*) FILTER (doc_id % 2 = 1) AS HUGEINT) AS c2
+        |  FROM documents GROUP BY 1),
+        |n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM h),
+        |cum AS (
+        |  SELECT sum(c1) OVER (ORDER BY len) AS k1,
+        |    sum(c2) OVER (ORDER BY len) AS k2
+        |  FROM h)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(max(abs(k1 * n2 - k2 * n1)) AS VARCHAR) AS ks_num,
+        |  CAST(max(abs(k1 * n2 - k2 * n1)) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks
+        |FROM cum, n GROUP BY n1, n2""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val h = Tables.documents(s, d)
+        .groupBy(col("n_chars").as("len"))
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val n = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      h.select(sum(col("c1")).over(w).as("k1"),
+          sum(col("c2")).over(w).as("k2"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(abs(col("k1").cast(dec) * col("n2").cast(dec)
+          - col("k2").cast(dec) * col("n1").cast(dec))).cast(dec).as("ksd"))
+        .select(col("n1"), col("n2"), col("ksd").cast("string").as("ks_num"),
+          (col("ksd").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double"))).as("ks"))
+    },
+
     // ----- equi-depth length statistics (optimizer-style histogram) ----------
     // The column-statistics builder: exact decile buckets of the
     // document length distribution under the UNIQUE (n_chars, doc_id)

@@ -423,4 +423,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"q169 fell back to a loop join:\n$p")
   }
+
+  test("declarative window-rank top-k plans as the bounded heap operator") {
+    // The graft.plans vertical (TopKRewrite + TopKStrategy +
+    // TopKPerKeyExec): filter-over-row_number must plan with the heap
+    // partial/final pair and WITHOUT any Window or Sort — losing the
+    // rewrite silently restores the full shuffle + O(n log n) local
+    // sorts on every top-k query in the corpus.
+    Seq("q185_topk_rewrite", "q07_window_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TopKPerKey (partial)"), s"$q lost the rewrite:\n$p")
+      assert(p.contains("TopKPerKey (final)"), s"$q lost the final exec:\n$p")
+      assert(!p.contains("Window"), s"$q still carries a window:\n$p")
+    }
+    // ...and the partial runs BELOW the exchange (map-side trim): the
+    // plan prints partial inside the exchange subtree, final above it.
+    val p = plan("q185_topk_rewrite")
+    val iFinal = p.indexOf("TopKPerKey (final)")
+    val iEx = p.indexOf("Exchange", iFinal)
+    val iPartial = p.indexOf("TopKPerKey (partial)", iEx)
+    assert(iFinal >= 0 && iEx > iFinal && iPartial > iEx,
+      s"partial/exchange/final order broken:\n$p")
+  }
 }
