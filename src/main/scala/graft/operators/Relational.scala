@@ -714,6 +714,38 @@ object Relational {
         .filter(col("rk") <= 3)
     },
 
+    // ----- ties-aware bounded top-k: rank() through the same vertical ------
+    // The other half of real top-k SQL: rank() keeps EVERY row tying
+    // the kth order value (per-supplier top-2 quantities over
+    // lineitem's 1..50 integer-valued doubles — boundaries land
+    // mid-tie on purpose, ~dozens of rows per supplier survive). The
+    // TopKRewrite extension plans it through the same heap
+    // partial/final pair: the partial passes boundary ties through
+    // UNTRIMMED (state stays k-bounded, the wire carries the ties),
+    // the final buffers the exact boundary tie set (output-sized by
+    // definition) and assigns value-aware ranks — still no sort
+    // anywhere. dense_rank stays on the window plan (its kth DISTINCT
+    // value is not k-heap-boundable). The kept SET is deterministic
+    // under ties — exactly why rank() and not row_number() is the
+    // right operator when the ORDER BY is not a total order.
+    Q("q187_rank_topk",
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    rank() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_quantity DESC) AS rk
+        |  FROM lineitem) t
+        |WHERE rk <= 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 2)
+    },
+
     // ----- correlated-subquery semantics (orders above customer average) ---
     // Expressed as a window aggregate (one shuffle on the correlation
     // key — the scale shape for correlated scalar subqueries); the

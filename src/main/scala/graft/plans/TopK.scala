@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   AttributeSet, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
   IntegerLiteral, JoinedRow, LessThan, LessThanOrEqual, PredicateHelper,
-  RowNumber, SortOrder, SpecifiedWindowFrame, UnsafeProjection, UnsafeRow,
-  WindowExpression, WindowSpecDefinition}
+  Rank, RowNumber, SortOrder, SpecifiedWindowFrame, UnsafeProjection,
+  UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.expressions.{CurrentRow, RowFrame,
   UnboundedPreceding}
@@ -47,18 +47,36 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * SQL/DataFrame user already writes.
   *
   * Rewrite safety: only fires on a Window whose ONLY window expression
-  * is `row_number()` with the standard frame, with a non-empty
-  * deterministic ORDER BY, under a Filter conjunct bounding the rank by
-  * a literal k (`<= k`, `< k+1`, `= k`, reversed forms). The original
-  * Filter stays above the rewritten node, so non-rank conjuncts and
-  * exact-rank predicates (`rn = 2`) keep their semantics. Ties in the
-  * ORDER BY get an arbitrary-but-valid assignment, exactly like
-  * row_number itself — any query whose result must be deterministic
-  * already needs a total order under EITHER plan. Opt out per session
-  * with `spark.graft.topkRewrite.enabled=false`; ranks beyond
-  * `spark.graft.topkRewrite.maxK` (default 1000) keep the window plan
-  * (a million-row heap per key would trade a sort for a worse cache
-  * profile — WindowGroupLimit's regime).
+  * is `row_number()` or `rank()` with the standard frame, with a
+  * non-empty deterministic ORDER BY, under a Filter conjunct bounding
+  * the rank by a literal k (`<= k`, `< k+1`, `= k`, reversed forms).
+  * The original Filter stays above the rewritten node, so non-rank
+  * conjuncts and exact-rank predicates (`rn = 2`) keep their
+  * semantics. row_number ties in the ORDER BY get an
+  * arbitrary-but-valid assignment, exactly like row_number itself —
+  * any query whose result must be deterministic under EITHER plan
+  * already needs a total order.
+  *
+  * rank() (ties-aware, the WindowGroupLimit semantics): every row
+  * tying the kth order value has rank ≤ k and must be KEPT, so the
+  * partial exec passes boundary-tied rows through UNTRIMMED (state
+  * stays k-bounded; the wire carries the ties) and the final exec
+  * buffers the exact boundary tie set (output-bounded by definition —
+  * every buffered row is emitted) and assigns value-aware ranks.
+  * Rank-value exactness across the partial trim: a partial drops a row
+  * x only when its heap holds k rows STRICTLY before x, all of which
+  * survive to the final (heap membership only improves; boundary ties
+  * are never dropped) — so for any emitted row with true rank ≤ k, no
+  * strict predecessor was ever dropped and the final's survivor-computed
+  * rank equals the true rank; a row whose predecessors WERE dropped has
+  * ≥ k surviving strict predecessors, computed rank > k, and the Filter
+  * above removes it. dense_rank stays on the window plan: its kth
+  * DISTINCT value bound is not k-heap-boundable.
+  *
+  * Opt out per session with `spark.graft.topkRewrite.enabled=false`;
+  * ranks beyond `spark.graft.topkRewrite.maxK` (default 1000) keep the
+  * window plan (a million-row heap per key would trade a sort for a
+  * worse cache profile — WindowGroupLimit's regime).
   */
 object TopK {
   val EnabledKey = "spark.graft.topkRewrite.enabled"
@@ -66,14 +84,18 @@ object TopK {
 }
 
 /** Logical bounded top-k per key: at most `limit` rows per distinct
-  * `partitionSpec` value, the first `limit` under `orderSpec`, with the
-  * row_number output re-exposed as `rankAttr` (the original window
-  * alias's exprId, so references above resolve unchanged). */
+  * `partitionSpec` value (plus boundary ties when `withTies`), the
+  * first `limit` under `orderSpec`, with the row_number/rank output
+  * re-exposed as `rankAttr` (the original window alias's exprId, so
+  * references above resolve unchanged). `withTies` selects rank()
+  * semantics: keep every row tying the kth order value, assign
+  * value-aware ranks. */
 case class TopKPerKey(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
     limit: Int,
     rankAttr: Attribute,
+    withTies: Boolean,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -98,28 +120,38 @@ case class TopKRewrite(session: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
-      case f @ Filter(cond, w: Window) if eligible(w) =>
-        val rank = w.windowExpressions.head.toAttribute
-        rankBound(cond, rank) match {
-          case Some(k) if k >= 1 && k <= maxK =>
-            Filter(cond,
-              TopKPerKey(w.partitionSpec, w.orderSpec, k, rank, w.child))
-          case _ => f
+      case f @ Filter(cond, w: Window) =>
+        eligible(w) match {
+          case Some(withTies) =>
+            val rank = w.windowExpressions.head.toAttribute
+            rankBound(cond, rank) match {
+              case Some(k) if k >= 1 && k <= maxK =>
+                Filter(cond, TopKPerKey(w.partitionSpec, w.orderSpec, k,
+                  rank, withTies, w.child))
+              case _ => f
+            }
+          case None => f
         }
     }
 
-  private def eligible(w: Window): Boolean = w.windowExpressions match {
-    case Seq(Alias(WindowExpression(RowNumber(),
-        WindowSpecDefinition(_, _, frame)), _)) =>
-      w.orderSpec.nonEmpty &&
-        w.partitionSpec.forall(_.deterministic) &&
-        w.orderSpec.forall(_.child.deterministic) &&
-        (frame match {
-          case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
-            true
-          case _ => false
-        })
-    case _ => false
+  /** Some(withTies) when the window is rewritable: row_number →
+    * Some(false), rank → Some(true), anything else → None. */
+  private def eligible(w: Window): Option[Boolean] = w.windowExpressions match {
+    case Seq(Alias(WindowExpression(fn, WindowSpecDefinition(_, _, frame)), _))
+        if w.orderSpec.nonEmpty &&
+          w.partitionSpec.forall(_.deterministic) &&
+          w.orderSpec.forall(_.child.deterministic) &&
+          (frame match {
+            case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              CurrentRow) => true
+            case _ => false
+          }) =>
+      fn match {
+        case RowNumber() => Some(false)
+        case Rank(_) => Some(true)
+        case _ => None
+      }
+    case _ => None
   }
 
   /** Tightest rank bound k implied by the filter's conjuncts, if any.
@@ -151,11 +183,11 @@ case class TopKRewrite(session: SparkSession)
   * hash exchange between them — over the trimmed rows. */
 case class TopKStrategy(session: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(part, order, k, rankAttr, child) =>
+    case TopKPerKey(part, order, k, rankAttr, ties, child) =>
       val partial =
-        TopKPerKeyExec(part, order, k, rankAttr, partial = true,
+        TopKPerKeyExec(part, order, k, rankAttr, ties, partial = true,
           planLater(child))
-      TopKPerKeyExec(part, order, k, rankAttr, partial = false,
+      TopKPerKeyExec(part, order, k, rankAttr, ties, partial = false,
         partial) :: Nil
     case _ => Nil
   }
@@ -170,18 +202,27 @@ case class TopKStrategy(session: SparkSession) extends SparkStrategy {
   * partition — when a partition carries more distinct keys, overflow
   * keys' rows pass through un-trimmed (correct: the final exec re-trims
   * everything; the cap only bounds MEMORY, mirroring hash-aggregate's
-  * partial-skip fallback).
+  * partial-skip fallback). With `withTies` (rank semantics), rows tying
+  * the heap's current worst — and evicted rows that tie the new worst —
+  * also pass through un-trimmed instead of being buffered: partial
+  * state stays at k rows per key, and the exchange carries the
+  * boundary ties for the final to adjudicate.
   *
   * partial=false: same heap build over co-located rows (every row of a
   * key is now in one partition, so the heap IS the key's true top k),
-  * then ranks 1..size emitted by draining each heap worst-first into a
-  * fixed array. Per-partition state is output-sized (≤ k rows per key).
+  * then ranks emitted by draining each heap worst-first into a fixed
+  * array — positional 1..size for row_number; value-aware (equal order
+  * values share the earlier rank) for `withTies`, where an exact
+  * boundary tie buffer rides beside the heap (every buffered row ties
+  * the kth value, so it IS part of the output — the buffer is
+  * output-sized by definition). Per-partition state is output-sized.
   */
 case class TopKPerKeyExec(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
     limit: Int,
     rankAttr: Attribute,
+    withTies: Boolean,
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -207,6 +248,7 @@ case class TopKPerKeyExec(
     val order = orderSpec
     val k = limit
     val isPartial = partial
+    val ties = withTies
     val rank = rankAttr
     val outAttrs = output
     val numOutputRows = longMetric("numOutputRows")
@@ -220,23 +262,60 @@ case class TopKPerKeyExec(
         override def compare(a: InternalRow, b: InternalRow): Int =
           ord.compare(b, a)
       }
-      val heaps = new java.util.LinkedHashMap[UnsafeRow,
-        java.util.PriorityQueue[InternalRow]]()
+      final class KeyState {
+        val heap = new java.util.PriorityQueue[InternalRow](k + 1, heapCmp)
+        // Exact boundary ties (final + withTies only): rows equal in
+        // the window order to the heap's current worst — all of them
+        // rank ≤ k, so the buffer is part of the output, never trimmed
+        // intermediate state.
+        var tieBuf: java.util.ArrayList[InternalRow] = null
+        def ties(): java.util.ArrayList[InternalRow] = {
+          if (tieBuf == null) tieBuf = new java.util.ArrayList[InternalRow]()
+          tieBuf
+        }
+      }
+      val heaps = new java.util.LinkedHashMap[UnsafeRow, KeyState]()
       val maxKeys = if (isPartial) maxPartialKeys else Int.MaxValue
 
-      def offer(row: InternalRow): Boolean = {
+      /** Offer `row` to its key's heap. Returns null when the row was
+        * absorbed (or provably outside the top k and dropped); a
+        * non-null row when the caller must PASS IT THROUGH to the
+        * exchange — the offered row itself (key-map overflow, or a
+        * partial-side boundary tie) or an evicted row that still ties
+        * the new boundary. Only the partial ever returns non-null. */
+      def offer(row: InternalRow): InternalRow = {
         val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          if (heaps.size() >= maxKeys) return false // caller passes through
-          heap = new java.util.PriorityQueue[InternalRow](k + 1, heapCmp)
-          heaps.put(key.copy(), heap)
+        var st = heaps.get(key)
+        if (st == null) {
+          if (heaps.size() >= maxKeys) return row // caller passes through
+          st = new KeyState
+          heaps.put(key.copy(), st)
         }
-        if (heap.size() < k) heap.offer(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.offer(row.copy())
+        val heap = st.heap
+        if (heap.size() < k) { heap.offer(row.copy()); null }
+        else {
+          val c = ord.compare(row, heap.peek())
+          if (c < 0) {
+            val evicted = heap.poll()
+            heap.offer(row.copy())
+            if (!ties) null
+            // rank: the evicted row still ranks ≤ k iff it ties the
+            // new kth value — forward it (partial) / buffer it (final)
+            else if (ord.compare(evicted, heap.peek()) == 0) {
+              if (isPartial) evicted
+              else { st.ties().add(evicted); null }
+            } else {
+              // boundary moved strictly: previously buffered ties are
+              // now provably rank > k
+              if (!isPartial && st.tieBuf != null) st.tieBuf.clear()
+              null
+            }
+          } else if (ties && c == 0) {
+            // ties the kth value → rank ≤ k, must be kept
+            if (isPartial) row
+            else { st.ties().add(row.copy()); null }
+          } else null // strictly worse than k kept rows: rank > k
         }
-        true
       }
 
       val appendRank = if (isPartial) null
@@ -245,6 +324,7 @@ case class TopKPerKeyExec(
         val entries = heaps.values().iterator()
         new Iterator[InternalRow] {
           private var buf: Array[InternalRow] = Array.empty
+          private var ranks: Array[Int] = Array.empty
           private var i = 0
           private val joined = new JoinedRow
           private val rankRow =
@@ -252,12 +332,34 @@ case class TopKPerKeyExec(
               .GenericInternalRow(1)
           override def hasNext: Boolean = {
             while (i >= buf.length && entries.hasNext) {
-              val h = entries.next()
-              buf = new Array[InternalRow](h.size())
-              // poll() yields worst-first; fill back-to-front so buf
-              // is ascending in the window order = rank order.
-              var j = buf.length - 1
+              val st = entries.next()
+              val h = st.heap
+              val nTies =
+                if (st.tieBuf == null) 0 else st.tieBuf.size()
+              buf = new Array[InternalRow](h.size() + nTies)
+              // poll() yields worst-first; fill back-to-front so the
+              // heap's rows are ascending in the window order = rank
+              // order; boundary ties (all equal to the kth value) go
+              // after them.
+              var j = buf.length - nTies - 1
               while (j >= 0) { buf(j) = h.poll(); j -= 1 }
+              var t = 0
+              while (t < nTies) {
+                buf(buf.length - nTies + t) = st.tieBuf.get(t); t += 1
+              }
+              if (!isPartial) {
+                ranks = new Array[Int](buf.length)
+                var r = 0
+                while (r < buf.length) {
+                  // positional for row_number; value-aware for rank
+                  // (equal order values inherit the earlier rank)
+                  ranks(r) =
+                    if (r > 0 && ties &&
+                        ord.compare(buf(r - 1), buf(r)) == 0) ranks(r - 1)
+                    else r + 1
+                  r += 1
+                }
+              }
               i = 0
             }
             i < buf.length
@@ -267,7 +369,7 @@ case class TopKPerKeyExec(
             numOutputRows += 1
             if (isPartial) row
             else {
-              rankRow.setInt(0, i) // rank = 1-based position
+              rankRow.setInt(0, ranks(i - 1))
               appendRank(joined(row, rankRow))
             }
           }
@@ -275,7 +377,8 @@ case class TopKPerKeyExec(
       }
 
       // Streaming driver: trims input into the heaps, passing overflow
-      // rows straight through (partial only); flushes heaps at end.
+      // and boundary-tie rows straight through (partial only); flushes
+      // heaps at end.
       new Iterator[InternalRow] {
         private var flushed: Iterator[InternalRow] = null
         private var pending: InternalRow = null
@@ -283,8 +386,10 @@ case class TopKPerKeyExec(
           if (pending != null) return true
           while (flushed == null) {
             if (iter.hasNext) {
-              val row = iter.next()
-              if (!offer(row)) { pending = row; numOutputRows += 1; return true }
+              val through = offer(iter.next())
+              if (through != null) {
+                pending = through; numOutputRows += 1; return true
+              }
             } else flushed = flush()
           }
           flushed.hasNext

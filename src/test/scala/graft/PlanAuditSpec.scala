@@ -430,7 +430,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // partial/final pair and WITHOUT any Window or Sort — losing the
     // rewrite silently restores the full shuffle + O(n log n) local
     // sorts on every top-k query in the corpus.
-    Seq("q185_topk_rewrite", "q07_window_topk").foreach { q =>
+    Seq("q185_topk_rewrite", "q07_window_topk", "q187_rank_topk").foreach { q =>
       val p = plan(q)
       assert(p.contains("TopKPerKey (partial)"), s"$q lost the rewrite:\n$p")
       assert(p.contains("TopKPerKey (final)"), s"$q lost the final exec:\n$p")

@@ -95,11 +95,12 @@ class TopKSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
-  test("rule declines: rank(), multi-expression windows, non-literal bounds") {
+  test("rule declines: dense_rank, multi-expression windows, non-literal bounds") {
     val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
-    // rank() can exceed k rows per group on ties — must keep the window
-    val ranked = base.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
-    assert(!planOf(ranked).contains("TopKPerKey"), planOf(ranked))
+    // dense_rank's kth DISTINCT value bound is not k-heap-boundable
+    val dense = base.withColumn("rn", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+    assert(!planOf(dense).contains("TopKPerKey"), planOf(dense))
     // a second window expression rides the same Window node
     val multi = base.withColumn("rn", row_number().over(w))
       .withColumn("mx", max(col("v")).over(Window.partitionBy(col("g"))))
@@ -109,6 +110,84 @@ class TopKSpec extends AnyFunSuite {
     val nonLit = base.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("g"))
     assert(!planOf(nonLit).contains("TopKPerKey"), planOf(nonLit))
+  }
+
+  // ---- rank() (ties-aware) -------------------------------------------------
+
+  /** Tie-heavy base: v = id % 13 gives ~11 rows per (g, v) value, so
+    * every rank boundary lands mid-tie. The non-ordering `id` column
+    * distinguishes tied rows in the result set. */
+  private def tieBase: DataFrame =
+    spark.range(1000).select(
+      (col("id") % 7).as("g"),
+      (col("id") % 13).as("v"),
+      col("id"))
+
+  private def rankQuery(k: Int): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    tieBase.withColumn("rn", rank().over(w)).filter(col("rn") <= k)
+  }
+
+  /** rank ground truth from first principles: keep every row whose
+    * strict-predecessor count is < k; rank = that count + 1. */
+  private def expectedRankOf(df: DataFrame, k: Int)
+      : Set[(Long, Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).iterator.flatMap { case (_, rows) =>
+        rows.flatMap { case (g, v, id) =>
+          val before = rows.count(_._2 > v) // DESC order: strictly better
+          if (before < k) Some((g, v, id, before + 1)) else None
+        }
+      }.toSet
+
+  private def expectedRank(k: Int): Set[(Long, Long, Long, Int)] =
+    expectedRankOf(tieBase, k)
+
+  test("rank(): rewrite fires, keeps ALL boundary ties, exact rank values") {
+    val df = rankQuery(3)
+    val p = planOf(df)
+    assert(p.contains("TopKPerKey (partial)"), p)
+    assert(p.contains("TopKPerKey (final)"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+    assert(collected(df) === expectedRank(3))
+    assert(collected(rankQuery(1)) === expectedRank(1))
+    // row-for-row parity with the un-rewritten window plan
+    val windowRows = withConf(plans.TopK.EnabledKey, "false") {
+      val w = rankQuery(3)
+      assert(planOf(w).contains("Window"), "opt-out must keep the window")
+      collected(w)
+    }
+    assert(collected(rankQuery(3)) === windowRows)
+    // ties genuinely exceed k rows per group (the semantics under test)
+    val perGroup = rankQuery(3).groupBy("g").count().collect()
+      .map(_.getLong(1))
+    assert(perGroup.forall(_ > 3), perGroup.toSeq)
+  }
+
+  test("rank(): partial-state cap and tie passthrough stay exact") {
+    val prop = "graft.topk.maxPartialKeys"
+    sys.props(prop) = "2"
+    try assert(collected(rankQuery(2)) === expectedRank(2))
+    finally sys.props.remove(prop)
+  }
+
+  test("rank(): exact-rank conjunct keeps its filter semantics") {
+    // Mixed base: unique high values on top (every 11th id), tie
+    // blocks below — so rank = 2 is NONEMPTY and boundary ties still
+    // occur further down.
+    val mixed = spark.range(1000).select(
+      (col("id") % 7).as("g"),
+      when(col("id") % 11 === 0, lit(1000) + col("id"))
+        .otherwise(col("id") % 13).as("v"),
+      col("id"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    val second = mixed.withColumn("rn", rank().over(w))
+      .filter(col("rn") === 2 && col("g") =!= 3)
+    assert(planOf(second).contains("TopKPerKey"), planOf(second))
+    val exp = expectedRankOf(mixed, 2).filter(t => t._4 == 2 && t._1 != 3)
+    assert(exp.nonEmpty, "fixture must exercise a nonempty rank-2 slice")
+    assert(collected(second) === exp)
   }
 
   test("maxK threshold keeps the window plan for huge k") {
