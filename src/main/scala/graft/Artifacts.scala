@@ -73,6 +73,7 @@ object Artifacts {
     * to a different key and naturally misses. */
   private val dfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  Caches.registerMap(dfCache)(_._1)
 
   /** Per-path build locks (JVM-local; cross-JVM races resolve at the
     * atomic rename). */
@@ -85,10 +86,16 @@ object Artifacts {
     * parameter that is not a function of the fixture bytes (e.g. the
     * LSH band-row count rides in the name so a corpus-count-driven
     * layout change can never alias). */
-  private def pathOf(d: String, name: String): Path = {
-    val slug = d.replaceAll("[^A-Za-z0-9._-]+", "_").replaceAll("^_+", "")
-    root.resolve(s"$slug-${fingerprint(d)}").resolve(name)
-  }
+  private def slugOf(d: String): String =
+    d.replaceAll("[^A-Za-z0-9._-]+", "_").replaceAll("^_+", "")
+
+  private def pathOf(d: String, name: String): Path =
+    root.resolve(s"${slugOf(d)}-${fingerprint(d)}").resolve(name)
+
+  /** The artifact tree for fixture `d` at its CURRENT fingerprint
+    * (test observability — FixturesSpec pins the retention GC). */
+  private[graft] def dirOf(d: String): Path =
+    root.resolve(s"${slugOf(d)}-${fingerprint(d)}")
 
   /** The artifact if (and only if) it is already materialized for the
     * CURRENT fixture fingerprint — never builds, never runs a job. View
@@ -117,6 +124,7 @@ object Artifacts {
     val key = (s, path.toString)
     val hit = dfCache.get(key)
     if (hit != null) return hit
+    Caches.sweep() // miss path: drop stopped sessions' plans first
     val lock = locks.computeIfAbsent(path.toString, _ => new Object)
     lock.synchronized {
       if (!Files.exists(path)) {
@@ -131,12 +139,63 @@ object Artifacts {
             // another JVM won the race; its artifact is byte-equivalent
             deleteRecursively(tmp)
         }
+        reapStale(d)
       }
     }
     val df = s.read.parquet(path.toString)
     val prev = dfCache.putIfAbsent(key, df)
     if (prev != null) prev else df
   }
+
+  /** Retention GC: delete SUPERSEDED artifact trees of fixture `d` —
+    * sibling directories under the artifact root carrying `d`'s slug
+    * but a fingerprint other than the current one, last modified more
+    * than the TTL ago (default 24 h; `graft.artifacts.ttlMillis`
+    * overrides for tests). Without this, every in-place fixture
+    * regeneration orphans the previous fingerprint's whole tree
+    * forever. Runs only on a build miss (an artifact was just
+    * materialized — the moment the set of live trees changed).
+    *
+    * Concurrent-reader safety: readers never hold an artifact
+    * DIRECTORY handle across queries — every access re-resolves
+    * [[pathOf]] under the CURRENT fixture fingerprint, so a reaped
+    * tree is only reachable from a plan built against a fingerprint
+    * that the fixture bytes no longer have. Such a reader raced an
+    * in-place regeneration and is stale by construction (the exact
+    * incident class the fingerprint keying exists to kill); the TTL
+    * additionally keeps any PLAUSIBLE in-flight query — hours, not
+    * days — out of reach. One rename-then-delete pass per tree: the
+    * tree is first atomically moved aside to a `.reap-*` temp name, so
+    * a partially deleted tree can never be mistaken for a live
+    * artifact by a concurrent `existing()` probe. */
+  private def reapStale(d: String): Unit = try {
+    val ttlMs = sys.props.get("graft.artifacts.ttlMillis").map(_.toLong)
+      .getOrElse(24L * 3600 * 1000)
+    val slug = slugOf(d)
+    val current = s"$slug-${fingerprint(d)}"
+    val cutoff = System.currentTimeMillis() - ttlMs
+    val siblings = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      siblings.iterator().asScala
+        .filter(p => Files.isDirectory(p))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n != current && n.startsWith(s"$slug-") &&
+            n.stripPrefix(s"$slug-").matches("[0-9a-f]{16}")
+        }
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toSeq
+        .foreach { p =>
+          val aside = p.resolveSibling(
+            s".reap-${p.getFileName}-${java.util.UUID.randomUUID().toString.take(8)}")
+          try {
+            Files.move(p, aside, StandardCopyOption.ATOMIC_MOVE)
+            deleteRecursively(aside)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+    } finally siblings.close()
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   private def deleteRecursively(p: Path): Unit = {
     val stream = Files.walk(p)

@@ -38,10 +38,17 @@ object Graft {
     * drops memoized plans when a fixture is regenerated in place. */
   private val viewPlanCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), org.apache.spark.sql.DataFrame]()
+  Caches.registerMap(viewPlanCache)(_._1)
   private def memoView(spark: SparkSession, sfDir: String, view: String)(
-      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    viewPlanCache.computeIfAbsent(
-      (spark, Artifacts.fingerprint(sfDir), view), _ => build)
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = (spark, Artifacts.fingerprint(sfDir), view)
+    val hit = viewPlanCache.get(k)
+    if (hit != null) hit
+    else {
+      Caches.sweep() // miss path: drop stopped sessions' plans first
+      viewPlanCache.computeIfAbsent(k, _ => build)
+    }
+  }
 
   /** Register fixture tables, derived operator views, and scalar
     * functions on `spark` for SQL callers reading from `sfDir`.

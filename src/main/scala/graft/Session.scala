@@ -75,6 +75,10 @@ object Session {
         require(i > 0, s"SPARK_GRAFT_CONF entry not k=v: $kv")
         (kv.take(i), kv.drop(i + 1))
       }
+    // Session construction is the other natural cache-hygiene boundary
+    // (besides cache misses): a JVM that builds a fresh session has, by
+    // definition, finished with whatever sessions it stopped before.
+    Caches.sweep()
     (extra.toSeq ++ envConf).foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
   }

@@ -37,6 +37,7 @@ object Tables {
     */
   private val dfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
+  Caches.registerMap(dfCache)(_._1)
 
   // get-then-putIfAbsent rather than computeIfAbsent: the events
   // loader re-enters this cache for the raw read while building the
@@ -49,6 +50,7 @@ object Tables {
     val hit = dfCache.get(k)
     if (hit != null) hit
     else {
+      Caches.sweep() // miss path: drop stopped sessions' plans first
       val v = mk
       val prev = dfCache.putIfAbsent(k, v)
       if (prev != null) prev else v

@@ -158,4 +158,40 @@ class CacheHygieneSpec extends AnyFunSuite {
       s"net persisted RDDs after q57: ${persisted.size}")
     persisted.values.foreach(_.unpersist(blocking = false))
   }
+
+  test("a stopped session's cached plans are swept at the next session build") {
+    // Stopping a SparkContext in the shared test JVM would kill every
+    // later suite's session, so the literal scenario — build session A,
+    // populate the JVM-global plan caches, stop A, build session B,
+    // assert A's entries gone — runs in a spawned JVM (FaultDemo's
+    // pattern), exercising Session.build's sweep end-to-end.
+    import scala.jdk.CollectionConverters._
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cmd = Seq(javaBin) ++ graft.tools.FaultDemo.jvmOpens ++
+      Seq("-Xmx2g", "-cp",
+        sys.props("java.class.path"), "graft.tools.CacheDrill")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val buf = new java.io.ByteArrayOutputStream()
+    val reader = new Thread(() => p.getInputStream.transferTo(buf))
+    reader.setDaemon(true); reader.start()
+    val done = p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) p.destroyForcibly()
+    reader.join(5000)
+    val out = buf.toString("UTF-8")
+    assert(done && p.exitValue() == 0,
+      s"cache drill failed (rc=${if (done) p.exitValue() else -1}):\n" +
+        out.takeRight(2000))
+    assert(out.contains("CACHEDRILL result=OK"), out.takeRight(2000))
+  }
+
+  test("sweep leaves live sessions' cached plans untouched") {
+    Tables.documents(spark, Spec.sfDir) // ensure at least one entry
+    val n = Caches.entriesFor(spark)
+    assert(n > 0)
+    Caches.sweep()
+    assert(Caches.entriesFor(spark) == n,
+      "sweep must only drop STOPPED sessions' entries")
+  }
 }

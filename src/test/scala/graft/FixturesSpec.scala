@@ -126,4 +126,48 @@ class FixturesSpec extends AnyFunSuite {
     assert(Tables(spark, dir, "documents").count() == 25L,
       "regenerated fixture served a stale cached file listing")
   }
+
+  test("artifact retention GC reaps superseded fingerprint trees") {
+    // Without GC, every in-place fixture regeneration orphans the
+    // previous fingerprint's whole artifact tree forever. Reader
+    // safety: every artifact access re-resolves the CURRENT-fingerprint
+    // path, so only a plan built against bytes the fixture no longer
+    // has (stale by construction) could touch a reaped tree — and the
+    // production TTL (24 h) keeps any plausible in-flight query out of
+    // reach; the test drops it to 0 and backdates the tree's mtime.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    def gen(n: Int): Unit = {
+      spark.range(n).selectExpr("id AS doc_id", "'a b c' AS text")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() + n * 1000L))
+      }
+    }
+    gen(10)
+    sys.props("graft.artifacts.ttlMillis") = "0"
+    try {
+      Artifacts.derived(spark, dir, "gc_probe")(
+        Tables.documents(spark, dir).select("doc_id"))
+      val old = Artifacts.dirOf(dir)
+      assert(java.nio.file.Files.exists(old.resolve("gc_probe")))
+      gen(25) // regenerate in place → new fingerprint
+      val cur = Artifacts.dirOf(dir)
+      assert(cur != old, "regeneration must move the artifact tree")
+      // backdate the superseded tree past the (zero) TTL
+      java.nio.file.Files.setLastModifiedTime(old,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000L))
+      // next build miss (the new fingerprint's first artifact) reaps
+      Artifacts.derived(spark, dir, "gc_probe")(
+        Tables.documents(spark, dir).select("doc_id"))
+      assert(!java.nio.file.Files.exists(old),
+        "superseded fingerprint tree must be reaped")
+      assert(java.nio.file.Files.exists(cur.resolve("gc_probe")),
+        "current tree must survive the reap")
+    } finally sys.props.remove("graft.artifacts.ttlMillis")
+  }
 }
