@@ -746,6 +746,36 @@ object Relational {
         .filter(col("rk") <= 2)
     },
 
+    // ----- dense_rank top-k: the shape the custom vertical DECLINES ---------
+    // dense_rank ≤ k keeps every row of the top k DISTINCT order
+    // values — not k-heap-boundable (the kth distinct value is not a
+    // property any fixed-size row heap can certify), so TopKRewrite
+    // deliberately leaves it on the window plan and Spark's own
+    // InferWindowGroupLimit applies instead: a partial
+    // WindowGroupLimitExec drops rows beyond the kth distinct value
+    // BEFORE the exchange, then the window assigns ranks. This query
+    // pins that the built-in path stays intact (and optimized) where
+    // the custom rule steps aside — the engine's two top-k regimes,
+    // side by side with q187. Per-supplier top-2 distinct quantities:
+    // keeps the {50, 49}-valued rows, ~2× q187's tie volume.
+    Q("q188_dense_topk",
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    dense_rank() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_quantity DESC) AS rk
+        |  FROM lineitem) t
+        |WHERE rk <= 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .withColumn("rk", dense_rank().over(w))
+        .filter(col("rk") <= 2)
+    },
+
     // ----- correlated-subquery semantics (orders above customer average) ---
     // Expressed as a window aggregate (one shuffle on the correlation
     // key — the scale shape for correlated scalar subqueries); the

@@ -333,6 +333,34 @@ object FileFormats {
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
     },
 
+    // ----- DSv2 TopN pushdown (graft-seq, q189) -----------------------------
+    // ORDER BY the unique clustering key + LIMIT, answered FULLY by
+    // the source ([[SeqScanBuilder.pushTopN]]): Catalyst removes the
+    // Sort and Limit operators and the scan emits exactly the n
+    // requested rows from the right end of the pushed id range — one
+    // output-sized partition, no cluster-wide sort, no
+    // TakeOrderedAndProject. This is the connector contract that makes
+    // `ORDER BY pk DESC LIMIT n` on a 100 TB table a metadata
+    // operation (the "latest n rows" query every ingest pipeline
+    // runs). Orders led by non-key columns decline and fall back to
+    // the engine sort (DsvSourceSpec pins both shapes and their
+    // equality). The oracle re-derives the same rows relationally.
+    Q("q189_dsv2_topn_pushdown",
+      """WITH ids AS (SELECT row_number() OVER () - 1 AS id FROM orders),
+        |nn AS (SELECT count(*) AS c FROM orders)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(id % 16 AS INT) AS bucket,
+        |  CAST((id * 37 + 11) % 1000 AS BIGINT) AS v
+        |FROM ids, nn
+        |WHERE id >= c // 3
+        |ORDER BY id DESC LIMIT 7""".stripMargin) { (s, d) =>
+      val n = Tables.rowCount(s, d, "orders")
+      s.read.format("graft-seq").option("end", n).load()
+        .filter(col("id") >= n / 3)
+        .select(col("id"), col("bucket"), col("v"))
+        .orderBy(col("id").desc)
+        .limit(7)
+    },
+
     // ----- DSv2 WRITE path (graft-dsv commit protocol, q181) ---------------
     // The write half of the connector surface ([[DsvTable]]): per-order
     // lineitem aggregates flow through the V2 BatchWrite contract —

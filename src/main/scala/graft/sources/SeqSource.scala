@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -37,6 +37,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - Slice width derives from the session's `defaultParallelism`
   *     (never a literal), so the same plan fans out on a 1000-executor
   *     cluster.
+  *   - [[SupportsPushDownTopN]]/[[SupportsPushDownLimit]]: ORDER BY on
+  *     the unique clustering key `id` + LIMIT n (and bare LIMIT) are
+  *     answered FULLY by the source — Catalyst removes the Sort and
+  *     Limit operators and the scan emits exactly the n requested rows
+  *     from the right end of the range (one output-sized partition).
+  *     Orders led by any other column decline and keep the engine's
+  *     sort — fully-pushed top-n must never approximate tie semantics.
   *
   * Registered as `graft-seq` via the `DataSourceRegister` service file
   * (`META-INF/services`), so `spark.read.format("graft-seq")` resolves
@@ -188,13 +195,19 @@ final class SeqTable(options: CaseInsensitiveStringMap)
   * pushdown must never change semantics, only cost. */
 final class SeqScanBuilder(start: Long, end: Long) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownTopN with SupportsPushDownLimit {
 
   private var lo = start
   private var hi = end
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.fullSchema
   private var aggPlan: Option[SeqAggPlan] = None
+  // (descending, n): a fully-answered ORDER BY id [ASC|DESC] LIMIT n;
+  // None = no order/limit pushed. A bare LIMIT is (ascending, n) — any
+  // n rows satisfy un-ordered LIMIT, and ascending-from-lo keeps the
+  // source deterministic.
+  private var topN: Option[(Boolean, Int)] = None
 
   // saturating bound updates; EqualTo pins both ends
   private def consume(f: Filter): Boolean = f match {
@@ -227,11 +240,74 @@ final class SeqScanBuilder(start: Long, end: Long) extends ScanBuilder
       case None => false
     }
 
-  override def build(): Scan = aggPlan match {
-    case Some(p) => new SeqAggScan(lo, math.max(lo, hi), p, pushed)
-    case None => new SeqScan(start, end, lo, math.max(lo, hi), required, pushed)
+  // ---- ORDER BY … LIMIT n (SupportsPushDownTopN) ---------------------------
+  // `id` is the generator's clustering key AND unique, so a leading
+  // sort key on `id` is answerable in closed form — the top n of
+  // [lo, hi) is just one end of the range — and any FURTHER sort keys
+  // are dead (a unique leading key already totally orders the rows),
+  // so they are accepted and ignored. Orders led by any other column
+  // decline: v/bucket top-n would need tie semantics the fully-pushed
+  // contract (Spark REMOVES the Sort + Limit) must not approximate.
+  // Fully pushed (isPartiallyPushed = false): the scan emits EXACTLY
+  // the top n rows in the requested order.
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean =
+    if (aggPlan.isDefined || orders.isEmpty || limit < 0) false
+    else orders.head.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          nr.fieldNames()(0).equalsIgnoreCase(SeqSource.ID) =>
+        topN = Some(
+          (orders.head.direction() == SortDirection.DESCENDING, limit))
+        true
+      case _ => false
+    }
+
+  // Bare LIMIT n (no ORDER BY): any n rows are a correct answer; the
+  // source serves the first n of the pushed range (deterministic).
+  override def pushLimit(limit: Int): Boolean =
+    if (aggPlan.isDefined || limit < 0) false
+    else { topN = Some((false, limit)); true }
+
+  override def isPartiallyPushed(): Boolean = false
+
+  override def build(): Scan = (aggPlan, topN) match {
+    case (Some(p), _) => new SeqAggScan(lo, math.max(lo, hi), p, pushed)
+    case (None, Some((desc, n))) =>
+      new SeqTopNScan(lo, math.max(lo, hi), n, desc, required, pushed)
+    case _ => new SeqScan(start, end, lo, math.max(lo, hi), required, pushed)
   }
 }
+
+/** The pushed ORDER-BY-id/LIMIT scan: ONE partition of at most `n`
+  * rows from the requested end of `[lo, hi)`, emitted in the requested
+  * order — output-sized, like every fully-pushed top-n must be (the
+  * Sort and Limit operators are GONE from the plan, so the scan's row
+  * set and order ARE the result). */
+final class SeqTopNScan(lo: Long, hi: Long, n: Int, desc: Boolean,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-seq topN [$lo, $hi) limit=$n order=id ${if (desc) "DESC" else "ASC"}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (hi <= lo || n == 0) return Array.empty
+    val take = math.min(n.toLong, hi - lo)
+    val slice =
+      if (desc) SeqOrderedSlice(hi - 1L, take, -1L)
+      else SeqOrderedSlice(lo, take, 1L)
+    Array(slice)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required.fieldNames)
+}
+
+/** `count` ids starting at `first`, stepping `step` (±1). */
+final case class SeqOrderedSlice(first: Long, count: Long, step: Long)
+  extends InputPartition
 
 /** A translated, fully-answerable pushed aggregation: optional
   * group-by-`bucket` plus per-function evaluators over
@@ -393,10 +469,16 @@ final case class SeqSlice(s: Long, e: Long) extends InputPartition
 final class SeqReaderFactory(cols: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val SeqSlice(s, e) = p.asInstanceOf[SeqSlice]
+    // (first id, how many, step): range slices walk ascending; pushed
+    // top-n slices walk from the range's requested end
+    val (first, count, step) = p match {
+      case SeqSlice(s, e) => (s, e - s, 1L)
+      case SeqOrderedSlice(f, c, st) => (f, c, st)
+    }
     new PartitionReader[InternalRow] {
-      private var id = s - 1
-      override def next(): Boolean = { id += 1; id < e }
+      private var i = -1L
+      private var id = first - step
+      override def next(): Boolean = { i += 1; id += step; i < count }
       override def get(): InternalRow =
         InternalRow.fromSeq(cols.toSeq.map {
           case SeqSource.ID => id

@@ -159,4 +159,65 @@ class DsvSourceSpec extends AnyFunSuite {
     assert(aggNodes(df).isEmpty)
     assert(df.collect().map(_.getLong(1)).toSeq === Seq.fill(16)(10L))
   }
+
+  // ---- TopN / Limit pushdown -----------------------------------------------
+
+  private def planStr(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("ORDER BY id LIMIT pushes fully: no Sort, exact rows both directions") {
+    val desc = seq().filter(col("id") >= 100)
+      .select(col("id"), col("v")).orderBy(col("id").desc).limit(5)
+    val pd = planStr(desc)
+    assert(!pd.contains("Sort") && !pd.contains("TakeOrdered"), pd)
+    assert(pd.contains("graft-seq topN"), pd)
+    assert(desc.collect().map(_.getLong(0)).toSeq ===
+      (N - 1 to N - 5 by -1).toSeq)
+    val asc = seq().filter(col("id") >= 100)
+      .select(col("id")).orderBy(col("id")).limit(4)
+    assert(!planStr(asc).contains("Sort"), planStr(asc))
+    assert(asc.collect().map(_.getLong(0)).toSeq === Seq(100L, 101L, 102L, 103L))
+    // a unique leading key makes trailing sort keys dead — still pushed
+    val multi = seq().orderBy(col("id").desc, col("v")).limit(3)
+    assert(!planStr(multi).contains("Sort"), planStr(multi))
+    assert(multi.collect().map(_.getLong(0)).toSeq ===
+      (N - 1 to N - 3 by -1).toSeq)
+  }
+
+  test("ORDER BY a non-key column declines: engine sort kept, rows equal") {
+    val byV = seq().select(col("id"), col("v"))
+      .orderBy(col("v").desc, col("id")).limit(6)
+    val p = planStr(byV)
+    assert(p.contains("TakeOrdered") || p.contains("Sort"),
+      s"non-key order must keep the engine sort:\n$p")
+    // ...and the fallback result matches the formula-level ground truth
+    val got = byV.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = (0L until N).map(i => (i, sources.SeqSource.vOf(i)))
+      .sortBy { case (i, v) => (-v, i) }.take(6)
+    assert(got === exp)
+  }
+
+  test("bare LIMIT pushes fully and caps the scan at n rows") {
+    val lim = seq().filter(col("id") >= 42).limit(3)
+    val p = planStr(lim)
+    assert(p.contains("graft-seq topN"), p)
+    assert(!p.contains("GlobalLimit"), p)
+    assert(lim.collect().map(_.getLong(0)).toSeq === Seq(42L, 43L, 44L))
+    // limit larger than the pushed range: the whole range, nothing more
+    val all = seq().filter(col("id") >= N - 2).limit(100)
+    assert(all.collect().map(_.getLong(0)).toSeq === Seq(N - 2, N - 1))
+  }
+
+  test("TopN after pushed aggregation declines (agg plan wins, stays exact)") {
+    val df = seq().filter(col("id") < 320)
+      .groupBy(col("bucket")).agg(sum(col("v")).as("sv"))
+      .orderBy(col("sv").desc).limit(3)
+    assert(aggNodes(df).isEmpty, "aggregate must still push")
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val exp = (0L until 320L).groupBy(sources.SeqSource.bucketOf)
+      .map { case (b, ids) => (b, ids.map(sources.SeqSource.vOf).sum) }
+      .toSeq.sortBy { case (b, sv) => (-sv, b) }.take(3)
+    // sort ties broken by bucket in both — sv values are distinct here
+    assert(got.map(_._2).toSet === exp.map(_._2).toSet)
+  }
 }

@@ -445,4 +445,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(iFinal >= 0 && iEx > iFinal && iPartial > iEx,
       s"partial/exchange/final order broken:\n$p")
   }
+
+  test("dense_rank top-k keeps Spark's WindowGroupLimit path (q188)") {
+    // The shape the custom vertical DECLINES on purpose: dense_rank's
+    // kth-distinct-value bound is not k-heap-boundable, so the engine
+    // must fall through to Spark's own partial/final WindowGroupLimit
+    // optimization — not an unoptimized full window.
+    val p = plan("q188_dense_topk")
+    assert(!p.contains("TopKPerKey"), s"custom rule must decline dense_rank:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"q188 lost InferWindowGroupLimit:\n$p")
+  }
+
+  test("DSv2 TopN pushdown removes Sort and Limit from the plan (q189)") {
+    val p = plan("q189_dsv2_topn_pushdown")
+    assert(p.contains("graft-seq topN"), s"topN not pushed:\n$p")
+    assert(!p.contains("Sort") && !p.contains("TakeOrdered"),
+      s"q189 still carries an engine sort:\n$p")
+  }
 }
