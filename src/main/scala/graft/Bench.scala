@@ -170,6 +170,7 @@ object Bench {
     // cost — without this, a freshly regenerated fixture charges the
     // whole build to whichever chain consumer runs first.
     try { operators.Dedup.warmArtifacts(spark, sfDir)
+      operators.Similarity.warmArtifacts(spark, sfDir)
       operators.Relational.copurchaseEdges(spark, sfDir)
       spark.catalog.clearCache() }
     catch { case e: Throwable =>
