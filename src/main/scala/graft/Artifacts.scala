@@ -86,8 +86,19 @@ object Artifacts {
     * parameter that is not a function of the fixture bytes (e.g. the
     * LSH band-row count rides in the name so a corpus-count-driven
     * layout change can never alias). */
-  private def slugOf(d: String): String =
-    d.replaceAll("[^A-Za-z0-9._-]+", "_").replaceAll("^_+", "")
+  private def slugOf(d: String): String = {
+    // The readable sanitization alone is NOT injective: fixture paths
+    // differing only in non-[A-Za-z0-9._-] characters ("/data/sf 1" vs
+    // "/data/sf_1") would collapse to one slug, and [[reapStale]] —
+    // which matches superseded trees BY SLUG — could then reap the
+    // other live fixture's current tree (its fingerprint differs from
+    // this fixture's). A short hash of the RAW path keeps slugs
+    // per-fixture while the readable prefix keeps the tree browsable.
+    val readable = d.replaceAll("[^A-Za-z0-9._-]+", "_").replaceAll("^_+", "")
+    val pathHash = MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(3).map(b => f"$b%02x").mkString
+    s"$readable.$pathHash"
+  }
 
   private def pathOf(d: String, name: String): Path =
     root.resolve(s"${slugOf(d)}-${fingerprint(d)}").resolve(name)
@@ -181,17 +192,27 @@ object Artifacts {
         .filter(p => Files.isDirectory(p))
         .filter { p =>
           val n = p.getFileName.toString
-          n != current && n.startsWith(s"$slug-") &&
-            n.stripPrefix(s"$slug-").matches("[0-9a-f]{16}")
+          // `.reap-*` siblings are move-aside temps whose deleting JVM
+          // died mid-reap: past the TTL nothing can still be deleting
+          // them, and without this clause they never match the slug
+          // filter again and leak forever — the exact orphan class this
+          // GC exists to eliminate.
+          n.startsWith(".reap-") ||
+            (n != current && n.startsWith(s"$slug-") &&
+              n.stripPrefix(s"$slug-").matches("[0-9a-f]{16}"))
         }
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .toSeq
         .foreach { p =>
-          val aside = p.resolveSibling(
-            s".reap-${p.getFileName}-${java.util.UUID.randomUUID().toString.take(8)}")
+          val n = p.getFileName.toString
           try {
-            Files.move(p, aside, StandardCopyOption.ATOMIC_MOVE)
-            deleteRecursively(aside)
+            if (n.startsWith(".reap-")) deleteRecursively(p)
+            else {
+              val aside = p.resolveSibling(
+                s".reap-$n-${java.util.UUID.randomUUID().toString.take(8)}")
+              Files.move(p, aside, StandardCopyOption.ATOMIC_MOVE)
+              deleteRecursively(aside)
+            }
           } catch { case scala.util.control.NonFatal(_) => () }
         }
     } finally siblings.close()

@@ -100,6 +100,34 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
+  /** Fixed memory-bandwidth probe: one sequential pass over a 64 MB
+    * long array (far beyond LLC, so every step is a DRAM-side stream).
+    * The round-11 adjudication showed the CPU-spin probe alone cannot
+    * attribute a degraded window — BENCH_r11 ran 20% above the
+    * same-round anchor at spin-calibs only 2.6% apart, i.e. the host
+    * effect was in the MEMORY system (bandwidth contention, page-cache
+    * pressure), invisible to a register-only loop. Carrying both probes
+    * per query gives every artifact a two-dimensional window signature:
+    * spin inflated → stolen/downclocked cores; mem inflated at flat
+    * spin → bandwidth contention; both flat with a slow query → a real
+    * plan cost. The array is touched once at init (outside any timing)
+    * and read-only afterwards. */
+  private val memProbeArr: Array[Long] = {
+    val a = new Array[Long](8 * 1024 * 1024) // 64 MB
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+  private def memProbeMs(): Double = {
+    var x = 0L
+    var i = 0
+    val a = memProbeArr
+    val t0 = System.nanoTime()
+    while (i < a.length) { x ^= a(i); i += 1 }
+    blackhole ^= x
+    (System.nanoTime() - t0) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -175,11 +203,12 @@ object Bench {
       spark.catalog.clearCache() }
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact warm-up failed: $e") }
-    // JIT-warm the probe loop before any measured use
-    (1 to 20).foreach(_ => spinProbeMs())
+    // JIT-warm the probe loops before any measured use
+    (1 to 20).foreach { _ => spinProbeMs(); memProbeMs() }
     // (name, per-rep seconds sorted ascending, first error if any)
     val results = selected.map { case (name, fn) =>
       val calib = spinProbeMs()
+      val memCalib = memProbeMs()
       val runs = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
@@ -213,7 +242,7 @@ object Bench {
         (wall, err, mjf, cpu, dgc)
       }
       (name, runs.map(_._1).sorted, runs.flatMap(_._2).headOption,
-        runs.map(r => (r._1, r._3, r._4, r._5)), calib)
+        runs.map(r => (r._1, r._3, r._4, r._5)), calib, memCalib)
     }
 
     def jstr(s: String): String =
@@ -225,29 +254,34 @@ object Bench {
       } + "\""
     def ms(v: Double): String = f"$v%.3f"
     def med(sorted: Seq[Double]): Double = sorted(sorted.size / 2)
-    val qs = results.map { case (k, r, _, _, _) => s"${jstr(k)}:${ms(med(r))}" }
+    val qs = results.map { case (k, r, _, _, _, _) => s"${jstr(k)}:${ms(med(r))}" }
       .mkString("{", ",", "}")
     val runsJson = results
-      .map { case (k, r, _, _, _) => s"${jstr(k)}:${r.map(ms).mkString("[", ",", "]")}" }
+      .map { case (k, r, _, _, _, _) => s"${jstr(k)}:${r.map(ms).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _, _) => s"${jstr(k)}:${jstr(e)}" }
+    val errs = results.collect { case (k, _, Some(e), _, _, _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     // Per-rep host attribution in REP ORDER (unlike "runs", which is
     // sorted): each entry is [wallSec, majorFaults, cpuJiffies, gcMs],
     // so a slow rep in the artifact carries its own cause — a majflt
     // spike or a cpu-jiffy deficit (host stole the cores) is a degraded
     // window; flat counters with high wall is a real plan cost.
-    val attribJson = results.map { case (k, _, _, reps, _) =>
+    val attribJson = results.map { case (k, _, _, reps, _, _) =>
       s"${jstr(k)}:" + reps.map { case (w, mjf, cpu, gc) =>
         s"[${ms(w)},$mjf,$cpu,$gc]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val calibJson = results
-      .map { case (k, _, _, _, c) => s"${jstr(k)}:${f"$c%.2f"}" }
+      .map { case (k, _, _, _, c, _) => s"${jstr(k)}:${f"$c%.2f"}" }
       .mkString("{", ",", "}")
-    val calibMed = {
-      val s = results.map(_._5).sorted
+    val memCalibJson = results
+      .map { case (k, _, _, _, _, m) => s"${jstr(k)}:${f"$m%.2f"}" }
+      .mkString("{", ",", "}")
+    def medOf(vals: Seq[Double]): Double = {
+      val s = vals.sorted
       if (s.isEmpty) 0.0 else s(s.size / 2)
     }
+    val calibMed = medOf(results.map(_._5))
+    val memCalibMed = medOf(results.map(_._6))
     val majfltTotal = results.flatMap(_._4).map(_._2).sum
     val cpuJfTotal = results.flatMap(_._4).map(_._3).sum
     val gcMsTotal = results.flatMap(_._4).map(_._4).sum
@@ -265,9 +299,10 @@ object Bench {
       s""""majflt_total":$majfltTotal,"cpu_jf_total":$cpuJfTotal,""" +
       s""""gc_ms_total":$gcMsTotal,""" +
       s""""calib_ms_med":${f"$calibMed%.2f"},""" +
+      s""""memcalib_ms_med":${f"$memCalibMed%.2f"},""" +
       s""""xmx_mb":${Runtime.getRuntime.maxMemory / (1 << 20)}"""
     val full =
-      s"""{"metric":"total","value":${ms(total)},$common,"queries":$qs,"runs":$runsJson,"errors":$errs,"attrib":$attribJson,"calib":$calibJson}"""
+      s"""{"metric":"total","value":${ms(total)},$common,"queries":$qs,"runs":$runsJson,"errors":$errs,"attrib":$attribJson,"calib":$calibJson,"memcalib":$memCalibJson}"""
     // The driver's tail capture keeps only the LAST stdout line, so any
     // attribution that matters across rounds must ride in the summary
     // itself: r7's regression was unattributable from BENCH_r07.json
@@ -275,7 +310,7 @@ object Bench {
     // full line. Carry the 15 heaviest per-query medians — enough to
     // diff two rounds' heavy tails without repo-local files — while
     // keeping the line a few hundred bytes.
-    val top = results.map { case (k, r, _, _, _) => (k, med(r)) }
+    val top = results.map { case (k, r, _, _, _, _) => (k, med(r)) }
       .sortBy { case (k, v) => (-v, k) }.take(15)
       .map { case (k, v) => s"${jstr(k)}:${ms(v)}" }
       .mkString("{", ",", "}")

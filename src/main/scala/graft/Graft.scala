@@ -46,7 +46,15 @@ object Graft {
     if (hit != null) hit
     else {
       Caches.sweep() // miss path: drop stopped sessions' plans first
-      viewPlanCache.computeIfAbsent(k, _ => build)
+      // Build OUTSIDE any CHM compute (the Tables/Artifacts pattern):
+      // a view build's nested cache misses call Caches.sweep(), which
+      // iterator.remove()s from THIS map — mutating other mappings from
+      // within computeIfAbsent is forbidden by ConcurrentHashMap and
+      // can corrupt a bin when a session stops concurrently. A lost
+      // race just re-registers the winner's identical lazy plan.
+      val df = build
+      val prev = viewPlanCache.putIfAbsent(k, df)
+      if (prev != null) prev else df
     }
   }
 

@@ -47,6 +47,22 @@ object Session {
       // AQE re-plans at runtime: skew-join splitting and partition
       // coalescing are the 100 TB safety nets for every shuffle here.
       .config("spark.sql.adaptive.enabled", "true")
+      // Storage-partitioned join: honor a DSv2 scan's reported
+      // KeyGroupedPartitioning (graft-seq's cluster=bucket mode) so
+      // co-clustered fact⋈fact joins plan with zero exchange; off by
+      // default upstream only for back-compat. pushPartValues lets SPJ
+      // proceed when the two sides cover different partition-value sets
+      // (one side's pushed range pruned some buckets) by aligning on
+      // the union instead of demanding identical sets.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // SPJ's partition keys are typically a SUBSET of the join keys
+      // (clustered on bucket, joined on (id, bucket)); the default
+      // `true` demands an exact match and re-shuffles both sides
+      // anyway. Subset clustering is semantics-safe (equal full keys
+      // always co-locate), and false is the standard setting for
+      // storage-partitioned joins.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // The whole-stage-codegen class cache defaults to 100 entries —
       // sized for a repetitive production job, not a 128-query session:
       // this engine's full bench/verify pass generates thousands of

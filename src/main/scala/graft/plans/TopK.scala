@@ -76,7 +76,18 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * Opt out per session with `spark.graft.topkRewrite.enabled=false`;
   * ranks beyond `spark.graft.topkRewrite.maxK` (default 1000) keep the
   * window plan (a million-row heap per key would trade a sort for a
-  * worse cache profile — WindowGroupLimit's regime).
+  * worse cache profile — WindowGroupLimit's regime). One more regime
+  * maxK cannot bound, because it is DATA-dependent rather than
+  * k-dependent: with rank() on a low-cardinality ORDER BY key, almost
+  * every row ties the partial's heap boundary and passes through
+  * un-trimmed — memory stays k-bounded but the exchange carries nearly
+  * the whole input, so the rewrite degenerates to the window plan's
+  * wire cost (never worse: the window plan shuffles everything too,
+  * and it also sorts). The partial exec's `numTiePassThrough` metric
+  * makes the regime visible in the SQL UI; pass-through ≈ input rows
+  * means the ORDER BY key is too coarse for rank-k trimming to bite,
+  * and the fix is a finer order (add a tiebreaker column) or
+  * `enabled=false` for that query.
   */
 object TopK {
   val EnabledKey = "spark.graft.topkRewrite.enabled"
@@ -240,7 +251,18 @@ case class TopKPerKeyExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows")) ++
+    // withTies perf regime, made observable: tie volume is DATA-
+    // dependent, not k-dependent — on a low-cardinality ORDER BY key
+    // (say a boolean) almost every row ties the boundary and the
+    // partial degenerates to near-zero trimming, the wire carrying
+    // nearly the whole input (memory stays k-bounded; only trimming is
+    // lost — the window plan would shuffle the same rows). This metric
+    // is the diagnosis: pass-through ≈ input rows ⇒ the ORDER BY key
+    // is too coarse for rank-k trimming to bite.
+    (if (partial && withTies) Map("numTiePassThrough" ->
+      SQLMetrics.createMetric(sparkContext, "boundary-tie pass-through rows"))
+     else Map.empty)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -252,6 +274,8 @@ case class TopKPerKeyExec(
     val rank = rankAttr
     val outAttrs = output
     val numOutputRows = longMetric("numOutputRows")
+    val numTiePassThrough =
+      if (partial && withTies) longMetric("numTiePassThrough") else null
     val maxPartialKeys = TopKPerKeyExec.MaxPartialKeys
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(part, childOutput)
@@ -302,7 +326,7 @@ case class TopKPerKeyExec(
             // rank: the evicted row still ranks ≤ k iff it ties the
             // new kth value — forward it (partial) / buffer it (final)
             else if (ord.compare(evicted, heap.peek()) == 0) {
-              if (isPartial) evicted
+              if (isPartial) { numTiePassThrough += 1; evicted }
               else { st.ties().add(evicted); null }
             } else {
               // boundary moved strictly: previously buffered ties are
@@ -312,7 +336,7 @@ case class TopKPerKeyExec(
             }
           } else if (ties && c == 0) {
             // ties the kth value → rank ≤ k, must be kept
-            if (isPartial) row
+            if (isPartial) { numTiePassThrough += 1; row }
             else { st.ties().add(row.copy()); null }
           } else null // strictly worse than k kept rows: rank > k
         }

@@ -361,6 +361,76 @@ object FileFormats {
         .limit(7)
     },
 
+    // ----- DSv2 storage-partitioned join (graft-seq, q190) -----------------
+    // Both sides read `cluster=bucket` ([[SeqClusteredScan]]): the scan
+    // reports KeyGroupedPartitioning over identity(bucket) with one
+    // keyed input partition per bucket, so the join on (id, bucket) and
+    // the GROUP BY bucket above it satisfy their distributions straight
+    // from storage — ZERO exchanges in the whole plan (DsvSourceSpec
+    // pins the plan shape and row parity with the shuffled plan). The
+    // `merge` hint is a plan-local broadcast opt-out so the gate
+    // exercises the co-located join path at fixture scale, the same
+    // plan a 100 TB fact⋈fact join would take. The bucket equality is
+    // implied by the id equality (bucket = id % 16 on both sides), so
+    // adding it to the join keys — the standard partition-key-in-join
+    // idiom for partitioned lakehouse tables — changes no semantics.
+    Q("q190_dsv2_spj_join",
+      """WITH ids AS (SELECT row_number() OVER () - 1 AS id FROM orders),
+        |nn AS (SELECT count(*) AS c FROM orders),
+        |t AS (SELECT id, CAST(id % 16 AS INT) AS bucket,
+        |        (id * 37 + 11) % 1000 AS v FROM ids)
+        |SELECT a.bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a.v * b.v) AS BIGINT) AS sum_vv
+        |FROM t a JOIN t b ON a.id = b.id AND a.bucket = b.bucket, nn
+        |WHERE b.id >= c // 3
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val n = Tables.rowCount(s, d, "orders")
+      def t() = s.read.format("graft-seq").option("end", n)
+        .option("cluster", SeqSource.BUCKET).load()
+      t().join(
+          t().filter(col("id") >= n / 3)
+            .select(col("id"), col("bucket"), col("v").as("bv"))
+            .hint("merge"),
+          Seq("id", "bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v") * col("bv")).as("sum_vv"))
+    },
+
+    // ----- DSv2 runtime filtering (graft-seq, q191) -------------------------
+    // The connector-side dynamic-partition-pruning analog
+    // ([[SeqScan]]/SupportsRuntimeV2Filtering): the nation-derived dim
+    // side is filtered and broadcast, Spark collects its distinct join
+    // ids at RUNTIME and hands them to the scan as an IN predicate
+    // BEFORE partitions are planned — the fact scan then plans and
+    // emits exactly the matchable ids instead of the whole range
+    // (DsvSourceSpec pins the rows-output metric: 13 vs the full
+    // extent). At 100 TB this is the difference between scanning the
+    // fact table and scanning the join's footprint. The dim ids are
+    // spread multiplicatively (×97) so the runtime set is sparse in
+    // the range — the regime where exact-set pruning beats the
+    // min/max hull.
+    Q("q191_dsv2_runtime_filter",
+      """WITH ids AS (SELECT row_number() OVER () - 1 AS id FROM orders),
+        |t AS (SELECT id, CAST(id % 16 AS INT) AS bucket,
+        |        (id * 37 + 11) % 1000 AS v FROM ids),
+        |dim AS (SELECT n_nationkey * 97 AS id FROM nation
+        |        WHERE n_regionkey IN (1, 2))
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(t.v) AS BIGINT) AS sum_v,
+        |  CAST(min(t.id) AS BIGINT) AS min_id,
+        |  CAST(max(t.id) AS BIGINT) AS max_id
+        |FROM t JOIN dim ON t.id = dim.id""".stripMargin) { (s, d) =>
+      val n = Tables.rowCount(s, d, "orders")
+      val dim = Tables(s, d, "nation")
+        .filter(col("n_regionkey").isin(1, 2))
+        .select((col("n_nationkey") * lit(97L)).as("id"))
+      s.read.format("graft-seq").option("end", n).load()
+        .join(broadcast(dim), Seq("id"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    },
+
     // ----- DSv2 WRITE path (graft-dsv commit protocol, q181) ---------------
     // The write half of the connector surface ([[DsvTable]]): per-order
     // lineitem aggregates flow through the V2 BatchWrite contract —

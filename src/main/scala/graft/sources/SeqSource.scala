@@ -6,10 +6,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning => V2Partitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -164,17 +167,26 @@ final class SeqTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private val start = options.getLong("start", 0L)
   private val end = options.getLong("end", 0L)
+  // `cluster=bucket`: serve the rows grouped by `bucket` — one input
+  // partition per bucket value, each declaring its key — so the scan
+  // reports [[KeyGroupedPartitioning]] and Spark's storage-partitioned
+  // join runs seq⋈seq on (…, bucket) with ZERO exchange.
+  private val clustered =
+    options.getOrDefault("cluster", "") == SeqSource.BUCKET
   require(start >= 0L && end <= SeqSource.MAX_END,
     s"graft-seq extent must lie in [0, ${SeqSource.MAX_END}), " +
       s"got [$start, $end)")
 
   override def name(): String = s"graft_seq($start, $end)"
   override def schema(): StructType = SeqSource.fullSchema
+  override def partitioning(): Array[Transform] =
+    if (clustered) Array(Expressions.identity(SeqSource.BUCKET))
+    else Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(start, end)
+    new SeqScanBuilder(start, end, clustered)
 }
 
 /** Accumulates the pushed `id` range and the pruned schema. Filters on
@@ -193,7 +205,8 @@ final class SeqTable(options: CaseInsensitiveStringMap)
   * scanning 100 TB. Unsupported shapes (`SUM(id)`, distinct aggs, AVG
   * partials) return false and fall back to the ordinary row scan —
   * pushdown must never change semantics, only cost. */
-final class SeqScanBuilder(start: Long, end: Long) extends ScanBuilder
+final class SeqScanBuilder(start: Long, end: Long, clustered: Boolean = false)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownTopN with SupportsPushDownLimit {
@@ -273,6 +286,8 @@ final class SeqScanBuilder(start: Long, end: Long) extends ScanBuilder
     case (Some(p), _) => new SeqAggScan(lo, math.max(lo, hi), p, pushed)
     case (None, Some((desc, n))) =>
       new SeqTopNScan(lo, math.max(lo, hi), n, desc, required, pushed)
+    case _ if clustered =>
+      new SeqClusteredScan(lo, math.max(lo, hi), required, pushed)
     case _ => new SeqScan(start, end, lo, math.max(lo, hi), required, pushed)
   }
 }
@@ -308,6 +323,70 @@ final class SeqTopNScan(lo: Long, hi: Long, n: Int, desc: Boolean,
 /** `count` ids starting at `first`, stepping `step` (±1). */
 final case class SeqOrderedSlice(first: Long, count: Long, step: Long)
   extends InputPartition
+
+/** One bucket's ids within the pushed range: `count` ids from `first`
+  * stepping 16, all ≡ `bucket` (mod 16). [[HasPartitionKey]] declares
+  * the bucket value so Spark can key-group the partitions. */
+final case class SeqBucketSlice(bucket: Int, first: Long, count: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+/** The bucket-clustered row scan ([[SupportsReportPartitioning]]): one
+  * input partition per bucket value present in the pushed range, each
+  * declaring its key, the whole scan reporting
+  * [[KeyGroupedPartitioning]] over `identity(bucket)`.
+  *
+  * This is the DSv2-native analog of a bucketed catalog table (the
+  * storage-partitioned-join contract Iceberg/Delta tables use): with
+  * `spark.sql.sources.v2.bucketing.enabled`, a join of two clustered
+  * graft-seq scans whose keys include `bucket` satisfies both sides'
+  * ClusteredDistribution straight from storage — Catalyst plans NO
+  * exchange on either side, and a downstream `GROUP BY bucket` reuses
+  * the same partitioning. At 100 TB this is the single biggest shuffle
+  * lever a recurring fact⋈fact join has: co-locating by construction
+  * removes the two largest exchanges from the plan entirely.
+  *
+  * Parallelism = #buckets (16 here) — exactly the bucketed-table trade:
+  * the cluster width is fixed by the layout, not the data size, which
+  * is why real tables choose bucket counts in the hundreds-to-thousands.
+  * Pushed `id` predicates still narrow the per-bucket ranges (planning-
+  * time pruning composes with the clustering). */
+final class SeqClusteredScan(lo: Long, hi: Long,
+    required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-seq clustered [$lo, $hi) by=bucket, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  private lazy val slices: Array[InputPartition] =
+    (0 until 16).iterator.flatMap { b =>
+      if (hi <= lo) Iterator.empty
+      else {
+        // first id ≡ b (mod 16) in [lo, hi)
+        val first = lo + (((b - lo) % 16L + 16L) % 16L)
+        if (first >= hi) Iterator.empty
+        else {
+          val count = (hi - 1L - first) / 16L + 1L
+          Iterator.single(SeqBucketSlice(b, first, count): InputPartition)
+        }
+      }
+    }.toArray
+
+  override def planInputPartitions(): Array[InputPartition] = slices
+
+  override def outputPartitioning(): V2Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity(SeqSource.BUCKET)), slices.length)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required.fieldNames)
+}
 
 /** A translated, fully-answerable pushed aggregation: optional
   * group-by-`bucket` plus per-function evaluators over
@@ -432,8 +511,30 @@ final class SeqAggScan(lo: Long, hi: Long, plan: SeqAggPlan,
   }
 }
 
-final class SeqScan(tableStart: Long, tableEnd: Long, lo: Long, hi: Long,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+/** The ordinary row scan, plus [[SupportsRuntimeV2Filtering]] — the
+  * connector analog of dynamic partition pruning: when this scan is the
+  * probe side of a broadcast join keyed on `id`, Spark collects the
+  * build side's distinct `id` values at RUNTIME and hands them to
+  * [[filter]] as an IN predicate before [[planInputPartitions]] runs.
+  * The scan narrows the generated range to the values' [min, max] hull
+  * AND keeps the exact sorted value set, so the planned partitions and
+  * the emitted rows shrink from "the whole fact range" to "exactly the
+  * ids the join can match". At 100 TB this is the difference between
+  * scanning the fact table and scanning the join's footprint — the DPP
+  * contract parquet tables get from partition directories, here exact
+  * to the row because the source knows its own layout. Unparseable or
+  * non-`id` runtime predicates are ignored: runtime filters are an
+  * OPTIMIZATION contract (the join above re-applies the condition), so
+  * dropping one can never change results, only cost. */
+final class SeqScan(tableStart: Long, tableEnd: Long, lo0: Long, hi0: Long,
+    required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  private var lo = lo0
+  private var hi = hi0
+  /** Exact runtime id set (sorted), when an IN filter arrived; null =
+    * no runtime filter, serve the whole [lo, hi) range. */
+  private var idSet: Array[Long] = null
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -441,16 +542,59 @@ final class SeqScan(tableStart: Long, tableEnd: Long, lo: Long, hi: Long,
     s"graft-seq [$lo, $hi) PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(SeqSource.ID))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val onId = p.children()(0) match {
+          case nr: NamedReference => nr.fieldNames.length == 1 &&
+            nr.fieldNames()(0).equalsIgnoreCase(SeqSource.ID)
+          case _ => false
+        }
+        type Lit = org.apache.spark.sql.connector.expressions.Literal[_]
+        val lits = p.children().drop(1)
+        if (onId && lits.forall(_.isInstanceOf[Lit])) {
+          val longs: Array[Option[Long]] =
+            lits.iterator.map(_.asInstanceOf[Lit].value: Any).map {
+              case l: java.lang.Long => Some(l.longValue())
+              case i: java.lang.Integer => Some(i.longValue())
+              case _ => None // non-integral literal: ignore this filter
+            }.toArray
+          if (!longs.forall(_.isDefined)) return
+          val vals: Array[Long] = longs.flatten.sorted.distinct
+          // intersect with any earlier runtime set; clamp the range hull
+          idSet = if (idSet == null) vals
+            else vals.filter(java.util.Arrays.binarySearch(idSet, _) >= 0)
+          if (idSet.isEmpty) { lo = hi }
+          else {
+            lo = math.max(lo, idSet.head)
+            hi = math.min(hi, idSet.last + 1L)
+          }
+        }
+      }
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     if (hi <= lo) return Array.empty
+    val target = SparkSession.active.sparkContext.defaultParallelism
+    if (idSet != null) {
+      // exact runtime set: plan output-sized partitions over the ids
+      // still inside the (statically + dynamically narrowed) range
+      val live = idSet.filter(id => id >= lo && id < hi)
+      if (live.isEmpty) return Array.empty
+      val perSlice = math.max(1, (live.length + target - 1) / target)
+      return live.grouped(perSlice)
+        .map(ids => SeqIdsSlice(ids): InputPartition).toArray
+    }
     // the slice grid is fixed by the TABLE's extent (one slice per core
     // at session parallelism — the cluster-scaling knob, a file-split
     // analogue); the pushed range then selects only OVERLAPPING grid
     // slices, so a selective predicate plans fewer partitions — the
     // partition-pruning contract, not just emptier readers
     val total = math.max(1L, tableEnd - tableStart)
-    val target = SparkSession.active.sparkContext.defaultParallelism.toLong
-    val slice = math.max(1L, (total + target - 1L) / target)
+    val slice = math.max(1L, (total + target.toLong - 1L) / target.toLong)
     val first = (lo - tableStart) / slice
     val last = (hi - 1L - tableStart) / slice
     (first to last).iterator
@@ -464,21 +608,49 @@ final class SeqScan(tableStart: Long, tableEnd: Long, lo: Long, hi: Long,
     new SeqReaderFactory(required.fieldNames)
 }
 
+/** An explicit id list (runtime-filtered scans): already range-checked
+  * at planning, the reader walks the array. */
+final case class SeqIdsSlice(ids: Array[Long]) extends InputPartition
+
 final case class SeqSlice(s: Long, e: Long) extends InputPartition
 
+/** Row AND columnar readers over every slice shape. Columnar is the
+  * default read path ([[supportColumnarReads]]): partitions emit
+  * [[org.apache.spark.sql.vectorized.ColumnarBatch]]es of 4096 rows
+  * into on-heap column vectors, and Spark plans the codegen'd
+  * `ColumnarToRow` bridge above the scan — the same vectorized shape
+  * the built-in parquet reader produces, here from a from-scratch
+  * connector. The per-batch loop is column-major over primitive
+  * vectors (no per-row boxing, no per-row InternalRow allocation),
+  * which is what makes wide scans CPU-bound instead of
+  * allocation-bound at 100 TB. The row reader remains for the
+  * zero-column edge (`select(count(*))`-style plans whose aggregate
+  * was NOT pushable) where a columnar batch has no vectors to carry. */
 final class SeqReaderFactory(cols: Array[String])
     extends PartitionReaderFactory {
+
+  // id enumerator per slice shape: range slices walk ascending; pushed
+  // top-n slices walk from the range's requested end; bucket slices
+  // step 16; runtime-filtered slices walk an explicit array
+  private def shapeOf(p: InputPartition): (Long => Long, Long) = p match {
+    case SeqIdsSlice(ids) => ((i: Long) => ids(i.toInt), ids.length.toLong)
+    case SeqSlice(s, e) => ((i: Long) => s + i, e - s)
+    case SeqOrderedSlice(f, c, st) => ((i: Long) => f + i * st, c)
+    case SeqBucketSlice(_, f, c) => ((i: Long) => f + i * 16L, c)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    cols.nonEmpty
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    // (first id, how many, step): range slices walk ascending; pushed
-    // top-n slices walk from the range's requested end
-    val (first, count, step) = p match {
-      case SeqSlice(s, e) => (s, e - s, 1L)
-      case SeqOrderedSlice(f, c, st) => (f, c, st)
-    }
+    val (nextId, count) = shapeOf(p)
     new PartitionReader[InternalRow] {
       private var i = -1L
-      private var id = first - step
-      override def next(): Boolean = { i += 1; id += step; i < count }
+      private var id = 0L
+      override def next(): Boolean = {
+        i += 1
+        if (i < count) { id = nextId(i); true } else false
+      }
       override def get(): InternalRow =
         InternalRow.fromSeq(cols.toSeq.map {
           case SeqSource.ID => id
@@ -487,6 +659,59 @@ final class SeqReaderFactory(cols: Array[String])
           case SeqSource.PAYLOAD => UTF8String.fromString(SeqSource.payloadOf(id))
         })
       override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val (nextId, count) = shapeOf(p)
+    val schema = StructType(cols.map(c =>
+      SeqSource.fullSchema(SeqSource.fullSchema.fieldIndex(c))))
+    new PartitionReader[ColumnarBatch] {
+      private val capacity = 4096
+      private val vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
+      private val batch =
+        new ColumnarBatch(vectors.map(v => v: ColumnVector).toArray)
+      private var pos = 0L
+      override def next(): Boolean = {
+        if (pos >= count) return false
+        val n = math.min(capacity.toLong, count - pos).toInt
+        var c = 0
+        while (c < cols.length) {
+          val vec = vectors(c)
+          vec.reset()
+          cols(c) match {
+            case SeqSource.ID =>
+              var i = 0
+              while (i < n) { vec.putLong(i, nextId(pos + i)); i += 1 }
+            case SeqSource.BUCKET =>
+              var i = 0
+              while (i < n) {
+                vec.putInt(i, SeqSource.bucketOf(nextId(pos + i))); i += 1
+              }
+            case SeqSource.V =>
+              var i = 0
+              while (i < n) {
+                vec.putLong(i, SeqSource.vOf(nextId(pos + i))); i += 1
+              }
+            case SeqSource.PAYLOAD =>
+              var i = 0
+              while (i < n) {
+                val b = SeqSource.payloadOf(nextId(pos + i))
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                vec.putByteArray(i, b, 0, b.length); i += 1
+              }
+          }
+          c += 1
+        }
+        batch.setNumRows(n)
+        pos += n
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
     }
   }
 }

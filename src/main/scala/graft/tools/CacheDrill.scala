@@ -15,6 +15,9 @@ import graft.{Caches, Graft, Session, Tables}
   * lifetime. Prints `CACHEDRILL result=OK` and exits 0 on success. */
 object CacheDrill {
   def main(args: Array[String]): Unit = {
+    // fixture dir arrives as argv(0) from CacheHygieneSpec (Spec.sfDir)
+    // so the spec and drill cannot drift; the fallback only serves
+    // running the drill by hand.
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val a = Session.build("local[2]", 2, "graft-cachedrill-a")
     a.sparkContext.setLogLevel("WARN")

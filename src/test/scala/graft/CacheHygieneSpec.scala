@@ -169,7 +169,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     val javaBin = sys.props("java.home") + "/bin/java"
     val cmd = Seq(javaBin) ++ graft.tools.FaultDemo.jvmOpens ++
       Seq("-Xmx2g", "-cp",
-        sys.props("java.class.path"), "graft.tools.CacheDrill")
+        sys.props("java.class.path"), "graft.tools.CacheDrill",
+        Spec.sfDir) // the drill's fixture rides in argv, not a copy
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(true)
     val p = pb.start()

@@ -208,6 +208,153 @@ class DsvSourceSpec extends AnyFunSuite {
     assert(all.collect().map(_.getLong(0)).toSeq === Seq(N - 2, N - 1))
   }
 
+  // ---- storage-partitioned join (cluster=bucket, KeyGroupedPartitioning) --
+
+  private def clustered() =
+    spark.read.format("graft-seq").option("end", N)
+      .option("cluster", "bucket").load()
+
+  test("cluster=bucket plans one keyed partition per bucket") {
+    val s = scanOf(clustered().select("bucket", "v"))
+    assert(s.inputRDD.getNumPartitions === 16)
+    // a pushed range spanning < 16 ids prunes whole buckets
+    val pruned = scanOf(clustered()
+      .filter(col("id") >= 100 && col("id") < 104).select("bucket"))
+    assert(pruned.inputRDD.getNumPartitions === 4)
+  }
+
+  test("cluster=bucket serves the same rows as the plain scan") {
+    val got = clustered().filter(col("id") < 200).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val ref = seq().filter(col("id") < 200).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === ref)
+  }
+
+  private def exchangesIn(plan: String): Boolean =
+    plan.contains("Exchange") || plan.contains("ShuffleQueryStage")
+
+  test("storage-partitioned join on (id, bucket) plans zero exchanges") {
+    def spjQuery(c: Boolean) = {
+      def t() = if (c) clustered() else seq()
+      // merge hint: plan-local broadcast opt-out, so the test exercises
+      // the shuffle-join path SPJ removes (a broadcast would also avoid
+      // the shuffle, proving nothing about KeyGroupedPartitioning)
+      t().join(
+          t().filter(col("id") >= 160)
+            .select(col("id"), col("bucket"), col("v").as("bv"))
+            .hint("merge"),
+          Seq("id", "bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v") * col("bv")).as("s"))
+    }
+    val spj = spjQuery(c = true)
+    val rows = spj.collect() // materialize so AQE's final plan is real
+    assert(!exchangesIn(spj.queryExecution.executedPlan.toString),
+      s"SPJ plan must carry no exchange:\n${spj.queryExecution.executedPlan}")
+    // row parity with the ordinary shuffled plan
+    val ref = spjQuery(c = false)
+    assert(exchangesIn(ref.queryExecution.executedPlan.toString),
+      "the unclustered reference plan should shuffle")
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet ===
+      ref.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("SPJ survives one side covering fewer buckets (pushPartValues)") {
+    // the filtered side's pushed range spans only ids ≥ N-8 → 8 buckets;
+    // pushPartValues aligns the two sides on the union of values
+    val a = clustered()
+    val b = clustered().filter(col("id") >= N - 8)
+      .select(col("id"), col("bucket"), col("v").as("bv")).hint("merge")
+    val j = a.join(b, Seq("id", "bucket")).select(col("id"), col("bv"))
+    val rows = j.collect()
+    assert(!exchangesIn(j.queryExecution.executedPlan.toString),
+      s"partial-coverage SPJ must still avoid the shuffle:\n" +
+        s"${j.queryExecution.executedPlan}")
+    assert(rows.map(_.getLong(0)).toSet === (N - 8 until N).toSet)
+  }
+
+  // ---- SupportsRuntimeV2Filtering (connector-side dynamic pruning) --------
+
+  private def withConf[A](k: String, v: String)(body: => A): A = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("runtime V2 filtering narrows the scan to the broadcast probe ids") {
+    // 13 dim ids (97k for even k < 25) against the 10000-id fact range:
+    // with dynamic pruning the fact scan must emit exactly the 13
+    // matchable rows; with it disabled, the whole range. AQE off so the
+    // scan node (and its metric) is reachable from a plan collect.
+    def query() = {
+      val dim = spark.range(0, 25).select((col("id") * 97L).as("id"))
+        .filter(col("id") % 2 === 0) // the selective predicate DPP wants
+      seq().join(broadcast(dim), Seq("id"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    }
+    def run(): (Long, Long, Long) = {
+      val df = query()
+      val r = df.collect()(0)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec if b.toString.contains("graft-seq") => b
+      }.getOrElse(fail("no graft-seq scan in plan"))
+      (r.getLong(0), r.getLong(1), scan.metrics("numOutputRows").value)
+    }
+    withConf("spark.sql.adaptive.enabled", "false") {
+      val (n1, sv1, scanRows) = run()
+      val (n0, sv0, fullRows) = withConf(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")(run())
+      assert((n1, sv1) === (n0, sv0), "runtime filtering must not change results")
+      assert(n1 === 13L)
+      assert(fullRows === N, s"unfiltered scan should emit the range, got $fullRows")
+      assert(scanRows === 13L,
+        s"runtime-filtered scan must emit exactly the probe ids, got $scanRows")
+    }
+  }
+
+  // ---- columnar read path --------------------------------------------------
+
+  test("graft-seq scans are columnar: ColumnarToRow bridge, exact rows") {
+    val df = seq().filter(col("id") >= 16 && col("id") < 48)
+      .select("id", "v", "payload")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect()
+    assert(rows.length === 32)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === (id * 37 + 11) % 1000)
+      assert(r.getString(2) === "p" + (id % 7))
+    }
+  }
+
+  test("columnar batches stay exact across the 4096-row batch boundary") {
+    // declined agg pushdown (GROUP BY payload is unsupported) keeps the
+    // aggregation ON the columnar scan, spanning multiple batches
+    val got = seq().groupBy(col("payload")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = (0L until N).groupBy(sources.SeqSource.payloadOf)
+      .view.mapValues(_.size.toLong).toMap
+    assert(got === exp)
+  }
+
+  test("clustered and topN slices go columnar too, same results") {
+    val c = clustered().filter(col("id") < 64).select("id", "bucket")
+    assert(c.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(c.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ===
+      (0L until 64L).map(i => (i, (i % 16).toInt)).toSet)
+    val t = seq().orderBy(col("id").desc).limit(3).select("id")
+    assert(t.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(t.collect().map(_.getLong(0)).toSeq === (N - 1 to N - 3 by -1).toSeq)
+  }
+
   test("TopN after pushed aggregation declines (agg plan wins, stays exact)") {
     val df = seq().filter(col("id") < 320)
       .groupBy(col("bucket")).agg(sum(col("v")).as("sv"))

@@ -170,4 +170,41 @@ class FixturesSpec extends AnyFunSuite {
         "current tree must survive the reap")
     } finally sys.props.remove("graft.artifacts.ttlMillis")
   }
+
+  test("artifact slugs are per-fixture even when sanitization collides") {
+    // "/sf 1" and "/sf_1" sanitize to the same readable prefix; without
+    // the raw-path hash in the slug, a reap driven by one fixture could
+    // match (and delete) the OTHER live fixture's current tree.
+    val base = java.nio.file.Files.createTempDirectory("graft-slug")
+    val a = java.nio.file.Files.createDirectory(base.resolve("sf 1"))
+    val b = java.nio.file.Files.createDirectory(base.resolve("sf_1"))
+    assert(Artifacts.dirOf(a.toString).getFileName.toString !=
+      Artifacts.dirOf(b.toString).getFileName.toString,
+      "colliding sanitized paths must map to distinct artifact slugs")
+  }
+
+  test("orphaned .reap-* move-aside temps are collected past the TTL") {
+    // A JVM dying between the atomic move-aside and the recursive
+    // delete leaves a `.reap-*` directory that no longer matches the
+    // slug filter; the GC must collect those too or they leak forever.
+    val dir = java.nio.file.Files.createTempDirectory("graft-orph").toString
+    spark.range(3).selectExpr("id AS doc_id", "'x' AS text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    sys.props("graft.artifacts.ttlMillis") = "0"
+    try {
+      Artifacts.derived(spark, dir, "orph_probe")(
+        Tables.documents(spark, dir).select("doc_id"))
+      val root = Artifacts.dirOf(dir).getParent
+      val orphan = root.resolve(".reap-deadbeef")
+      java.nio.file.Files.createDirectories(orphan.resolve("inner"))
+      java.nio.file.Files.setLastModifiedTime(orphan,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000L))
+      // any build miss sweeps; force one with a fresh artifact name
+      Artifacts.derived(spark, dir, "orph_probe2")(
+        Tables.documents(spark, dir).select("doc_id"))
+      assert(!java.nio.file.Files.exists(orphan),
+        "stale .reap-* orphan must be collected")
+    } finally sys.props.remove("graft.artifacts.ttlMillis")
+  }
 }

@@ -172,6 +172,34 @@ class TopKSpec extends AnyFunSuite {
     finally sys.props.remove(prop)
   }
 
+  test("rank(): coarse-order-key pass-through regime is metric-observable") {
+    // ORDER BY a 3-value key: most rows tie the heap boundary, the
+    // partial degenerates to near-zero trimming (the documented
+    // data-dependent regime maxK cannot bound) — the partial exec's
+    // numTiePassThrough metric must expose it, and results stay exact.
+    // AQE off for this test only: the partial exec lands inside a
+    // ShuffleQueryStageExec LEAF under AQE, unreachable from a plan
+    // collect — the metric itself is plan-mode-independent.
+    withConf("spark.sql.adaptive.enabled", "false") {
+      val coarse = spark.range(900).select((col("id") % 2).as("g"),
+        (col("id") % 3).as("v"), col("id"))
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      val df = coarse.withColumn("rn", rank().over(w)).filter(col("rn") <= 1)
+      assert(planOf(df).contains("TopKPerKey (partial)"), planOf(df))
+      // rank ≤ 1 with v ∈ {0,1,2}: every row with v = 2 ranks 1 (300
+      // rows). collect() (not count()) so the metric lands on THIS
+      // DataFrame's QueryExecution — count() builds a separate one.
+      assert(df.collect().length === 300)
+      val partials = df.queryExecution.executedPlan.collect {
+        case e: plans.TopKPerKeyExec if e.partial => e
+      }
+      assert(partials.nonEmpty, "partial exec must be in the plan")
+      val passed = partials.map(_.metrics("numTiePassThrough").value).sum
+      assert(passed > 0,
+        s"coarse order key must register boundary-tie pass-through, got $passed")
+    }
+  }
+
   test("rank(): exact-rank conjunct keeps its filter semantics") {
     // Mixed base: unique high values on top (every 11th id), tie
     // blocks below — so rank = 2 is NONEMPTY and boundary ties still
