@@ -151,6 +151,69 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no skew split in adaptive plan:\n${finalPlan.take(600)}")
   }
 
+  test("skew drill: broadcast supersedes, AQE splits, salting levels") {
+    // The q45 vertical's decision table, pinned on ONE planted-skew
+    // fixture (90% of fact rows share key 7), all three regimes
+    // returning identical results:
+    //   A. dim under the broadcast threshold → BroadcastHashJoin: the
+    //      hot key streams through map tasks, nothing shuffles, AQE's
+    //      skew split never fires and salting would only add cost —
+    //      the broadcast threshold SUPERSEDES both mitigations;
+    //   B. broadcast off (the 100 TB fact⋈fact shape) → AQE splits the
+    //      skewed SMJ partition at runtime (`skew=true`);
+    //   C. AQE's split also off (streaming state joins; engines
+    //      without runtime replan; aggregate-side skew, which AQE's
+    //      skew-JOIN rule never touches) → manual salting is the
+    //      remaining lever: the plan shuffles on (k, __salt), no
+    //      partition holds more than ~1/numSalts of the hot key.
+    import org.apache.spark.sql.functions._
+    val s = spark.newSession()
+    def fact = s.range(0, 200000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id"))
+        .as("k"), col("id").as("v"))
+    def dim = s.range(0, 64).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("name")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // A: defaults — the 64-row dim broadcasts
+    val a = agg(fact.join(dim, "k"))
+    val aRows = rows(a)
+    assert(finalPlan(a).contains("BroadcastHashJoin"), finalPlan(a).take(400))
+    assert(!finalPlan(a).contains("skew=true"))
+
+    // B: broadcast off, skew thresholds scaled to fixture size
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val b = agg(fact.join(dim, "k"))
+    val bRows = rows(b)
+    assert(finalPlan(b).contains("skew=true"), finalPlan(b).take(600))
+
+    // C: AQE's split off → the salted plan levels the hot key itself
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val c = agg(operators.Skew.saltedJoin(fact, dim, "k",
+      saltBy = col("v"), numSalts = 8, hotThreshold = 1000))
+    val cRows = rows(c)
+    val cp = finalPlan(c)
+    assert(cp.contains("__salt"), cp.take(600))
+    assert(!cp.contains("skew=true"))
+
+    assert(aRows === bRows)
+    assert(aRows === cRows)
+  }
+
   test("semantic dedup broadcasts centroids and self-joins on cid") {
     val p = plan("q104_semantic_dedup")
     // assignment = K-row broadcast against the corpus; pair stage = a
