@@ -10,6 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import java.util.OptionalLong
+
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning => V2Partitioning}
@@ -82,6 +84,42 @@ object SeqSource {
   def bucketOf(id: Long): Int = (id % 16L).toInt
   def vOf(id: Long): Long = (id * 37L + 11L) % 1000L
   def payloadOf(id: Long): String = "p" + (id % 7L)
+
+  /** Estimated in-memory width of one row at a pruned schema — feeds
+    * [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
+    * (`defaultSize` per column; payload is a 2-char string). */
+  private[sources] def rowWidth(schema: StructType): Long =
+    math.max(1L, schema.fields.map(_.dataType.defaultSize.toLong).sum)
+
+  /** Exact scan statistics: the generator knows its own cardinality, so
+    * `numRows` is exact — the connector analog of catalog/footer stats,
+    * and what lets the planner BROADCAST a selectively-filtered side of
+    * a join without a hint. */
+  private[sources] def statsOf(rows: Long, schema: StructType): Statistics =
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        OptionalLong.of(math.max(1L, rows) * rowWidth(schema))
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+
+  /** Reported per-partition ordering: every planned slice walks ids
+    * ASCENDING (range slices, bucket slices stepping 16, runtime id
+    * sets — all ascending by construction), and `id` is UNIQUE, so the
+    * rows are vacuously also sorted by any column list LED by `id`.
+    * Declaring `(id, bucket)` lets a storage-partitioned sort-merge
+    * join on those keys skip BOTH local sorts — combined with
+    * KeyGroupedPartitioning, a seq⋈seq join runs with zero exchanges
+    * AND zero sorts, entirely from storage layout. */
+  private[sources] def idOrdering(required: StructType): Array[V2SortOrder] = {
+    val names = required.fieldNames.map(_.toLowerCase).toSet
+    if (!names.contains(ID)) Array.empty // no id column, nothing to claim
+    else {
+      val cols = Seq(ID) ++ (if (names.contains(BUCKET)) Seq(BUCKET) else Nil)
+      cols.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+        .toArray
+    }
+  }
 
   // ---- closed-form aggregate layer (SupportsPushDownAggregates) ----------
   // `bucket` has period 16 in id and `v` period 1000 (gcd(37,1000)=1),
@@ -355,7 +393,17 @@ final case class SeqBucketSlice(bucket: Int, first: Long, count: Long)
   * time pruning composes with the clustering). */
 final class SeqClusteredScan(lo: Long, hi: Long,
     required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics with SupportsReportOrdering {
+
+  override def estimateStatistics(): Statistics =
+    SeqSource.statsOf(math.max(0L, hi - lo), required)
+
+  // bucket slices step 16, so ids ascend within every partition; with
+  // the key-grouped partitioning this makes the SPJ sort-merge join
+  // sort-free as well as exchange-free
+  override def outputOrdering(): Array[V2SortOrder] =
+    SeqSource.idOrdering(required)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -528,7 +576,8 @@ final class SeqAggScan(lo: Long, hi: Long, plan: SeqAggPlan,
   * dropping one can never change results, only cost. */
 final class SeqScan(tableStart: Long, tableEnd: Long, lo0: Long, hi0: Long,
     required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics with SupportsReportOrdering {
 
   private var lo = lo0
   private var hi = hi0
@@ -541,6 +590,16 @@ final class SeqScan(tableStart: Long, tableEnd: Long, lo0: Long, hi0: Long,
   override def description(): String =
     s"graft-seq [$lo, $hi) PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
+
+  override def estimateStatistics(): Statistics = {
+    val rows =
+      if (idSet != null) idSet.count(id => id >= lo && id < hi).toLong
+      else math.max(0L, hi - lo)
+    SeqSource.statsOf(rows, required)
+  }
+
+  override def outputOrdering(): Array[V2SortOrder] =
+    SeqSource.idOrdering(required)
 
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(SeqSource.ID))

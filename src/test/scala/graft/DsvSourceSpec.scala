@@ -319,6 +319,43 @@ class DsvSourceSpec extends AnyFunSuite {
     }
   }
 
+  // ---- SupportsReportStatistics / SupportsReportOrdering -------------------
+
+  test("reported statistics let a narrow pushed range broadcast unhinted") {
+    // No broadcast() hint anywhere: the planner must read the scan's
+    // exact post-pushdown numRows/sizeInBytes and pick BroadcastHashJoin
+    // for the 50-id side against the full range — the catalog-statistics
+    // contract that drives join strategy at 100 TB.
+    val small = seq().filter(col("id") >= 100 && col("id") < 150)
+      .select(col("id"), col("v").as("sv"))
+    val big = seq().select(col("id"), col("v"))
+    val j = big.join(small, Seq("id"))
+      .agg(count(lit(1)).as("n"), sum(col("v") * col("sv")).as("s"))
+    assert(j.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      j.queryExecution.executedPlan.toString.take(600))
+    val r = j.collect()(0)
+    assert(r.getLong(0) === 50L)
+  }
+
+  test("SPJ + reported ordering: join with zero exchanges AND zero sorts") {
+    // cluster=bucket reports KeyGroupedPartitioning (no exchange) and
+    // (id, bucket)-ascending per-partition ordering (no local sort):
+    // the sort-merge join runs entirely from storage layout — the
+    // full co-located-join contract a bucketed+sorted lakehouse table
+    // provides, from the from-scratch connector.
+    val a = clustered()
+    val b = clustered().filter(col("id") >= 160)
+      .select(col("id"), col("bucket"), col("v").as("bv")).hint("merge")
+    val j = a.join(b, Seq("id", "bucket"))
+      .groupBy(col("bucket")).agg(sum(col("v") * col("bv")).as("s"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!exchangesIn(plan), plan)
+    assert(!plan.contains("Sort "), s"reported ordering must kill the sorts:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
   // ---- columnar read path --------------------------------------------------
 
   test("graft-seq scans are columnar: ColumnarToRow bridge, exact rows") {
