@@ -431,6 +431,39 @@ object FileFormats {
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
     },
 
+    // ----- DSv2 micro-batch STREAMING read (graft-seq, q192) ---------------
+    // The connector's third leg ([[SeqMicroBatchStream]]): graft-seq as
+    // a micro-batch source with offset tracking and admission control —
+    // each trigger serves the next `rowsPerBatch` ids, AvailableNow
+    // drains the bounded extent in ceil(n/rowsPerBatch) batches (≥ 8
+    // here) into a memory sink, and the per-bucket aggregate over the
+    // drained sink is oracle-checked: any id dropped at a batch
+    // boundary or served twice on restart shifts a bucket's count/sum
+    // and hash-mismatches. The stream runs per invocation — offset
+    // planning, batch slicing, and sink delivery ARE the operator
+    // under test (DsvSourceSpec additionally pins the batch count and
+    // exactly-once id set live).
+    Q("q192_dsv2_stream_source",
+      """WITH ids AS (SELECT row_number() OVER () - 1 AS id FROM orders),
+        |t AS (SELECT id, CAST(id % 16 AS INT) AS bucket,
+        |        (id * 37 + 11) % 1000 AS v FROM ids)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM t GROUP BY bucket""".stripMargin) { (s, d) =>
+      val n = Tables.rowCount(s, d, "orders")
+      val sink = s"seq_stream_sink_${math.abs(d.hashCode)}"
+      val q = s.readStream.format("graft-seq")
+        .option("end", n).option("rowsPerBatch", math.max(1L, n / 8)).load()
+        .writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          max(col("id")).as("max_id"))
+    },
+
     // ----- DSv2 WRITE path (graft-dsv commit protocol, q181) ---------------
     // The write half of the connector surface ([[DsvTable]]): per-order
     // lineitem aggregates flow through the V2 BatchWrite contract —

@@ -211,6 +211,10 @@ final class SeqTable(options: CaseInsensitiveStringMap)
   // join runs seq⋈seq on (…, bucket) with ZERO exchange.
   private val clustered =
     options.getOrDefault("cluster", "") == SeqSource.BUCKET
+  // micro-batch admission: at most this many ids per trigger (the
+  // streaming read path; default serves the whole remaining extent in
+  // one batch)
+  private val rowsPerBatch = options.getLong("rowsPerBatch", Long.MaxValue)
   require(start >= 0L && end <= SeqSource.MAX_END,
     s"graft-seq extent must lie in [0, ${SeqSource.MAX_END}), " +
       s"got [$start, $end)")
@@ -221,10 +225,10 @@ final class SeqTable(options: CaseInsensitiveStringMap)
     if (clustered) Array(Expressions.identity(SeqSource.BUCKET))
     else Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(start, end, clustered)
+    new SeqScanBuilder(start, end, clustered, rowsPerBatch)
 }
 
 /** Accumulates the pushed `id` range and the pruned schema. Filters on
@@ -243,7 +247,8 @@ final class SeqTable(options: CaseInsensitiveStringMap)
   * scanning 100 TB. Unsupported shapes (`SUM(id)`, distinct aggs, AVG
   * partials) return false and fall back to the ordinary row scan —
   * pushdown must never change semantics, only cost. */
-final class SeqScanBuilder(start: Long, end: Long, clustered: Boolean = false)
+final class SeqScanBuilder(start: Long, end: Long,
+    clustered: Boolean = false, rowsPerBatch: Long = Long.MaxValue)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -326,7 +331,8 @@ final class SeqScanBuilder(start: Long, end: Long, clustered: Boolean = false)
       new SeqTopNScan(lo, math.max(lo, hi), n, desc, required, pushed)
     case _ if clustered =>
       new SeqClusteredScan(lo, math.max(lo, hi), required, pushed)
-    case _ => new SeqScan(start, end, lo, math.max(lo, hi), required, pushed)
+    case _ => new SeqScan(start, end, lo, math.max(lo, hi), required, pushed,
+      rowsPerBatch)
   }
 }
 
@@ -575,7 +581,8 @@ final class SeqAggScan(lo: Long, hi: Long, plan: SeqAggPlan,
   * OPTIMIZATION contract (the join above re-applies the condition), so
   * dropping one can never change results, only cost. */
 final class SeqScan(tableStart: Long, tableEnd: Long, lo0: Long, hi0: Long,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    rowsPerBatch: Long = Long.MaxValue)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportOrdering {
 
@@ -665,11 +672,85 @@ final class SeqScan(tableStart: Long, tableEnd: Long, lo0: Long, hi0: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, rowsPerBatch, required)
 }
 
 /** An explicit id list (runtime-filtered scans): already range-checked
   * at planning, the reader walks the array. */
 final case class SeqIdsSlice(ids: Array[Long]) extends InputPartition
+
+/** Streaming offset: the next unserved id (everything below it is
+  * committed). JSON form is the bare number. */
+final case class SeqOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
+/** The connector's STREAMING read leg ([[SeqScanBuilder]] →
+  * `toMicroBatchStream`): graft-seq as a micro-batch source, the
+  * RateSource shape every ingest connector implements. Offsets are id
+  * positions; each trigger serves the next `rowsPerBatch` ids of the
+  * pushed `[lo, hi)` range ([[SupportsAdmissionControl]] — the knob
+  * that keeps a catch-up read from planning one 100 TB batch), sliced
+  * across the session's parallelism by the same grid as the batch
+  * scan and read by the SAME [[SeqReaderFactory]] (columnar batches
+  * included). The range's end behaves like a bounded topic:
+  * `Trigger.AvailableNow` drains `[lo, hi)` in
+  * ceil(extent/rowsPerBatch) batches and stops; the oracle-checked
+  * q192 aggregate over the drained sink therefore certifies
+  * exactly-once delivery across batch boundaries (any dropped or
+  * double-served id shifts a bucket's count/sum). Offsets restart
+  * from the checkpoint via [[deserializeOffset]]; commit is a no-op
+  * (the generator is stateless — replay is idempotent by
+  * construction). */
+final class SeqMicroBatchStream(lo: Long, hi: Long, rowsPerBatch: Long,
+    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  // AvailableNow contract: pin the drain target when the trigger
+  // starts. The generator's extent is immutable, so the target IS the
+  // table end — nothing to snapshot.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): SOffset = SeqOffset(lo)
+  override def deserializeOffset(json: String): SOffset =
+    SeqOffset(json.trim.toLong)
+
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) should be called instead")
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[SeqOffset].id
+    val step = math.min(rowsPerBatch, hi - s)
+    SeqOffset(if (step <= 0L) s else s + step)
+  }
+
+  /** The true end of the readable extent — what AvailableNow drains to. */
+  override def reportLatestOffset(): SOffset = SeqOffset(hi)
+
+  override def planInputPartitions(start: SOffset, end: SOffset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].id
+    val e = end.asInstanceOf[SeqOffset].id
+    if (e <= s) return Array.empty
+    val target = SparkSession.active.sparkContext.defaultParallelism.toLong
+    val slice = math.max(1L, (e - s + target - 1L) / target)
+    (s until e by slice)
+      .map(b => SeqSlice(b, math.min(e, b + slice)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required.fieldNames)
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 final case class SeqSlice(s: Long, e: Long) extends InputPartition
 

@@ -356,6 +356,31 @@ class DsvSourceSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), plan)
   }
 
+  // ---- micro-batch streaming read ------------------------------------------
+
+  test("micro-batch stream drains the range exactly once across batches") {
+    val sink = "seq_stream_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = spark.readStream.format("graft-seq")
+      .option("end", N).option("rowsPerBatch", 1024).load()
+      .writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(180000), "stream must drain and stop")
+    finally q.stop()
+    // admission control: 10000 ids at 1024/batch → ≥ 9 data batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 9,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+    val rows = spark.table(sink)
+    assert(rows.count() === N)
+    // exactly-once across batch boundaries: every id once, values exact
+    assert(rows.select(countDistinct(col("id"))).collect()(0).getLong(0) === N)
+    val sums = rows.agg(sum(col("v")).as("sv"), max(col("id")).as("mx"))
+      .collect()(0)
+    assert(sums.getLong(0) === (0L until N).map(sources.SeqSource.vOf).sum)
+    assert(sums.getLong(1) === N - 1)
+    spark.catalog.dropTempView(sink)
+  }
+
   // ---- columnar read path --------------------------------------------------
 
   test("graft-seq scans are columnar: ColumnarToRow bridge, exact rows") {
