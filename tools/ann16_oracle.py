@@ -61,6 +61,54 @@ x AS MATERIALIZED (
 """
 
 
+CASE_RE = re.compile(
+    r"\(CASE WHEN list_sum\(list_transform\(range\(1, 65\),\s*"
+    r"i -> ev\[i\] \* \((\[[-0-9,]+\])\)\[i\]\)\) > 0 "
+    r"THEN (\d+) ELSE 0 END\)")
+
+
+def rewrite_codes(sql):
+    """q34/q35 shape: corpus-wide LSH codes are genuinely READ for every
+    vector (Hamming probe / banded buckets), so unlike q123 they cannot
+    be computed on demand — instead the ~34 KB of per-row list lambdas
+    is reshaped into one unnest join-aggregate: the +-1 projection rows
+    (extracted VERBATIM from the dumped oracle, so the constants cannot
+    drift) join the unnested quantized vectors on the dimension index,
+    one integral-double sum per (vector, table, bit) gives the sign,
+    and a masked weight-sum rebuilds each code. Bit-equivalent by the
+    same exactness argument as the ranking rewrite."""
+    m = re.search(
+        r"c AS MATERIALIZED \(SELECT (?P<cols>[A-Za-z_, ]+?), "
+        r"\[(?P<codes>.*)\] AS cs FROM e\),\n", sql, re.S)
+    if not m:
+        sys.exit("oracle shape changed: corpus codes CTE not found")
+    cols = m.group("cols")  # e.g. "vec_id, label, ev" / "vec_id, ev"
+    values = []
+    for t, piece in enumerate(m.group("codes").split("AS BIGINT)")):
+        for arr, w in CASE_RE.findall(piece):
+            values.append(f"({t + 1}, {w}::BIGINT, {arr})")
+    if not values:
+        sys.exit("oracle shape changed: no projection CASEs extracted")
+    chain = (
+        "pm0 AS (SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(values)
+        + ") AS v(t, w, arr)),\n"
+        "pm AS (SELECT t, w, i, arr[i] AS s\n"
+        "  FROM pm0 CROSS JOIN unnest(range(1, 65)) AS u(i)),\n"
+        "eu AS (SELECT vec_id, i, ev[i] AS x\n"
+        "  FROM e CROSS JOIN unnest(range(1, 65)) AS u(i)),\n"
+        "pdots AS (SELECT eu.vec_id, pm.t, pm.w,\n"
+        "    sum(eu.x * pm.s) AS d\n"
+        "  FROM eu JOIN pm ON pm.i = eu.i GROUP BY 1, 2, 3),\n"
+        "vcodes AS (SELECT vec_id, t,\n"
+        "    CAST(sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS BIGINT) AS code\n"
+        "  FROM pdots GROUP BY 1, 2),\n"
+        "vcs AS (SELECT vec_id, list(code ORDER BY t) AS cs\n"
+        "  FROM vcodes GROUP BY 1),\n"
+        f"c AS MATERIALIZED (SELECT {cols}, cs FROM e JOIN vcs USING (vec_id)),\n")
+    return sql.replace(m.group(0), chain, 1)
+
+
 def rewrite(sql):
     # 1. capture the codes expression, drop it from the corpus-wide CTE
     m = re.search(
@@ -100,38 +148,50 @@ def rewrite(sql):
     return sql
 
 
-def main(outdir, sfdir):
-    name = "q123_ann_recall"
-    sql = rewrite(json.load(open(f"{outdir}/oracle_sql.json"))[name])
+REWRITERS = {
+    "q123_ann_recall": rewrite,
+    "q34_ann_lsh": rewrite_codes,
+    "q35_embedding_neardup": rewrite_codes,
+}
+
+
+def main(outdir, sfdir, names=None):
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     import time
-    t0 = time.time()
-    exp = con.sql(sql).df()
-    exp.columns = [c.lower() for c in exp.columns]
-    oracle_s = time.time() - t0
-    got = pd.read_parquet(os.path.join(outdir, name))
-    got.columns = [c.lower() for c in got.columns]
-    if sorted(got.columns) != sorted(exp.columns):
-        print(f"FAIL {name}: columns differ got={sorted(got.columns)} "
-              f"exp={sorted(exp.columns)}")
-        return 1
-    g, e = canon(got), canon(exp)
-    if g != e:
-        bad = next((i for i in range(min(len(g), len(e))) if g[i] != e[i]),
-                   min(len(g), len(e)))
-        print(f"FAIL {name}: rows got={len(g)} exp={len(e)}; "
-              f"first diff at sorted-row {bad}:")
-        if bad < len(g):
-            print(f"  got: {g[bad]}")
-        if bad < len(e):
-            print(f"  exp: {e[bad]}")
-        return 1
-    print(f"PASS {name}: {len(g)} rows match "
-          f"(reshaped exact oracle, {oracle_s:.1f}s DuckDB)")
-    return 0
+    failed = 0
+    for name in (names or ["q123_ann_recall"]):
+        sql = REWRITERS[name](oracle[name])
+        t0 = time.time()
+        exp = con.sql(sql).df()
+        exp.columns = [c.lower() for c in exp.columns]
+        oracle_s = time.time() - t0
+        got = pd.read_parquet(os.path.join(outdir, name))
+        got.columns = [c.lower() for c in got.columns]
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL {name}: columns differ got={sorted(got.columns)} "
+                  f"exp={sorted(exp.columns)}")
+            failed += 1
+            continue
+        g, e = canon(got), canon(exp)
+        if g != e:
+            bad = next((i for i in range(min(len(g), len(e)))
+                        if g[i] != e[i]), min(len(g), len(e)))
+            print(f"FAIL {name}: rows got={len(g)} exp={len(e)}; "
+                  f"first diff at sorted-row {bad}:")
+            if bad < len(g):
+                print(f"  got: {g[bad]}")
+            if bad < len(e):
+                print(f"  exp: {e[bad]}")
+            failed += 1
+            continue
+        print(f"PASS {name}: {len(g)} rows match "
+              f"(reshaped exact oracle, {oracle_s:.1f}s DuckDB)")
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3].split(",") if len(sys.argv) > 3 else None))
