@@ -193,13 +193,24 @@ object Artifacts {
         .filter { p =>
           val n = p.getFileName.toString
           // `.reap-*` siblings are move-aside temps whose deleting JVM
-          // died mid-reap: past the TTL nothing can still be deleting
-          // them, and without this clause they never match the slug
-          // filter again and leak forever — the exact orphan class this
-          // GC exists to eliminate.
+          // died mid-reap (their mtime is refreshed at move-aside, so a
+          // TTL-old one is genuinely orphaned, not in-flight); without
+          // this clause they never match the slug filter again and leak
+          // forever — the exact orphan class this GC exists to
+          // eliminate. The legacy clause reclaims THIS fixture's trees
+          // from before the slug carried the path hash (same raw path →
+          // same owner, so reaping them is as safe as the current
+          // format).
+          val legacy = slug.substring(0, slug.lastIndexOf('.'))
           n.startsWith(".reap-") ||
             (n != current && n.startsWith(s"$slug-") &&
-              n.stripPrefix(s"$slug-").matches("[0-9a-f]{16}"))
+              n.stripPrefix(s"$slug-").matches("[0-9a-f]{16}")) ||
+            (n.startsWith(s"$legacy-") &&
+              n.stripPrefix(s"$legacy-").matches("[0-9a-f]{16}") &&
+              // never a CURRENT-format tree (<name>.<6hex>-<16hex>):
+              // guards the contrived case where this fixture's readable
+              // prefix ends in exactly another fixture's slug+path-hash
+              !n.matches(".*\\.[0-9a-f]{6}-[0-9a-f]{16}"))
         }
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .toSeq
@@ -211,6 +222,13 @@ object Artifacts {
               val aside = p.resolveSibling(
                 s".reap-$n-${java.util.UUID.randomUUID().toString.take(8)}")
               Files.move(p, aside, StandardCopyOption.ATOMIC_MOVE)
+              // refresh the aside's mtime: ATOMIC_MOVE preserves the
+              // stale tree's (already-past-cutoff) timestamp, and a
+              // concurrent sweep must see this temp as IN-FLIGHT, not
+              // as a TTL-old orphan it can race deleteRecursively on
+              Files.setLastModifiedTime(aside,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  System.currentTimeMillis()))
               deleteRecursively(aside)
             }
           } catch { case scala.util.control.NonFatal(_) => () }

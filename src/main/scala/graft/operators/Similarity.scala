@@ -235,48 +235,59 @@ object Similarity {
       case (Some(ce), Some(co)) => (ce, co)
       case _ =>
         val subs = pqSubs(s, d).persist()
-        def assign(c: DataFrame) =
-          subs.join(broadcast(c), Seq("sub"))
-            .select(col("vec_id"), col("sub"), col("ssv"), col("cid"),
-              (col("xx") - lit(2) * dot(col("ssv"), col("cv")) +
-                dot(col("cv"), col("cv"))).as("d"))
-        var (cents, centRdd) = Iterative.checkpointed(
-          subs.filter(col("vec_id").between(1, PQ_K))
-            .select(col("sub"), col("vec_id").cast("long").as("cid"),
-              col("ssv").as("cv")))
-        (1 to PQ_ITERS).foreach { _ =>
-          val best = assign(cents).groupBy(col("vec_id"), col("sub"))
-            .agg(expr("min_by(cid, struct(d, cid))").as("cid"),
-              expr("any_value(ssv)").as("ssv"))
-          val upd = best
-            .select(col("sub"), col("cid"), posexplode(col("ssv")))
-            .groupBy(col("sub"), col("cid"), col("pos"))
-            .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
-            .select(col("sub"), col("cid"), col("pos"),
-              expr("cast(cast(sm as bigint) div n as double)").as("cval"))
-            .groupBy(col("sub"), col("cid"))
-            .agg(expr(
-              "transform(array_sort(collect_list(struct(pos, cval))), p -> p.cval)")
-              .as("cvNew"))
-          val (next, nextRdd) = Iterative.checkpointed(
-            cents.join(upd, Seq("sub", "cid"), "left")
-              .select(col("sub"), col("cid"),
-                coalesce(col("cvNew"), col("cv")).as("cv")))
-          Iterative.release(centRdd)
-          cents = next
-          centRdd = nextRdd
+        var centRdd: org.apache.spark.rdd.RDD[_] = null
+        try {
+          def assign(c: DataFrame) =
+            subs.join(broadcast(c), Seq("sub"))
+              .select(col("vec_id"), col("sub"), col("ssv"), col("cid"),
+                (col("xx") - lit(2) * dot(col("ssv"), col("cv")) +
+                  dot(col("cv"), col("cv"))).as("d"))
+          var cents: DataFrame = null
+          locally {
+            val (c0, r0) = Iterative.checkpointed(
+              subs.filter(col("vec_id").between(1, PQ_K))
+                .select(col("sub"), col("vec_id").cast("long").as("cid"),
+                  col("ssv").as("cv")))
+            cents = c0; centRdd = r0
+          }
+          (1 to PQ_ITERS).foreach { _ =>
+            val best = assign(cents).groupBy(col("vec_id"), col("sub"))
+              .agg(expr("min_by(cid, struct(d, cid))").as("cid"),
+                expr("any_value(ssv)").as("ssv"))
+            val upd = best
+              .select(col("sub"), col("cid"), posexplode(col("ssv")))
+              .groupBy(col("sub"), col("cid"), col("pos"))
+              .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
+              .select(col("sub"), col("cid"), col("pos"),
+                expr("cast(cast(sm as bigint) div n as double)").as("cval"))
+              .groupBy(col("sub"), col("cid"))
+              .agg(expr(
+                "transform(array_sort(collect_list(struct(pos, cval))), p -> p.cval)")
+                .as("cvNew"))
+            val (next, nextRdd) = Iterative.checkpointed(
+              cents.join(upd, Seq("sub", "cid"), "left")
+                .select(col("sub"), col("cid"),
+                  coalesce(col("cvNew"), col("cv")).as("cv")))
+            Iterative.release(centRdd)
+            cents = next
+            centRdd = nextRdd
+          }
+          val ce = graft.Artifacts.derived(s, d, centsName)(cents)
+          // encode EVERY vector (the index covers the whole corpus; the
+          // query filters its own panel out at read time)
+          val co = graft.Artifacts.derived(s, d, codesName) {
+            assign(ce).groupBy(col("vec_id"), col("sub"))
+              .agg(min(struct(col("d"), col("cid"))).as("m"))
+              .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+          }
+          (ce, co)
+        } finally {
+          // release even on a failed build (disk-full mid-write, bad
+          // fixture): otherwise every retry re-persists a corpus-wide
+          // exploded frame and the session accumulates dead blocks
+          if (centRdd != null) Iterative.release(centRdd)
+          subs.unpersist(false)
         }
-        val ce = graft.Artifacts.derived(s, d, centsName)(cents)
-        // encode EVERY vector (the index covers the whole corpus; the
-        // query filters its own panel out at read time)
-        val co = graft.Artifacts.derived(s, d, codesName) {
-          assign(ce).groupBy(col("vec_id"), col("sub"))
-            .agg(min(struct(col("d"), col("cid"))).as("m"))
-            .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
-        }
-        Iterative.release(centRdd)
-        subs.unpersist(false)
-        (ce, co)
     }
   }
 

@@ -458,7 +458,13 @@ object FileFormats {
         .writeStream.format("memory").queryName(sink)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      // bounded wait: a wedged micro-batch must surface as a per-query
+      // error, not hang the whole verify/bench run with no artifact
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q192 stream failed to drain within 300s")
+      }
       s.table(sink).groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
           max(col("id")).as("max_id"))

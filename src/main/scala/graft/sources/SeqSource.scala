@@ -330,7 +330,8 @@ final class SeqScanBuilder(start: Long, end: Long,
     case (None, Some((desc, n))) =>
       new SeqTopNScan(lo, math.max(lo, hi), n, desc, required, pushed)
     case _ if clustered =>
-      new SeqClusteredScan(lo, math.max(lo, hi), required, pushed)
+      new SeqClusteredScan(lo, math.max(lo, hi), required, pushed,
+        rowsPerBatch)
     case _ => new SeqScan(start, end, lo, math.max(lo, hi), required, pushed,
       rowsPerBatch)
   }
@@ -398,9 +399,18 @@ final case class SeqBucketSlice(bucket: Int, first: Long, count: Long)
   * Pushed `id` predicates still narrow the per-bucket ranges (planning-
   * time pruning composes with the clustering). */
 final class SeqClusteredScan(lo: Long, hi: Long,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    rowsPerBatch: Long = Long.MaxValue)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsReportOrdering {
+
+  // clustering is a BATCH layout property; a streaming read of a
+  // clustered table still gets the micro-batch source (the table
+  // advertises MICRO_BATCH_READ unconditionally, so this override must
+  // exist — Scan's default throws at query start)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, rowsPerBatch, required)
 
   override def estimateStatistics(): Statistics =
     SeqSource.statsOf(math.max(0L, hi - lo), required)
@@ -611,33 +621,42 @@ final class SeqScan(tableStart: Long, tableEnd: Long, lo0: Long, hi0: Long,
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(SeqSource.ID))
 
+  /** The sorted id set implied by one runtime predicate, if it is an
+    * integral IN over `id` — None means "not parseable, skip THIS
+    * predicate" (never the whole batch: each runtime filter narrows
+    * independently, and dropping one only costs pruning, not
+    * correctness). */
+  private def inIdSet(p: Predicate): Option[Array[Long]] = {
+    if (p.name() != "IN" || p.children().isEmpty) return None
+    val onId = p.children()(0) match {
+      case nr: NamedReference => nr.fieldNames.length == 1 &&
+        nr.fieldNames()(0).equalsIgnoreCase(SeqSource.ID)
+      case _ => false
+    }
+    if (!onId) return None
+    type Lit = org.apache.spark.sql.connector.expressions.Literal[_]
+    val lits = p.children().drop(1)
+    if (!lits.forall(_.isInstanceOf[Lit])) return None
+    val longs: Array[Option[Long]] =
+      lits.iterator.map(_.asInstanceOf[Lit].value: Any).map {
+        case l: java.lang.Long => Some(l.longValue())
+        case i: java.lang.Integer => Some(i.longValue())
+        case _ => None // non-integral literal
+      }.toArray
+    if (longs.forall(_.isDefined)) Some(longs.flatten.sorted.distinct)
+    else None
+  }
+
   override def filter(predicates: Array[Predicate]): Unit =
     predicates.foreach { p =>
-      if (p.name() == "IN" && p.children().nonEmpty) {
-        val onId = p.children()(0) match {
-          case nr: NamedReference => nr.fieldNames.length == 1 &&
-            nr.fieldNames()(0).equalsIgnoreCase(SeqSource.ID)
-          case _ => false
-        }
-        type Lit = org.apache.spark.sql.connector.expressions.Literal[_]
-        val lits = p.children().drop(1)
-        if (onId && lits.forall(_.isInstanceOf[Lit])) {
-          val longs: Array[Option[Long]] =
-            lits.iterator.map(_.asInstanceOf[Lit].value: Any).map {
-              case l: java.lang.Long => Some(l.longValue())
-              case i: java.lang.Integer => Some(i.longValue())
-              case _ => None // non-integral literal: ignore this filter
-            }.toArray
-          if (!longs.forall(_.isDefined)) return
-          val vals: Array[Long] = longs.flatten.sorted.distinct
-          // intersect with any earlier runtime set; clamp the range hull
-          idSet = if (idSet == null) vals
-            else vals.filter(java.util.Arrays.binarySearch(idSet, _) >= 0)
-          if (idSet.isEmpty) { lo = hi }
-          else {
-            lo = math.max(lo, idSet.head)
-            hi = math.min(hi, idSet.last + 1L)
-          }
+      inIdSet(p).foreach { vals =>
+        // intersect with any earlier runtime set; clamp the range hull
+        idSet = if (idSet == null) vals
+          else vals.filter(java.util.Arrays.binarySearch(idSet, _) >= 0)
+        if (idSet.isEmpty) { lo = hi }
+        else {
+          lo = math.max(lo, idSet.head)
+          hi = math.min(hi, idSet.last + 1L)
         }
       }
     }

@@ -381,6 +381,22 @@ class DsvSourceSpec extends AnyFunSuite {
     spark.catalog.dropTempView(sink)
   }
 
+  test("micro-batch stream works on a clustered table too") {
+    // the table advertises MICRO_BATCH_READ unconditionally, so the
+    // clustered scan must serve a stream rather than throw at start
+    val sink = "seq_cstream_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = spark.readStream.format("graft-seq")
+      .option("end", 512).option("cluster", "bucket")
+      .option("rowsPerBatch", 256).load()
+      .writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(180000), "stream must drain and stop")
+    finally q.stop()
+    assert(spark.table(sink).count() === 512)
+    spark.catalog.dropTempView(sink)
+  }
+
   // ---- columnar read path --------------------------------------------------
 
   test("graft-seq scans are columnar: ColumnarToRow bridge, exact rows") {

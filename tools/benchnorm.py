@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Per-query normalized bench comparison (the round-11 verdict's ask).
 
-Usage: python3 tools/benchnorm.py <current> <anchor> [--full]
+Usage: python3 tools/benchnorm.py <current> <anchor> [--tol=0.05]
 
 Compares two bench artifacts per query, normalizing each query's wall
 time by the calibration probes measured NEXT TO IT, so a cross-round
@@ -84,7 +84,10 @@ def main(argv):
     flags = {a.split("=")[0]: a for a in argv if a.startswith("--")}
     if len(args) != 2:
         sys.exit(__doc__)
-    tol = float(flags.get("--tol", "--tol=0.05").split("=")[1])
+    tol_flag = flags.get("--tol", "--tol=0.05")
+    if "=" not in tol_flag:
+        sys.exit("usage: --tol=<fraction>, e.g. --tol=0.05")
+    tol = float(tol_flag.split("=", 1)[1])
     cur_q, cur_c, cur_m, cur_cm, cur_mm, cur_total, cur_kind = load(args[0])
     anc_q, anc_c, anc_m, anc_cm, anc_mm, anc_total, anc_kind = load(args[1])
 
@@ -108,6 +111,14 @@ def main(argv):
         raw = a / b
         cr = calib_ratio(name)
         rows.append((name, a, b, raw, raw / cr if cr > 0 else raw))
+    if not rows:
+        # disjoint query sets: nothing was actually compared — a close
+        # gated on this tool must FAIL here, not pass vacuously
+        print(f"NO_OVERLAP: zero common queries between {args[0]} and "
+              f"{args[1]} — nothing compared")
+        print(json.dumps({"common": 0, "verdict": "NO_OVERLAP",
+                          "tolerance": tol}))
+        return 2
 
     raw_total = sum(r[1] for r in rows) / max(sum(r[2] for r in rows), 1e-9)
     spin_r = (cur_cm / anc_cm) if (cur_cm and anc_cm) else None
