@@ -47,6 +47,85 @@ object Relational {
   private def avgMoney(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(c)
 
+  /** Fused positional-bin partial statistics (q142/q151/q161).
+    *
+    * Semantically identical to `ordered.rdd.zipWithIndex` → n-row
+    * DataFrame → per-bin count/min/max aggregate, but the bin
+    * assignment and the partial aggregation happen inside ONE pass over
+    * each sorted partition: `binOf` is monotone in the global index, so
+    * every bin a partition touches is a contiguous run of its rows, and
+    * the partition emits one partial row per run (≤ rows/binSize + 1)
+    * instead of one indexed row per input row. The lineage discipline
+    * is exactly zipWithIndex's — one count job over the sorted shuffle
+    * output pins the per-partition offsets, one mapped read of the same
+    * shuffle files computes the partials — so the §16.8 determinism
+    * argument (single lineage, no forked range exchange) carries over
+    * unchanged; only the n-row createDataFrame round-trip and the n-row
+    * hash aggregate that followed it are removed. At 100 TB the
+    * partials are ~(#partitions + #bins) rows — metadata scale.
+    *
+    * `ordered` must hold exactly the Long/Double value columns whose
+    * per-bin min/max are wanted, already range-partitioned and sorted.
+    * Returns (bin, cnt, <c>_lo, <c>_hi per value column); callers
+    * finish with a tiny final groupBy(bin).
+    */
+  private def binPartials(s: SparkSession, ordered: DataFrame,
+                          binOf: Long => Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val fields = ordered.schema.fields
+    val nCols = fields.length
+    val isLong = fields.map(_.dataType == LongType)
+    val outSchema = StructType(
+      StructField("bin", LongType, nullable = false) +:
+      StructField("cnt", LongType, nullable = false) +:
+      fields.flatMap(f => Seq(
+        StructField(f.name + "_lo", f.dataType, nullable = false),
+        StructField(f.name + "_hi", f.dataType, nullable = false))).toSeq)
+    val partials = ordered.rdd.zipWithIndex().mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var curBin = 0L
+      var cnt = 0L
+      val lo = new Array[Any](nCols)
+      val hi = new Array[Any](nCols)
+      def flush(): Unit = if (cnt > 0) {
+        val vals = new Array[Any](2 + 2 * nCols)
+        vals(0) = curBin
+        vals(1) = cnt
+        var i = 0
+        while (i < nCols) { vals(2 + 2 * i) = lo(i); vals(3 + 2 * i) = hi(i); i += 1 }
+        out += Row.fromSeq(vals.toIndexedSeq)
+      }
+      it.foreach { case (r, idx) =>
+        val b = binOf(idx)
+        if (b != curBin || cnt == 0) {
+          flush()
+          curBin = b
+          cnt = 0
+          java.util.Arrays.fill(lo.asInstanceOf[Array[AnyRef]], null)
+          java.util.Arrays.fill(hi.asInstanceOf[Array[AnyRef]], null)
+        }
+        cnt += 1
+        var i = 0
+        while (i < nCols) {
+          if (isLong(i)) {
+            val v = r.getLong(i)
+            if (lo(i) == null || v < lo(i).asInstanceOf[Long]) lo(i) = v
+            if (hi(i) == null || v > hi(i).asInstanceOf[Long]) hi(i) = v
+          } else {
+            val v = r.getDouble(i)
+            if (lo(i) == null || v < lo(i).asInstanceOf[Double]) lo(i) = v
+            if (hi(i) == null || v > hi(i).asInstanceOf[Double]) hi(i) = v
+          }
+          i += 1
+        }
+      }
+      flush()
+      out.iterator
+    }
+    s.createDataFrame(partials, outSchema)
+  }
+
   /** MERGE/upsert: `delta` rows win per `key`; `base` rows survive only
     * where no delta key matches; the base is scanned exactly once. Both
     * inputs must share `delta`'s schema.
@@ -1292,17 +1371,14 @@ object Relational {
         .repartitionByRange(s.sparkContext.defaultParallelism,
           col("v"), col("l_orderkey"), col("l_linenumber"))
         .sortWithinPartitions("v", "l_orderkey", "l_linenumber")
-      val ranked = s.createDataFrame(
-        sorted.select(col("v")).rdd.zipWithIndex()
-          .map { case (row, i) => (row.getDouble(0), i + 1) })
-        .toDF("v", "rk")
-      ranked
-        .withColumn("bucket", expr(
-          s"CAST(CASE WHEN rk <= ${r * (q + 1)} THEN (rk - 1) DIV ${q + 1} " +
-          s"ELSE $r + (rk - 1 - ${r * (q + 1)}) DIV $q END AS BIGINT)"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
-          max(col("v")).as("hi"))
+      // the same ntile arithmetic as the oracle, applied to the
+      // zipWithIndex position inside the fused single pass (rk = idx+1)
+      val head = r * (q + 1)
+      binPartials(s, sorted.select(col("v")),
+          idx => if (idx < head) idx / (q + 1) else r + (idx - head) / q)
+        .groupBy(col("bin").as("bucket"))
+        .agg(sum(col("cnt")).as("n_rows"), min(col("v_lo")).as("lo"),
+          max(col("v_hi")).as("hi"))
         .orderBy(col("bucket"))
     },
 
@@ -1363,12 +1439,9 @@ object Relational {
         val sorted = li
           .repartitionByRange(s.sparkContext.defaultParallelism, keys: _*)
           .sortWithinPartitions(keys: _*)
-        s.createDataFrame(
-            sorted.select(col("v")).rdd.zipWithIndex()
-              .map { case (row, i) => (row.getLong(0), i / binRows) })
-          .toDF("v", "bin")
+        binPartials(s, sorted.select(col("v")), _ / binRows)
           .groupBy(col("bin"))
-          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .agg(min(col("v_lo")).as("lo"), max(col("v_hi")).as("hi"))
           .select(lit(layout).as("layout"), col("bin"), col("lo"), col("hi"))
       }
       val bins = binStats("natural", Seq(col("l_orderkey"), col("l_linenumber")))
@@ -1453,13 +1526,10 @@ object Relational {
         val sorted = base
           .repartitionByRange(s.sparkContext.defaultParallelism, keys: _*)
           .sortWithinPartitions(keys: _*)
-        s.createDataFrame(
-            sorted.select(col("x"), col("y")).rdd.zipWithIndex()
-              .map { case (r, i) => (r.getLong(0), r.getLong(1), i / binRows) })
-          .toDF("x", "y", "bin")
+        binPartials(s, sorted.select(col("x"), col("y")), _ / binRows)
           .groupBy(col("bin"))
-          .agg(min(col("x")).as("xlo"), max(col("x")).as("xhi"),
-            min(col("y")).as("ylo"), max(col("y")).as("yhi"))
+          .agg(min(col("x_lo")).as("xlo"), max(col("x_hi")).as("xhi"),
+            min(col("y_lo")).as("ylo"), max(col("y_hi")).as("yhi"))
           .select(lit(layout).as("layout"), col("bin"),
             col("xlo"), col("xhi"), col("ylo"), col("yhi"))
       }
