@@ -742,6 +742,58 @@ object Dedup {
         .limit(20)
     },
 
+    // ----- ingest-time near-dup: LSH bucket occupancy as STREAM state ------
+    // q30 re-derives near-dup candidates from a corpus snapshot; the
+    // ingest-time complement ([[graft.streaming.Streams.nearDupIngest]])
+    // holds each LSH bucket's earliest occupant as transformWithState
+    // state keyed by (band, bsig) and flags every arriving doc against
+    // everything already ingested — the operator that makes dedup
+    // O(new data) on a 100 TB append log instead of O(corpus) per
+    // snapshot. State per occupied bucket is one long; arrival order is
+    // the survivor priority. Ingest here replays the corpus in one
+    // batch (the backfill contract, exactly q174's batch-mode TWS
+    // execution), where doc_id order ≡ arrival order, so the DuckDB
+    // oracle states the same policy as a band self-join on smaller
+    // doc_id; StreamingSpec runs the identical processor over a real
+    // multi-batch stream and pins the flagged set invariant to batch
+    // boundaries. A doc is near-dup iff ANY of its bands hit an
+    // occupied bucket — the q30 candidate rule, evaluated incrementally.
+    Q("q193_stream_neardup",
+      s"""WITH sigs AS MATERIALIZED ($MINHASH_SIGS_SQL),
+         |nr AS ($NR_SQL),
+         |bands AS MATERIALIZED ($BANDS_SQL),
+         |dup AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM bands b JOIN bands a
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(dup.doc_id) AS BIGINT) AS n_neardup
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+         |GROUP BY d.lang""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // same batch-mode TWS preamble as q174: RocksDB provider + the
+      // StateStoreCoordinator endpoint touch
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      s.streams.active
+      val r = bandRows(Tables.rowCount(s, d, "documents"))
+      val bands = bandSignatures(minhashSigs(s, d), r)
+        .select(col("doc_id"), col("band").cast("int").as("band"),
+          col("bsig"))
+        .as[graft.streaming.Streams.BandRow]
+      // flagged set: near-dup docs can be a large corpus fraction (a
+      // crawl's norm), so NO broadcast — a plain key join on doc_id
+      val dup = graft.streaming.Streams.nearDupIngest(bands).toDF()
+        .filter(col("dup"))
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(1))
+      Tables.documents(s, d)
+        .join(dup, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), count(col("hit")).as("n_neardup"))
+    },
+
     // ----- SimHash: frequency-weighted token fingerprint -------------------
     // Width derived from corpus count at plan-build (simhashBits): one
     // metadata-cheap count(), the same derive-from-n rule as bandRows.

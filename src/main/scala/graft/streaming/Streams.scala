@@ -240,6 +240,61 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** One LSH band row of a document's MinHash signature — the unit the
+    * ingest-time near-dup detector ([[nearDupIngest]]) is keyed by. */
+  final case class BandRow(doc_id: Long, band: Int, bsig: String)
+
+  /** Per-(doc, band) verdict from [[nearDupIngest]]: `dup` = an
+    * earlier-ingested doc already occupied this band's bucket. */
+  final case class BandHit(doc_id: Long, band: Int, dup: Boolean)
+
+  /** Near-duplicate detection AT INGEST. The batch near-dup family
+    * (q30/q49) re-derives candidates from a corpus snapshot; a 100 TB
+    * ingest pipeline instead holds the LSH bucket occupancy as
+    * STREAMING STATE and flags each arriving doc against everything
+    * already ingested — no corpus re-clustering, one state probe per
+    * band per doc. Keyed by (band, bsig); state per occupied bucket is
+    * ONE long (the bucket's earliest occupant), so total state is
+    * bounded by the number of distinct buckets ever hit — never the
+    * corpus, never the signatures.
+    *
+    * Arrival order is the dedup priority (the first occupant of a
+    * bucket is the survivor). Within one micro-batch a bucket's rows
+    * arrive unordered, so the processor sorts the batch's ids and
+    * applies the same earliest-wins rule — which makes the flagged set
+    * INVARIANT to micro-batch boundaries whenever ingest order is
+    * monotone in doc_id (the append-log norm): "already ingested" is
+    * then exactly "smaller doc_id", the policy a batch backfill states
+    * as a band self-join. StreamingSpec pins that invariance on a real
+    * multi-batch stream vs the one-batch backfill. */
+  def nearDupIngest(bands: Dataset[BandRow]): Dataset[BandHit] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(b => (b.band, b.bsig))
+      .transformWithState(new NearDupProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Bucket-occupancy processor for [[nearDupIngest]]: ValueState =
+    * the smallest doc_id ever seen in this (band, bsig) bucket. */
+  private[streaming] class NearDupProcessor
+      extends StatefulProcessor[(Int, String), BandRow, BandHit] {
+    @transient private var minSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      minSeen = getHandle.getValueState[Long]("min_seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, String), rows: Iterator[BandRow],
+        timerValues: TimerValues): Iterator[BandHit] = {
+      val ids = rows.map(_.doc_id).toArray
+      java.util.Arrays.sort(ids)
+      val prior = if (minSeen.exists()) minSeen.get() else Long.MaxValue
+      val floor = math.min(prior, ids(0))
+      minSeen.update(floor)
+      ids.iterator.map(id => BandHit(id, key._1, id > floor))
+    }
+  }
+
   /** Per-user running-stats processor for [[incrementalStatsTws]]:
     * folds each batch's rows into a single `ValueState[UserStats]` and
     * emits the updated row. */

@@ -456,6 +456,55 @@ class StreamingSpec extends AnyFunSuite {
       s"single-batch run: ${emitted.length} rows for ${expected.size} users")
   }
 
+  test("near-dup ingest flags the same docs across micro-batch boundaries") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.Streams.BandRow
+    // id-ordered ingest split across three micro-batches: bucket state
+    // must carry across batches (doc 3 duplicates doc 2 cross-batch)
+    // and in-batch order must not matter (docs 4/5 share a bucket in
+    // one batch). Expected flagged set = {2 (band 0 vs 1),
+    // 3 (band 1 vs 2, cross-batch), 5 (band 0 vs 4, same-batch)}.
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[BandRow]
+      val q = Streams.nearDupIngest(input.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("neardup_out")
+        .start()
+      input.addData(BandRow(1, 0, "aa"), BandRow(1, 1, "xx"),
+        BandRow(2, 0, "aa"), BandRow(2, 1, "yy"))
+      q.processAllAvailable()
+      input.addData(BandRow(3, 0, "bb"), BandRow(3, 1, "yy"))
+      q.processAllAvailable()
+      input.addData(BandRow(5, 0, "cc"), BandRow(5, 1, "ww"),
+        BandRow(4, 0, "cc"), BandRow(4, 1, "zz"))
+      q.processAllAvailable()
+      q.stop()
+      val flagged = spark.table("neardup_out").filter(col("dup"))
+        .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+      assert(flagged == Seq(2L, 3L, 5L))
+      // backfill parity: the SAME processor over the same rows as ONE
+      // batch (q193's execution mode) flags the identical set
+      val allRows = Seq(BandRow(1, 0, "aa"), BandRow(1, 1, "xx"),
+        BandRow(2, 0, "aa"), BandRow(2, 1, "yy"),
+        BandRow(3, 0, "bb"), BandRow(3, 1, "yy"),
+        BandRow(5, 0, "cc"), BandRow(5, 1, "ww"),
+        BandRow(4, 0, "cc"), BandRow(4, 1, "zz"))
+      val batchFlagged = Streams.nearDupIngest(allRows.toDS()).toDF()
+        .filter(col("dup")).select("doc_id").distinct()
+        .as[Long].collect().sorted.toSeq
+      assert(batchFlagged == flagged)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("rate source: watermarked window agg holds state bounded on a live stream") {
     // A GENUINELY unbounded built-in source (wall-clock rows, no end):
     // values are deterministic (0,1,2,...) but timing is not, so the
