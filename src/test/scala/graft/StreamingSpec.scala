@@ -505,6 +505,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup ingest state is one row per occupied bucket (statestore read)") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.Streams.BandRow
+    // the 100 TB claim behind q193: state is bounded by the number of
+    // occupied LSH buckets, never the corpus — pinned by checkpointing
+    // a run and READING the state store offline (the q175 pattern):
+    // exactly one "min_seen" row per distinct (band, bsig), holding the
+    // bucket's earliest occupant.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-neardup-ckpt").toString
+      val rows = (1L to 40L).flatMap(id => Seq(
+        BandRow(id, 0, s"s${id % 7}"), BandRow(id, 1, s"s${id % 11}")))
+      rows.toDF().write.parquet(s"$root/src")
+      val stream = spark.readStream
+        .schema("doc_id LONG, band INT, bsig STRING")
+        .parquet(s"$root/src").as[BandRow]
+      val q = Streams.nearDupIngest(stream).writeStream
+        .outputMode("append").format("noop")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val state = spark.read.format("statestore")
+        .option("path", s"$root/ckpt").option("stateVarName", "min_seen")
+        .load()
+        .select(col("key._1").as("band"), col("key._2").as("bsig"),
+          col("value.value").as("min_id"))
+        .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+      // 7 occupied buckets on band 0, 11 on band 1 — and nothing else
+      assert(state.length == 18, s"state rows: ${state.length}")
+      val expected = rows.groupBy(b => (b.band, b.bsig))
+        .map { case (k, rs) => k -> rs.map(_.doc_id).min }
+      state.foreach { case (k, got) => assert(got == expected(k), s"$k") }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("rate source: watermarked window agg holds state bounded on a live stream") {
     // A GENUINELY unbounded built-in source (wall-clock rows, no end):
     // values are deterministic (0,1,2,...) but timing is not, so the
