@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -85,6 +86,35 @@ object DsvTable {
         s"graft-dsv supports LONG/INT/DOUBLE/STRING columns only, " +
           s"got ${f.name}: ${f.dataType}")
     }
+
+  /** Task-side temp-file writer shared by the batch and streaming
+    * factories: encodes rows to `tmp`, reports the path + row count in
+    * the commit message; only a job/epoch-level commit on the driver
+    * makes the file visible. */
+  private[sources] def newDataWriter(tmp: HPath, types: Array[DataType],
+      hadoopConf: Configuration, partitionId: Int): DataWriter[InternalRow] = {
+    val fs = tmp.getFileSystem(hadoopConf)
+    val out = fs.create(tmp, false)
+    new DataWriter[InternalRow] {
+      private var rows = 0L
+      override def write(r: InternalRow): Unit = {
+        val line = types.indices.map { i =>
+          DsvTable.encode(if (r.isNullAt(i)) null else r.get(i, types(i)))
+        }.mkString(DsvTable.DELIM.toString)
+        out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
+        rows += 1L
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        DsvCommitMessage(partitionId, tmp.toString, rows)
+      }
+      override def abort(): Unit = {
+        try out.close() catch { case _: Exception => () }
+        fs.delete(tmp, false)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class DsvDataSource extends TableProvider
@@ -127,7 +157,7 @@ final class DsvFileTable(dir: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     () => new DsvScan(dir, tableSchema)
@@ -207,6 +237,12 @@ final case class DsvCommitMessage(partitionId: Int, tmpPath: String,
 final class DsvWrite(dir: String, schema: StructType, queryId: String,
     truncate: Boolean) extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite = {
+    require(!truncate,
+      "graft-dsv streaming write is append-only (epoch-fenced parts); " +
+        "Complete/Update output modes are not supported")
+    new DsvStreamingWrite(dir, schema, queryId)
+  }
   override def description(): String =
     s"graft-dsv $dir truncate=$truncate"
 
@@ -263,26 +299,85 @@ final class DsvWriterFactory(tmpRoot: String, types: Array[DataType],
     // coordinator-fenced winner's path reaches BatchWrite.commit
     val tmp = new HPath(tmpRoot,
       f"p$partitionId%05d-t$taskId-${UUID.randomUUID().toString.take(8)}")
-    val fs = tmp.getFileSystem(conf.value)
-    val out = fs.create(tmp, false)
-    new DataWriter[InternalRow] {
-      private var rows = 0L
-      override def write(r: InternalRow): Unit = {
-        val line = types.indices.map { i =>
-          DsvTable.encode(if (r.isNullAt(i)) null else r.get(i, types(i)))
-        }.mkString(DsvTable.DELIM.toString)
-        out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
-        rows += 1L
-      }
-      override def commit(): WriterCommitMessage = {
-        out.close()
-        DsvCommitMessage(partitionId, tmp.toString, rows)
-      }
-      override def abort(): Unit = {
-        try out.close() catch { case _: Exception => () }
-        fs.delete(tmp, false)
-      }
-      override def close(): Unit = ()
+    DsvTable.newDataWriter(tmp, types, conf.value, partitionId)
+  }
+}
+
+// ---- streaming write path ----------------------------------------------
+
+/** The STREAMING leg of the write contract (TableCapability
+  * STREAMING_WRITE): each micro-batch flows through the same
+  * temp-then-rename protocol as a batch job, published as an
+  * epoch-fenced APPEND — parts named `part-e<epoch>-<pid>`, plus an
+  * `_epoch-<id>` marker that makes the commit IDEMPOTENT: after a
+  * restart Spark may re-execute and re-commit the last epoch of its
+  * checkpointed offset log, and the marker check turns that replay
+  * into a temp-discarding no-op instead of doubled rows — the
+  * connector-side half of streaming exactly-once (the other half is
+  * the source's replayable offsets, [[SeqMicroBatchStream]]).
+  * Append-only by design: Complete/Update modes would need
+  * per-epoch truncation, which this layout deliberately reserves for
+  * the batch TRUNCATE path. */
+final class DsvStreamingWrite(dir: String, schema: StructType,
+    queryId: String) extends StreamingWrite {
+  private def tmpQueryRoot = new HPath(new HPath(dir, "_tmp"), queryId)
+  private def tmpEpochRoot(epochId: Long) =
+    new HPath(tmpQueryRoot, s"e$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new DsvStreamingWriterFactory(tmpQueryRoot.toString,
+      schema.fields.map(_.dataType),
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val d = new HPath(dir)
+    val fs = d.getFileSystem(new Configuration())
+    fs.mkdirs(d)
+    val marker = new HPath(d, s"_epoch-$epochId")
+    if (fs.exists(marker)) {
+      // replayed epoch after a restart: already published — renaming
+      // this attempt's temps would double the rows
+      cleanupEpochTmp(fs, epochId)
+      return
     }
+    messages.foreach { case DsvCommitMessage(pid, tmp, _) =>
+      fs.rename(new HPath(tmp), new HPath(d, f"part-e$epochId%06d-$pid%05d"))
+    }
+    val ddl = fs.create(new HPath(d, "_schema.ddl"), true)
+    try ddl.write(schema.toDDL.getBytes(StandardCharsets.UTF_8))
+    finally ddl.close()
+    fs.create(marker, true).close()
+    fs.create(new HPath(d, "_SUCCESS"), true).close()
+    cleanupEpochTmp(fs, epochId)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    cleanupEpochTmp(tmpQueryRoot.getFileSystem(new Configuration()), epochId)
+
+  /** Remove the epoch's temp area; drop the per-query and shared
+    * `_tmp` parents only when empty (the batch-path [[DsvWrite]] rule:
+    * a concurrent writer may own a live sibling subtree — the
+    * non-recursive delete refuses then). */
+  private def cleanupEpochTmp(fs: FileSystem, epochId: Long): Unit = {
+    fs.delete(tmpEpochRoot(epochId), true)
+    try { fs.delete(tmpQueryRoot, false); () }
+    catch { case _: java.io.IOException => () }
+    try { fs.delete(tmpQueryRoot.getParent, false); () }
+    catch { case _: java.io.IOException => () }
+  }
+}
+
+final class DsvStreamingWriterFactory(tmpQueryRoot: String,
+    types: Array[DataType], conf: SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val tmp = new HPath(new HPath(tmpQueryRoot, s"e$epochId"),
+      f"p$partitionId%05d-t$taskId-${UUID.randomUUID().toString.take(8)}")
+    DsvTable.newDataWriter(tmp, types, conf.value, partitionId)
   }
 }

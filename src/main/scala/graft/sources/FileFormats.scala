@@ -505,8 +505,72 @@ object FileFormats {
         .groupBy(col("flag"))
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_lines"),
           sum(col("qty")).as("sum_qty"))
+    },
+
+    // ----- DSv2 STREAMING sink (graft-dsv epoch commits, q194) -------------
+    // The write contract's streaming leg ([[DsvStreamingWrite]]): the
+    // same per-order aggregate as q181 flows in as a MULTI-epoch stream
+    // (staged parquet, one file per trigger, ≥4 epochs), each epoch
+    // published by the temp-then-rename protocol as fenced
+    // `part-e<epoch>-<pid>` appends, then the directory is read back
+    // through the connector and re-aggregated. Any row lost at an epoch
+    // boundary, published twice, or leaked from an uncommitted temp is
+    // a hash mismatch against the same oracle as q181. The sink +
+    // checkpoint are FRESH per invocation (the epoch commit protocol is
+    // the operator under test — an accumulating directory would measure
+    // stale state); the staged source is memoized per fixture like
+    // [[evolvedOrdersDir]]. DsvWriteSpec additionally pins the
+    // exactly-once half q194 cannot reach from SQL: a replayed epoch
+    // commit (post-restart re-commit) is a temp-discarding no-op.
+    Q("q194_dsv2_stream_sink",
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, l_orderkey AS okey,
+        |    count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT flag, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_lines,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM g GROUP BY flag""".stripMargin) { (s, d) =>
+      val src = dsvStreamSrcDir.computeIfAbsent(d, { sfDir =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(scratchRoot, "dsv-stream-src").toString + "/t"
+        Tables(s, sfDir, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"),
+            col("l_orderkey").as("okey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+          .repartition(4)
+          .write.parquet(dir)
+        dir
+      })
+      val run = java.nio.file.Files
+        .createTempDirectory(scratchRoot, "dsv-stream-sink").toString
+      val q = s.readStream
+        .schema("flag STRING, okey LONG, n LONG, qty LONG")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.format("graft-dsv")
+        .option("path", s"$run/t")
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q194 stream failed to drain within 300s")
+      }
+      s.read.format("graft-dsv").option("path", s"$run/t").load()
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_lines"),
+          sum(col("qty")).as("sum_qty"))
     }
   )
+
+  /** sfDir → staged multi-file parquet source for q194 (memoized: the
+    * staged aggregate is a function of the fixture; the per-invocation
+    * operator under test is the epoch-fenced SINK, not this stage). */
+  private val dsvStreamSrcDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Per-fixture graft-dsv output directory: STABLE across invocations
     * (unlike [[roundTrip]]'s fresh-per-call dirs) so repeated runs

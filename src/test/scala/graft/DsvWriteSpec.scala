@@ -111,4 +111,75 @@ class DsvWriteSpec extends AnyFunSuite {
         dir)
     }
   }
+
+  test("streaming sink: multi-epoch append, exactly-once across a restart") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-dsv-stream").toString
+    val in = Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/in")).toString
+    val dir = s"$root/t"
+    def runOnce(): Unit = {
+      val q = spark.readStream.text(in)
+        .selectExpr("CAST(value AS BIGINT) AS id")
+        .writeStream.format("graft-dsv")
+        .option("path", dir)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$in/batch1.txt"),
+      (1 to 5).mkString("\n"))
+    runOnce()
+    // restart with the same checkpoint: committed epochs must not
+    // replay into the sink — batch1's rows appear exactly once
+    Files.writeString(java.nio.file.Paths.get(s"$in/batch2.txt"),
+      (6 to 8).mkString("\n"))
+    runOnce()
+    val back = read(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(back == (1L to 8L),
+      s"exactly-once across the restart violated: $back")
+    val files = names(dir)
+    assert(files.count(_.startsWith("part-e")) >= 2, files.toString)
+    assert(files.count(_.startsWith("_epoch-")) >= 2, files.toString)
+    assert(!files.contains("_tmp"), "no temp residue after commits")
+  }
+
+  test("a replayed epoch commit is a temp-discarding no-op (fence)") {
+    // drive the StreamingWrite contract directly: commit epoch 0, then
+    // re-run the epoch (post-restart re-commit of the same epochId) —
+    // the _epoch-0 marker must turn the second publish into a no-op
+    import org.apache.spark.sql.connector.write.PhysicalWriteInfo
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.unsafe.types.UTF8String
+    spark // force the session: the factory resolves SparkSession.active
+    val dir = freshDir()
+    val schema = StructType.fromDDL("id BIGINT, s STRING")
+    val sw = new sources.DsvWriteBuilder(dir, schema, "specq")
+      .build().toStreaming
+    val info = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    def runEpoch(): Unit = {
+      val w = sw.createStreamingWriterFactory(info).createWriter(0, 0L, 0L)
+      w.write(InternalRow(7L, UTF8String.fromString("x")))
+      val msg = w.commit()
+      sw.commit(0L, Array(msg))
+    }
+    runEpoch()
+    runEpoch() // replay of epoch 0
+    val rows = read(dir).collect()
+    assert(rows.length == 1, s"replayed epoch doubled rows: ${rows.length}")
+    assert(names(dir).count(_.startsWith("part-e")) == 1)
+    assert(!names(dir).contains("_tmp"), "replay attempt's temps linger")
+  }
+
+  test("streaming write rejects the truncate regime (append-only)") {
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("id BIGINT")
+    val b = new sources.DsvWriteBuilder(freshDir(), schema, "specq2")
+    intercept[IllegalArgumentException] {
+      b.truncate().build().toStreaming
+    }
+  }
 }
