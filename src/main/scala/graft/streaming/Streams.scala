@@ -275,7 +275,12 @@ object Streams {
   }
 
   /** Bucket-occupancy processor for [[nearDupIngest]]: ValueState =
-    * the smallest doc_id ever seen in this (band, bsig) bucket. */
+    * the smallest doc_id ever seen in this (band, bsig) bucket.
+    * Transient memory per key is the batch's ids for that bucket
+    * (8 B each — the in-batch earliest-wins rule needs the batch's
+    * minimum before any verdict can be emitted), bounded by the
+    * micro-batch admission size, never the corpus; persistent state
+    * stays one long regardless. */
   private[streaming] class NearDupProcessor
       extends StatefulProcessor[(Int, String), BandRow, BandHit] {
     @transient private var minSeen: ValueState[Long] = _
