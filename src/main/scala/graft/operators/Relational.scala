@@ -72,8 +72,16 @@ object Relational {
   private def binPartials(s: SparkSession, ordered: DataFrame,
                           binOf: Long => Long): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val fields = ordered.schema.fields
+    // fail at plan time, not per-row at execute time: the fused pass
+    // reads primitives positionally (no SQL cast/null coercion), so
+    // the value columns must be exactly Long or Double and non-null
+    // (the layout queries project non-null key/measure columns)
+    fields.foreach(f => require(
+      f.dataType == LongType || f.dataType == DoubleType,
+      s"binPartials supports LONG/DOUBLE value columns only, " +
+        s"got ${f.name}: ${f.dataType}"))
     val nCols = fields.length
     val isLong = fields.map(_.dataType == LongType)
     val outSchema = StructType(

@@ -56,6 +56,12 @@ object DsvTable {
   val DELIM = '|'
   val NULL_TOKEN = "\\N"
 
+  /** Age past which an orphaned `_tmp/<queryId>` subtree (a crashed
+    * run's residue) is reaped by the next streaming epoch commit. A
+    * live query's root refreshes its mtime every epoch, so it can
+    * never look stale at micro-batch cadence. */
+  val TMP_REAP_MS: Long = 24L * 3600 * 1000
+
   private[sources] def encode(v: Any): String = v match {
     case null => NULL_TOKEN
     case s: UTF8String =>
@@ -264,11 +270,20 @@ final class DsvWrite(dir: String, schema: StructType, queryId: String,
     val d = new HPath(dir)
     val fs = d.getFileSystem(new Configuration())
     fs.mkdirs(d)
-    if (truncate)
+    if (truncate) {
       fs.globStatus(new HPath(d, "part-*")).foreach(s =>
         fs.delete(s.getPath, false))
+      // a batch overwrite supersedes all streaming history: stale
+      // epoch markers left behind would fence out a future streaming
+      // query that happens to reuse a predecessor's query id
+      fs.globStatus(new HPath(d, "_epoch-*")).foreach(s =>
+        fs.delete(s.getPath, false))
+    }
     messages.foreach { case DsvCommitMessage(pid, tmp, _) =>
-      fs.rename(new HPath(tmp), new HPath(d, f"part-$pid%05d"))
+      val dest = new HPath(d, f"part-$pid%05d")
+      if (!fs.rename(new HPath(tmp), dest))
+        throw new java.io.IOException(
+          s"graft-dsv commit: rename $tmp -> $dest failed")
     }
     val ddl = fs.create(new HPath(d, "_schema.ddl"), true)
     try ddl.write(schema.toDDL.getBytes(StandardCharsets.UTF_8))
@@ -336,7 +351,13 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
     val d = new HPath(dir)
     val fs = d.getFileSystem(new Configuration())
     fs.mkdirs(d)
-    val marker = new HPath(d, s"_epoch-$epochId")
+    // the marker is scoped by the STREAMING QUERY id (stable across
+    // restarts — Spark passes `id.toString`, not the per-run id, as
+    // the write's queryId), so a replay of this query's epoch fences
+    // while a NEW query appending to the same directory — whose epoch
+    // ids restart at 0 — never collides with a predecessor's markers
+    // and silently drops its data
+    val marker = new HPath(d, s"_epoch-$queryId-$epochId")
     if (fs.exists(marker)) {
       // replayed epoch after a restart: already published — renaming
       // this attempt's temps would double the rows
@@ -344,13 +365,29 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
       return
     }
     messages.foreach { case DsvCommitMessage(pid, tmp, _) =>
-      fs.rename(new HPath(tmp), new HPath(d, f"part-e$epochId%06d-$pid%05d"))
+      // part names carry the query id for the same reason the marker
+      // does: two queries appending to one directory both publish an
+      // epoch 0, and unscoped names would collide at rename time
+      val dest = new HPath(d, f"part-e$epochId%06d-$pid%05d-$queryId")
+      // a failed rename must fail the epoch BEFORE the marker exists:
+      // marking a partially-published epoch committed would convert
+      // Spark's recovery replay into a data-losing no-op
+      if (!fs.rename(new HPath(tmp), dest))
+        throw new java.io.IOException(
+          s"graft-dsv epoch $epochId: rename $tmp -> $dest failed")
     }
-    val ddl = fs.create(new HPath(d, "_schema.ddl"), true)
-    try ddl.write(schema.toDDL.getBytes(StandardCharsets.UTF_8))
-    finally ddl.close()
+    // schema is fixed for the query's lifetime: write the DDL only
+    // when absent — an every-epoch overwrite opens a truncation
+    // window for a concurrent inferSchema reader
+    val ddlFile = new HPath(d, "_schema.ddl")
+    if (!fs.exists(ddlFile)) {
+      val ddl = fs.create(ddlFile, false)
+      try ddl.write(schema.toDDL.getBytes(StandardCharsets.UTF_8))
+      finally ddl.close()
+    }
     fs.create(marker, true).close()
-    fs.create(new HPath(d, "_SUCCESS"), true).close()
+    val success = new HPath(d, "_SUCCESS")
+    if (!fs.exists(success)) fs.create(success, false).close()
     cleanupEpochTmp(fs, epochId)
   }
 
@@ -361,12 +398,25 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
   /** Remove the epoch's temp area; drop the per-query and shared
     * `_tmp` parents only when empty (the batch-path [[DsvWrite]] rule:
     * a concurrent writer may own a live sibling subtree — the
-    * non-recursive delete refuses then). */
+    * non-recursive delete refuses then). Sibling query roots whose
+    * mtime is older than [[DsvTable.TMP_REAP_MS]] are reaped too: a
+    * crashed run's temps would otherwise outlive it forever (its
+    * restart gets the same queryId but new epoch dirs, and a DIFFERENT
+    * query's cleanup never touches them) — a live writer's root cannot
+    * look stale because every epoch refreshes its mtime. */
   private def cleanupEpochTmp(fs: FileSystem, epochId: Long): Unit = {
     fs.delete(tmpEpochRoot(epochId), true)
+    val shared = tmpQueryRoot.getParent
+    try {
+      val cutoff = System.currentTimeMillis() - DsvTable.TMP_REAP_MS
+      fs.listStatus(shared)
+        .filter(st => st.isDirectory && st.getPath != tmpQueryRoot &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    } catch { case _: java.io.IOException => () }
     try { fs.delete(tmpQueryRoot, false); () }
     catch { case _: java.io.IOException => () }
-    try { fs.delete(tmpQueryRoot.getParent, false); () }
+    try { fs.delete(shared, false); () }
     catch { case _: java.io.IOException => () }
   }
 }

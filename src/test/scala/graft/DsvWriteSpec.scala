@@ -172,6 +172,17 @@ class DsvWriteSpec extends AnyFunSuite {
     assert(rows.length == 1, s"replayed epoch doubled rows: ${rows.length}")
     assert(names(dir).count(_.startsWith("part-e")) == 1)
     assert(!names(dir).contains("_tmp"), "replay attempt's temps linger")
+    // the fence is scoped by the STREAMING QUERY id: a NEW query
+    // appending to this directory restarts its epoch ids at 0, and its
+    // epoch 0 must publish — a shared marker namespace would silently
+    // discard it as a "replay"
+    val sw2 = new sources.DsvWriteBuilder(dir, schema, "specq-other")
+      .build().toStreaming
+    val w2 = sw2.createStreamingWriterFactory(info).createWriter(0, 0L, 0L)
+    w2.write(InternalRow(8L, UTF8String.fromString("y")))
+    sw2.commit(0L, Array(w2.commit()))
+    assert(read(dir).collect().length == 2,
+      "a new query's epoch 0 was fenced out by a predecessor's marker")
   }
 
   test("streaming write rejects the truncate regime (append-only)") {
