@@ -253,6 +253,7 @@ object Dedup {
     simhashes(s, d, simhashBits(Tables.rowCount(s, d, "documents")))
     setsimPrefix(s, d)     // AllPairs prefix index (q134)
     setsimProfiles(s, d)   // per-doc profile arrays (q134/q177/q180 verify)
+    setsimPairs(s, d)      // exact pair set (q177 ground truth)
     ()
   }
 
