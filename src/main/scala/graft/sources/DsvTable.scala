@@ -56,12 +56,6 @@ object DsvTable {
   val DELIM = '|'
   val NULL_TOKEN = "\\N"
 
-  /** Age past which an orphaned `_tmp/<queryId>` subtree (a crashed
-    * run's residue) is reaped by the next streaming epoch commit. A
-    * live query's root refreshes its mtime every epoch, so it can
-    * never look stale at micro-batch cadence. */
-  val TMP_REAP_MS: Long = 24L * 3600 * 1000
-
   private[sources] def encode(v: Any): String = v match {
     case null => NULL_TOKEN
     case s: UTF8String =>
@@ -278,6 +272,18 @@ final class DsvWrite(dir: String, schema: StructType, queryId: String,
       // query that happens to reuse a predecessor's query id
       fs.globStatus(new HPath(d, "_epoch-*")).foreach(s =>
         fs.delete(s.getPath, false))
+    } else {
+      // batch part names (`part-%05d`, the reference layout) are not
+      // job-unique, so appending into a non-empty table would collide
+      // mid-rename and strand a partial mix of old and new parts.
+      // Refuse BEFORE any rename — append-style accumulation is the
+      // streaming sink's epoch-fenced job.
+      val existing = fs.globStatus(new HPath(d, "part-*"))
+      if (existing != null && existing.nonEmpty)
+        throw new IllegalStateException(
+          s"graft-dsv batch write into non-empty $dir requires overwrite " +
+            "(TRUNCATE); for append-style accumulation use the streaming " +
+            "sink, whose part names are epoch- and query-scoped")
     }
     messages.foreach { case DsvCommitMessage(pid, tmp, _) =>
       val dest = new HPath(d, f"part-$pid%05d")
@@ -332,7 +338,10 @@ final class DsvWriterFactory(tmpRoot: String, types: Array[DataType],
   * the source's replayable offsets, [[SeqMicroBatchStream]]).
   * Append-only by design: Complete/Update modes would need
   * per-epoch truncation, which this layout deliberately reserves for
-  * the batch TRUNCATE path. */
+  * the batch TRUNCATE path. Markers and part names are query-scoped
+  * as of the round-12 hardening; directories written by the earlier
+  * unscoped protocol are outside the compat contract (a legacy-marker
+  * shim would reintroduce the silent-discard bug for new queries). */
 final class DsvStreamingWrite(dir: String, schema: StructType,
     queryId: String) extends StreamingWrite {
   private def tmpQueryRoot = new HPath(new HPath(dir, "_tmp"), queryId)
@@ -369,25 +378,45 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
       // does: two queries appending to one directory both publish an
       // epoch 0, and unscoped names would collide at rename time
       val dest = new HPath(d, f"part-e$epochId%06d-$pid%05d-$queryId")
-      // a failed rename must fail the epoch BEFORE the marker exists:
-      // marking a partially-published epoch committed would convert
-      // Spark's recovery replay into a data-losing no-op
-      if (!fs.rename(new HPath(tmp), dest))
-        throw new java.io.IOException(
+      // a failed rename must fail the epoch BEFORE the marker exists
+      // (marking a partially-published epoch committed would convert
+      // Spark's recovery replay into a data-losing no-op) — EXCEPT
+      // when the destination already exists: dest names are unique to
+      // (query, epoch, partition), so an existing dest can only be a
+      // prior attempt of THIS epoch that crashed between its renames
+      // and its marker. Treating it as published keeps the replay
+      // idempotent instead of livelocking on rename-returns-false
+      // filesystems (HDFS, object stores).
+      if (!fs.rename(new HPath(tmp), dest)) {
+        if (fs.exists(dest)) fs.delete(new HPath(tmp), false)
+        else throw new java.io.IOException(
           s"graft-dsv epoch $epochId: rename $tmp -> $dest failed")
+      }
     }
-    // schema is fixed for the query's lifetime: write the DDL only
-    // when absent — an every-epoch overwrite opens a truncation
-    // window for a concurrent inferSchema reader
+    // schema is fixed for the query's lifetime: publish the DDL once,
+    // via temp + rename — an every-epoch overwrite opens a truncation
+    // window for concurrent inferSchema readers, and a direct
+    // create(absent) leaves a permanently empty file if the writer
+    // dies mid-write (no later epoch would repair it). The temp lives
+    // in this epoch's temp dir, so every cleanup path collects it; a
+    // racing same-directory query's rename winning is fine (first
+    // writer wins, both wrote the same role of file).
     val ddlFile = new HPath(d, "_schema.ddl")
     if (!fs.exists(ddlFile)) {
-      val ddl = fs.create(ddlFile, false)
+      val ddlTmp = new HPath(tmpEpochRoot(epochId), "_schema.ddl.tmp")
+      val ddl = fs.create(ddlTmp, true)
       try ddl.write(schema.toDDL.getBytes(StandardCharsets.UTF_8))
       finally ddl.close()
+      if (!fs.rename(ddlTmp, ddlFile)) fs.delete(ddlTmp, false)
     }
     fs.create(marker, true).close()
+    // _SUCCESS is advisory: tolerate a concurrent same-directory
+    // query creating it between the exists check and ours
     val success = new HPath(d, "_SUCCESS")
-    if (!fs.exists(success)) fs.create(success, false).close()
+    if (!fs.exists(success)) {
+      try fs.create(success, false).close()
+      catch { case _: java.io.IOException => () }
+    }
     cleanupEpochTmp(fs, epochId)
   }
 
@@ -395,28 +424,30 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
       messages: Array[WriterCommitMessage]): Unit =
     cleanupEpochTmp(tmpQueryRoot.getFileSystem(new Configuration()), epochId)
 
-  /** Remove the epoch's temp area; drop the per-query and shared
-    * `_tmp` parents only when empty (the batch-path [[DsvWrite]] rule:
-    * a concurrent writer may own a live sibling subtree — the
-    * non-recursive delete refuses then). Sibling query roots whose
-    * mtime is older than [[DsvTable.TMP_REAP_MS]] are reaped too: a
-    * crashed run's temps would otherwise outlive it forever (its
-    * restart gets the same queryId but new epoch dirs, and a DIFFERENT
-    * query's cleanup never touches them) — a live writer's root cannot
-    * look stale because every epoch refreshes its mtime. */
+  /** Remove the epoch's temp area plus any DEAD sibling epoch dirs of
+    * THIS query: epochs are strictly sequential within a query, so on
+    * committing epoch N every `e<M>` with M ≤ N is residue of a
+    * crashed previous RUN (same stable queryId) and safe to reap — no
+    * mtime heuristic, and never another writer's subtree (a concurrent
+    * query shares only the `_tmp` parent, which is dropped non-
+    * recursively and only when empty, the batch-path [[DsvWrite]]
+    * rule). A query id abandoned forever (checkpoint deleted, never
+    * restarted) leaks its last in-flight epoch dir — the deliberate
+    * price of refusing to guess at live concurrent writers. */
   private def cleanupEpochTmp(fs: FileSystem, epochId: Long): Unit = {
     fs.delete(tmpEpochRoot(epochId), true)
-    val shared = tmpQueryRoot.getParent
     try {
-      val cutoff = System.currentTimeMillis() - DsvTable.TMP_REAP_MS
-      fs.listStatus(shared)
-        .filter(st => st.isDirectory && st.getPath != tmpQueryRoot &&
-          st.getModificationTime < cutoff)
+      fs.listStatus(tmpQueryRoot)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("e") && n.length > 1 &&
+            n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= epochId
+        }
         .foreach(st => fs.delete(st.getPath, true))
     } catch { case _: java.io.IOException => () }
     try { fs.delete(tmpQueryRoot, false); () }
     catch { case _: java.io.IOException => () }
-    try { fs.delete(shared, false); () }
+    try { fs.delete(tmpQueryRoot.getParent, false); () }
     catch { case _: java.io.IOException => () }
   }
 }

@@ -185,6 +185,52 @@ class DsvWriteSpec extends AnyFunSuite {
       "a new query's epoch 0 was fenced out by a predecessor's marker")
   }
 
+  test("replay after a crash between renames and marker recovers, rows once") {
+    // crash window: epoch 0's parts renamed into place, driver died
+    // before _epoch marker creation. The replay's renames hit existing
+    // destinations — which must read as "prior attempt published this
+    // partition", not an error (rename-returns-false filesystems would
+    // otherwise livelock the query on every replay).
+    import org.apache.spark.sql.connector.write.PhysicalWriteInfo
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.unsafe.types.UTF8String
+    spark // force the session: the factory resolves SparkSession.active
+    val dir = freshDir()
+    val schema = StructType.fromDDL("id BIGINT")
+    val sw = new sources.DsvWriteBuilder(dir, schema, "specq3")
+      .build().toStreaming
+    val info = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    def attempt(): Unit = {
+      val w = sw.createStreamingWriterFactory(info).createWriter(0, 0L, 0L)
+      w.write(InternalRow(42L))
+      sw.commit(0L, Array(w.commit()))
+    }
+    attempt()
+    // simulate the crash window: marker gone, part present
+    val marker = names(dir).find(_.startsWith("_epoch-")).get
+    assert(new java.io.File(dir, marker).delete())
+    attempt() // the replay
+    val rows = read(dir).collect()
+    assert(rows.length == 1, s"recovery replay doubled rows: ${rows.length}")
+    assert(names(dir).exists(_.startsWith("_epoch-")), "marker not restored")
+    assert(!names(dir).contains("_tmp"), "replay temps linger")
+  }
+
+  test("batch append into a non-empty table is refused before any rename") {
+    import spark.implicits._
+    val dir = freshDir()
+    write(Seq((1L, "a")).toDF("n", "s"), dir)
+    val e = intercept[Exception] {
+      Seq((2L, "b")).toDF("n", "s").write.format("graft-dsv")
+        .mode("append").option("path", dir).save()
+    }
+    assert(e.getMessage != null)
+    // the refusal is atomic: the original table is untouched
+    assert(read(dir).collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq((1L, "a")))
+  }
+
   test("streaming write rejects the truncate regime (append-only)") {
     import org.apache.spark.sql.types.StructType
     val schema = StructType.fromDDL("id BIGINT")
