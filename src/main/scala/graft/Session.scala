@@ -47,6 +47,19 @@ object Session {
       // AQE re-plans at runtime: skew-join splitting and partition
       // coalescing are the 100 TB safety nets for every shuffle here.
       .config("spark.sql.adaptive.enabled", "true")
+      // One state-store provider for the whole session, chosen at
+      // construction: transformWithState (q174/q193, the q175
+      // checkpoint) supports ONLY RocksDB, and a per-query
+      // `conf.set` cannot be save/restored around a lazily-executed
+      // DataFrame (the conf is read at execution, after the builder
+      // returns) — so the old per-query sets silently switched the
+      // provider for every later streaming query in the session.
+      // RocksDB is also the 100 TB answer for the rest of the
+      // streaming surface: changelog-checkpointable, spill-free state
+      // far beyond executor heap.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
       // Storage-partitioned join: honor a DSv2 scan's reported
       // KeyGroupedPartitioning (graft-seq's cluster=bucket mode) so
       // co-clustered fact⋈fact joins plan with zero exchange; off by

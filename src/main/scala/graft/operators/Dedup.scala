@@ -772,11 +772,10 @@ object Dedup {
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
          |GROUP BY d.lang""".stripMargin) { (s, d) =>
       import s.implicits._
-      // same batch-mode TWS preamble as q174: RocksDB provider + the
-      // StateStoreCoordinator endpoint touch
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+      // same batch-mode TWS preamble as q174: the RocksDB provider TWS
+      // requires is session-level (Session.scala — a per-query set here
+      // would leak into every later streaming query, ADVICE r12); touch
+      // the StateStoreCoordinator endpoint so batch execution resolves it
       s.streams.active
       val r = bandRows(Tables.rowCount(s, d, "documents"))
       val bands = bandSignatures(minhashSigs(s, d), r)

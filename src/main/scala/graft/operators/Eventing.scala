@@ -1064,10 +1064,9 @@ object Eventing {
       import s.implicits._
       // TWS requires the RocksDB provider in batch mode too (the
       // transient per-batch state still goes through a real store);
-      // session-scoped and idempotent.
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+      // set once at session construction (Session.scala) — a per-query
+      // set here would silently switch the provider for every later
+      // streaming query in the session (ADVICE r12).
       // Batch execution still resolves the driver's
       // StateStoreCoordinator RPC endpoint, which only registers when
       // the session's StreamingQueryManager is instantiated — touch it
@@ -1100,9 +1099,7 @@ object Eventing {
         |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val ckpt = twsCheckpointDir.computeIfAbsent(d, { sfDir =>
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state." +
-            "RocksDBStateStoreProvider")
+        // RocksDB provider is the session default (Session.scala)
         val root = java.nio.file.Files
           .createTempDirectory("graft-tws-ckpt").toString
         // stage the fixture through Tables.events once so the stream's

@@ -161,6 +161,11 @@ object Relational {
 
   private def day(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** q166's ranks-per-round batching constant (see the query comment).
+    * `graft.q166.chunk` overrides for tuning experiments only. */
+  private val Q166_CHUNK =
+    sys.props.get("graft.q166.chunk").map(_.toInt).getOrElse(8)
+
   /** q58's single source of truth: runs verbatim in BOTH engines. */
   private val SHARED_SQL_Q58 =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
@@ -1258,7 +1263,8 @@ object Relational {
           row_number().over(Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))
       val chunked = ranked
-        .groupBy(col("cust"), expr("CAST((rn - 1) div 8 AS INT)").as("ck"))
+        .groupBy(col("cust"),
+          expr(s"CAST((rn - 1) div $Q166_CHUNK AS INT)").as("ck"))
         .agg(sort_array(collect_list(struct(col("rn"), col("amt"))))
           .as("steps"))
         .persist()

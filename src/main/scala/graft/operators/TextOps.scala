@@ -1119,6 +1119,56 @@ object TextOps {
       MapReduce.reduceCount(MapReduce.wcMapTr(lines))
     },
 
+    // ----- the reference's OWN corpus + executables vs its golden output ----
+    // The two integration goldens (tests/test_integration_01.py:35,
+    // test_integration_00.py:35) promoted into the driver gate: the
+    // reference's wc_map.sh/wc_reduce.sh (and grep_map.py/
+    // grep_reduce.py) run VERBATIM over tests/testdata/input through
+    // the full runPipe pipeline — text-dir scan, subprocess map, MD5
+    // partition routing, per-partition byte sort, subprocess reduce,
+    // part-%05d sink — and the parsed part files are hash-compared
+    // against the reference's own golden output, which the oracle
+    // reads straight from tests/testdata/correct/. These queries
+    // ignore sfDir by design (the corpus under test IS the
+    // reference's). One reducer, the integration tests' contract.
+    Q("q195_ref_wordcount_golden",
+      """SELECT COALESCE(key, '') AS key, CAST(value AS BIGINT) AS n
+        |FROM read_csv(
+        |  '/root/reference/tests/testdata/correct/word_count_correct.txt',
+        |  header=false, delim='\t', quote='', escape='',
+        |  columns={'key': 'VARCHAR', 'value': 'VARCHAR'})""".stripMargin) {
+      (s, _) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-refwc").toString + "/out"
+      MapReduce.runPipe(s, "/root/reference/tests/testdata/input", out,
+        // wc_map.sh:13 / wc_reduce.sh:14, verbatim
+        mapCmd =
+          """tr '[ \t]' '\n' | tr '[:upper:]' '[:lower:]' | awk '{print $1"\t1"}'""",
+        reduceCmd = """cut -f1 | uniq -c | awk '{print $2"\t"$1}'""",
+        numReducers = 1, numMappers = Some(2))
+      s.read.text(out).select(
+        substring_index(col("value"), "\t", 1).as("key"),
+        substring_index(col("value"), "\t", -1).cast("long").as("n"))
+    },
+
+    Q("q196_ref_grep_golden",
+      """SELECT line
+        |FROM read_csv(
+        |  '/root/reference/tests/testdata/correct/grep_correct.txt',
+        |  header=false, delim='\t', quote='', escape='',
+        |  columns={'line': 'VARCHAR'})""".stripMargin) { (s, _) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-refgrep").toString + "/out"
+      // the reference's actual test executables (default query
+      // "product", grep_map.py:15), via the same subprocess contract
+      // the worker uses
+      MapReduce.runPipe(s, "/root/reference/tests/testdata/input", out,
+        mapCmd = "python3 /root/reference/tests/testdata/exec/grep_map.py",
+        reduceCmd = "python3 /root/reference/tests/testdata/exec/grep_reduce.py",
+        numReducers = 1, numMappers = Some(2))
+      s.read.text(out).select(col("value").as("line"))
+    },
+
     // ----- cross-document repeated-passage detection -------------------------
     // The intra-corpus boilerplate signal (the repeated-passage removal
     // step of web-scale training pipelines): documents are cut into

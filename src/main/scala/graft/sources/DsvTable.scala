@@ -342,6 +342,14 @@ final class DsvWriterFactory(tmpRoot: String, types: Array[DataType],
   * as of the round-12 hardening; directories written by the earlier
   * unscoped protocol are outside the compat contract (a legacy-marker
   * shim would reintroduce the silent-discard bug for new queries). */
+object DsvStreamingWrite {
+  /** Committed-epoch markers kept per query beyond the newest one.
+    * Spark replays at most the last epoch of its offset log after a
+    * restart, so 1 would suffice; a small tail keeps the fence robust
+    * to an operator hand-rolling checkpoint surgery. */
+  val MARKER_TAIL = 2L
+}
+
 final class DsvStreamingWrite(dir: String, schema: StructType,
     queryId: String) extends StreamingWrite {
   private def tmpQueryRoot = new HPath(new HPath(dir, "_tmp"), queryId)
@@ -373,25 +381,35 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
       cleanupEpochTmp(fs, epochId)
       return
     }
+    // No marker but (query, epoch)-named parts on disk ⇒ a prior
+    // attempt of THIS epoch crashed between its renames and its
+    // marker. Those parts were never acknowledged (the marker is the
+    // acknowledgment), so superseding them is safe — and REQUIRED:
+    // the replay may re-execute with different partitioning (shuffle
+    // partition count changed across the restart), so keeping the old
+    // attempt's part where a dest exists while publishing new parts
+    // for the rest would mix two row-to-partition mappings, dropping
+    // or doubling rows. Delete ALL of the dead attempt's parts first,
+    // then publish this attempt whole — which also keeps recovery
+    // livelock-free on rename-returns-false filesystems (HDFS, object
+    // stores): after the pre-clean no rename can hit an existing dest.
+    val leftovers = fs.globStatus(
+      new HPath(d, f"part-e$epochId%06d-*-$queryId"))
+    if (leftovers != null) leftovers.foreach(s => fs.delete(s.getPath, false))
     messages.foreach { case DsvCommitMessage(pid, tmp, _) =>
       // part names carry the query id for the same reason the marker
       // does: two queries appending to one directory both publish an
       // epoch 0, and unscoped names would collide at rename time
       val dest = new HPath(d, f"part-e$epochId%06d-$pid%05d-$queryId")
-      // a failed rename must fail the epoch BEFORE the marker exists
-      // (marking a partially-published epoch committed would convert
-      // Spark's recovery replay into a data-losing no-op) — EXCEPT
-      // when the destination already exists: dest names are unique to
-      // (query, epoch, partition), so an existing dest can only be a
-      // prior attempt of THIS epoch that crashed between its renames
-      // and its marker. Treating it as published keeps the replay
-      // idempotent instead of livelocking on rename-returns-false
-      // filesystems (HDFS, object stores).
-      if (!fs.rename(new HPath(tmp), dest)) {
-        if (fs.exists(dest)) fs.delete(new HPath(tmp), false)
-        else throw new java.io.IOException(
+      // a failed rename must fail the epoch BEFORE the marker exists:
+      // marking a partially-published epoch committed would convert
+      // Spark's recovery replay into a data-losing no-op. The
+      // pre-clean above removed every prior-attempt dest, and pids are
+      // unique per commit (one coordinator-fenced winner per
+      // partition), so any failure here is a genuine IO error.
+      if (!fs.rename(new HPath(tmp), dest))
+        throw new java.io.IOException(
           s"graft-dsv epoch $epochId: rename $tmp -> $dest failed")
-      }
     }
     // schema is fixed for the query's lifetime: publish the DDL once,
     // via temp + rename — an every-epoch overwrite opens a truncation
@@ -410,6 +428,24 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
       if (!fs.rename(ddlTmp, ddlFile)) fs.delete(ddlTmp, false)
     }
     fs.create(marker, true).close()
+    // Marker retention: epochs are strictly sequential within a query
+    // and Spark only ever replays the tail of its offset log, so once
+    // epoch N is committed, markers older than N - MARKER_TAIL can
+    // never fence anything again — on a long-running query they would
+    // accumulate one file per micro-batch forever, bloating the
+    // directory listings the read path and every commit glob. Reap
+    // them here (this query's namespace only; a concurrent query's
+    // markers carry its own id and never match the glob).
+    val stale = fs.globStatus(new HPath(d, s"_epoch-$queryId-*"))
+    if (stale != null) {
+      val prefixLen = s"_epoch-$queryId-".length
+      stale.foreach { s =>
+        val suffix = s.getPath.getName.drop(prefixLen)
+        if (suffix.nonEmpty && suffix.forall(_.isDigit) &&
+            suffix.toLong < epochId - DsvStreamingWrite.MARKER_TAIL)
+          fs.delete(s.getPath, false)
+      }
+    }
     // _SUCCESS is advisory: tolerate a concurrent same-directory
     // query creating it between the exists check and ours
     val success = new HPath(d, "_SUCCESS")

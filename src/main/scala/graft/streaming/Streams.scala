@@ -244,8 +244,17 @@ object Streams {
     * ingest-time near-dup detector ([[nearDupIngest]]) is keyed by. */
   final case class BandRow(doc_id: Long, band: Int, bsig: String)
 
-  /** Per-(doc, band) verdict from [[nearDupIngest]]: `dup` = an
-    * earlier-ingested doc already occupied this band's bucket. */
+  /** Per-(doc, band) verdict from [[nearDupIngest]]: `dup` = a doc
+    * with a SMALLER doc_id occupies (or occupied) this band's bucket —
+    * id-priority semantics, matching the batch backfill's
+    * smaller-doc_id-wins self-join. Under the monotone-ingest norm
+    * (doc_id order ≡ arrival order, the append-log contract
+    * [[nearDupIngest]] documents) this coincides with "an
+    * earlier-ingested doc already occupied the bucket"; when ingest is
+    * NOT monotone in doc_id, the id rule governs: a small-id late
+    * arrival into an occupied bucket is NOT flagged (it has priority),
+    * and the larger-id occupant keeps the verdict it was emitted
+    * with. */
   final case class BandHit(doc_id: Long, band: Int, dup: Boolean)
 
   /** Near-duplicate detection AT INGEST. The batch near-dup family

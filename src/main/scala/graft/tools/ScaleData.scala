@@ -13,16 +13,34 @@ import graft.{Session, Tables}
   * wall-clock growth on this corpus is therefore a conservative
   * estimate of the organic-scale behavior.
   *
-  * Usage: `runMain graft.tools.ScaleData <sfDir> <outDir>`. Only the
-  * two corpus tables are generated; relational tables are out of scope
-  * (the scale-sensitive queries touch only these).
+  * Usage: `runMain graft.tools.ScaleData <sfDir> <outDir> [plant]`.
+  * Only the two corpus tables are generated; relational tables are out
+  * of scope (the scale-sensitive queries touch only these).
+  *
+  * The optional `plant` count appends that many DECONTAMINATION
+  * SURVIVORS to the documents table: docs whose every token is
+  * globally unique (`zq<doc_id>x<j>`), so they share ZERO shingles
+  * with any benchmark eval set drawn from the corpus. Replication
+  * saturates q100's contamination signal (every organic doc shares
+  * shingles with its near-dup copies, and the `doc_id % 97` eval set
+  * grows with the corpus, so by 64× the anti-join empties the
+  * manifest — oracle-verified empty, SURVEY §18.13); a planted cohort
+  * makes the TOP rung test the operator's keep-path too, not just the
+  * empty set. Planted docs are ≥200 chars (the q100 length gate),
+  * unique-fingerprint (dedup survivors), and spread across the
+  * corpus's (source, lang) pairs; the md5-bucket mixture gate then
+  * passes each with its source's thr/65536 probability, so a few
+  * hundred plants guarantee a non-empty manifest the DuckDB oracle
+  * independently reproduces.
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length == 2 || args.length == 3,
+      "usage: ScaleData <sfDir> <outDir> [plantSurvivors]")
     val spark = Session.build("local[16]", 16, "graft-scaledata")
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sfDir, outDir)
+    generate(spark, args(0), args(1),
+      if (args.length == 3) args(2).toInt else 0)
     spark.stop()
   }
 
@@ -31,7 +49,7 @@ object ScaleData {
     * recall panel) pass the shared test session, which must NOT be
     * stopped out from under the rest of the suite. */
   def generate(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, outDir: String): Unit = {
+      sfDir: String, outDir: String, plant: Int = 0): Unit = {
     // token array projected as a column FIRST: a split() referenced
     // inside the transform lambda would re-evaluate per element
     // (no CSE across higher-order functions — the Dedup.shingles rule)
@@ -52,7 +70,32 @@ object ScaleData {
           .as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-    docs.coalesce(1).write.mode("overwrite")
+    val withPlants = if (plant <= 0) docs else {
+      val src = Tables.documents(spark, sfDir)
+      // id base clear of the replicated range (4 * maxId + 3)
+      val base = 4 * src.agg(max(col("doc_id"))).head.getLong(0) + 1000
+      // the corpus's (source, lang) pairs, cycled deterministically
+      val pairs = src.select(col("source"), col("lang")).distinct()
+        .orderBy(col("source"), col("lang"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val pairsCol = array(pairs.toIndexedSeq.map { case (s0, l0) =>
+        struct(lit(s0).as("source"), lit(l0).as("lang")) }: _*)
+      val planted = spark.range(plant.toLong)
+        .select((col("id") + base).as("doc_id"),
+          // 40 globally-unique tokens per doc: no shingle can match
+          // anything else in the corpus, including the eval set
+          array_join(expr(
+            """transform(sequence(0, 39),
+              |  j -> concat('zq', CAST(id AS STRING), 'x', CAST(j AS STRING)))"""
+              .stripMargin), " ").as("text"),
+          element_at(pairsCol,
+            (col("id") % pairs.length).cast("int") + 1).as("p"))
+        .select(col("doc_id"), col("text"),
+          col("p.lang").as("lang"), col("p.source").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      docs.unionByName(planted)
+    }
+    withPlants.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
 
     val embs = Tables.embeddings(spark, sfDir)

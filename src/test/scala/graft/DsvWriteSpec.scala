@@ -187,34 +187,78 @@ class DsvWriteSpec extends AnyFunSuite {
 
   test("replay after a crash between renames and marker recovers, rows once") {
     // crash window: epoch 0's parts renamed into place, driver died
-    // before _epoch marker creation. The replay's renames hit existing
-    // destinations — which must read as "prior attempt published this
-    // partition", not an error (rename-returns-false filesystems would
-    // otherwise livelock the query on every replay).
+    // before _epoch marker creation. Unmarked parts were never
+    // acknowledged, so the replay must SUPERSEDE them wholesale —
+    // delete-then-publish — not keep whichever old dests exist
+    // (mixing two attempts' outputs breaks exactly-once when the
+    // row-to-partition mapping differs between attempts).
     import org.apache.spark.sql.connector.write.PhysicalWriteInfo
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types.StructType
-    import org.apache.spark.unsafe.types.UTF8String
     spark // force the session: the factory resolves SparkSession.active
     val dir = freshDir()
     val schema = StructType.fromDDL("id BIGINT")
     val sw = new sources.DsvWriteBuilder(dir, schema, "specq3")
       .build().toStreaming
-    val info = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
-    def attempt(): Unit = {
-      val w = sw.createStreamingWriterFactory(info).createWriter(0, 0L, 0L)
-      w.write(InternalRow(42L))
-      sw.commit(0L, Array(w.commit()))
+    def attempt(rowsByPid: Seq[Seq[Long]]): Unit = {
+      val info = new PhysicalWriteInfo {
+        override def numPartitions(): Int = rowsByPid.size
+      }
+      val msgs = rowsByPid.zipWithIndex.map { case (rs, pid) =>
+        val w = sw.createStreamingWriterFactory(info)
+          .createWriter(pid, pid.toLong, 0L)
+        rs.foreach(r => w.write(InternalRow(r)))
+        w.commit()
+      }
+      sw.commit(0L, msgs.toArray)
     }
-    attempt()
-    // simulate the crash window: marker gone, part present
+    // attempt 1: ONE partition carrying both rows
+    attempt(Seq(Seq(42L, 43L)))
+    // simulate the crash window: marker gone, parts present
     val marker = names(dir).find(_.startsWith("_epoch-")).get
     assert(new java.io.File(dir, marker).delete())
-    attempt() // the replay
-    val rows = read(dir).collect()
-    assert(rows.length == 1, s"recovery replay doubled rows: ${rows.length}")
+    // the replay re-executes with DIFFERENT partitioning (restart
+    // changed spark.sql.shuffle.partitions): two partitions, one row
+    // each. The old mixed-attempt behavior would keep attempt 1's p0
+    // (both rows) AND publish attempt 2's p1 (43) → 43 doubled.
+    attempt(Seq(Seq(42L), Seq(43L)))
+    val rows = read(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(42L, 43L),
+      s"recovery replay mixed two attempts' outputs: $rows")
     assert(names(dir).exists(_.startsWith("_epoch-")), "marker not restored")
     assert(!names(dir).contains("_tmp"), "replay temps linger")
+  }
+
+  test("committed-epoch markers are reaped beyond a small tail") {
+    // one marker per micro-batch forever would bloat the directory
+    // listing every read and commit globs; only the offset-log tail
+    // can ever replay, so older markers are dead weight
+    import org.apache.spark.sql.connector.write.PhysicalWriteInfo
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.StructType
+    spark
+    val dir = freshDir()
+    val schema = StructType.fromDDL("id BIGINT")
+    val sw = new sources.DsvWriteBuilder(dir, schema, "specq4")
+      .build().toStreaming
+    val info = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    (0L to 9L).foreach { epoch =>
+      val w = sw.createStreamingWriterFactory(info).createWriter(0, 0L, epoch)
+      w.write(InternalRow(epoch))
+      sw.commit(epoch, Array(w.commit()))
+    }
+    val markers = names(dir).filter(_.startsWith("_epoch-"))
+    val tail = sources.DsvStreamingWrite.MARKER_TAIL
+    assert(markers.size <= tail + 1,
+      s"markers not reaped beyond the tail: $markers")
+    assert(markers.contains("_epoch-specq4-9"), markers.toString)
+    // the newest epoch — the only one Spark can replay — still fences
+    val w = sw.createStreamingWriterFactory(info).createWriter(0, 0L, 9L)
+    w.write(InternalRow(9L))
+    sw.commit(9L, Array(w.commit()))
+    assert(read(dir).count() == 10, "replay of the newest epoch doubled rows")
+    // all ten epochs' data parts are intact
+    assert(names(dir).count(_.startsWith("part-e")) == 10)
   }
 
   test("batch append into a non-empty table is refused before any rename") {
