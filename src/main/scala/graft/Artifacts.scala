@@ -80,6 +80,14 @@ object Artifacts {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Monotone count of artifacts this JVM actually MATERIALIZED (ran
+    * the build job and renamed a tree into place) — not cache reads.
+    * Bench snapshots it around each chain warm-up so the artifact
+    * carries a per-chain built-vs-reread answer instead of one
+    * whole-tree guess. */
+  private[graft] val buildCount =
+    new java.util.concurrent.atomic.AtomicLong()
+
   /** The artifact named `name` derived from fixture `d`: read it if the
     * current fixture fingerprint already has it, otherwise run `build`
     * and materialize it first. `name` must embed every derivation
@@ -143,6 +151,7 @@ object Artifacts {
         val tmp = dir.resolve(
           s"$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         build.write.parquet(tmp.toString)
+        buildCount.incrementAndGet()
         try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
         catch {
           case _: java.nio.file.FileAlreadyExistsException |

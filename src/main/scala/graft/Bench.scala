@@ -138,10 +138,14 @@ object Bench {
     // slice-invariant), but the medians stop being dominated by
     // repeated fixed-cost epoch drains. Verify and the specs run full
     // depth (they never set the property). Recorded in the JSON as
-    // `stream_epochs`; SPARK_GRAFT_STREAM_EPOCHS overrides (e.g. to
-    // re-measure at full depth).
+    // `stream_epochs` — the REQUESTED depth, which each query clamps
+    // to [2, its native depth] (q192 native 8, q194 native 4), so a
+    // full-depth re-measure is SPARK_GRAFT_STREAM_EPOCHS=8 and the
+    // artifact then means "native" for any query whose depth is
+    // smaller. The request is floored at 2 here so the recorded value
+    // can never understate what ran.
     val streamEpochs =
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_EPOCHS", "2").toInt
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_EPOCHS", "2").toInt.max(2)
     sys.props("graft.bench.streamEpochs") = streamEpochs.toString
     val spark = Session.build(s"local[$cpus]", cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
@@ -209,19 +213,23 @@ object Bench {
     // cost — without this, a freshly regenerated fixture charges the
     // whole build to whichever chain consumer runs first. The build
     // cost is NOT hidden: each chain's wall time rides in the JSON as
-    // `artifact_build` (with `cold` saying whether this run actually
-    // built or just re-read), so the amortized cost of the lakehouse
-    // layer is visible next to the per-query medians it subsidizes.
-    val artifactsCold = !Files.exists(Artifacts.dirOf(sfDir))
-    def timed(f: => Unit): Double = {
+    // `artifact_build`, with a per-chain `*_built` count of artifacts
+    // actually MATERIALIZED during that call (0 = pure re-read, so a
+    // near-zero time means cache hit, not free computation) — the
+    // amortized cost of the lakehouse layer stays visible next to the
+    // per-query medians it subsidizes.
+    def timed(f: => Unit): (Double, Long) = {
+      val b0 = Artifacts.buildCount.get()
       val t0 = System.nanoTime()
       try f catch { case e: Throwable =>
         System.err.println(s"[bench] artifact warm-up failed: $e") }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, Artifacts.buildCount.get() - b0)
     }
-    val tDedupChain = timed(operators.Dedup.warmArtifacts(spark, sfDir))
-    val tPqChain = timed(operators.Similarity.warmArtifacts(spark, sfDir))
-    val tEdges = timed {
+    val (tDedupChain, nDedupBuilt) =
+      timed(operators.Dedup.warmArtifacts(spark, sfDir))
+    val (tPqChain, nPqBuilt) =
+      timed(operators.Similarity.warmArtifacts(spark, sfDir))
+    val (tEdges, nEdgesBuilt) = timed {
       operators.Relational.copurchaseEdges(spark, sfDir); () }
     spark.catalog.clearCache()
     // JIT-warm the probe loops before any measured use
@@ -322,9 +330,10 @@ object Bench {
       s""""calib_ms_med":${f"$calibMed%.2f"},""" +
       s""""memcalib_ms_med":${f"$memCalibMed%.2f"},""" +
       s""""stream_epochs":$streamEpochs,""" +
-      s""""artifact_build":{"cold":$artifactsCold,""" +
-      s""""dedup_chain":${ms(tDedupChain)},"pq_chain":${ms(tPqChain)},""" +
-      s""""copurchase_edges":${ms(tEdges)}},""" +
+      s""""artifact_build":{""" +
+      s""""dedup_chain":${ms(tDedupChain)},"dedup_built":$nDedupBuilt,""" +
+      s""""pq_chain":${ms(tPqChain)},"pq_built":$nPqBuilt,""" +
+      s""""copurchase_edges":${ms(tEdges)},"edges_built":$nEdgesBuilt},""" +
       s""""xmx_mb":${Runtime.getRuntime.maxMemory / (1 << 20)}"""
     val full =
       s"""{"metric":"total","value":${ms(total)},$common,"queries":$qs,"runs":$runsJson,"errors":$errs,"attrib":$attribJson,"calib":$calibJson,"memcalib":$memCalibJson}"""

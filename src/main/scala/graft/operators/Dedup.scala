@@ -772,11 +772,9 @@ object Dedup {
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
          |GROUP BY d.lang""".stripMargin) { (s, d) =>
       import s.implicits._
-      // same batch-mode TWS preamble as q174: the RocksDB provider TWS
-      // requires is session-level (Session.scala — a per-query set here
-      // would leak into every later streaming query, ADVICE r12); touch
-      // the StateStoreCoordinator endpoint so batch execution resolves it
-      s.streams.active
+      // same batch-mode TWS preamble as q174: self-sufficient on any
+      // caller's session (see Streams.ensureTwsRuntime's doc)
+      graft.streaming.Streams.ensureTwsRuntime(s)
       val r = bandRows(Tables.rowCount(s, d, "documents"))
       val bands = bandSignatures(minhashSigs(s, d), r)
         .select(col("doc_id"), col("band").cast("int").as("band"),

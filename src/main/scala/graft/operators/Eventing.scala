@@ -1062,16 +1062,8 @@ object Eventing {
         |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_t
         |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      // TWS requires the RocksDB provider in batch mode too (the
-      // transient per-batch state still goes through a real store);
-      // set once at session construction (Session.scala) — a per-query
-      // set here would silently switch the provider for every later
-      // streaming query in the session (ADVICE r12).
-      // Batch execution still resolves the driver's
-      // StateStoreCoordinator RPC endpoint, which only registers when
-      // the session's StreamingQueryManager is instantiated — touch it
-      // (idempotent) so a pure-batch backfill session has the endpoint.
-      s.streams.active
+      // self-sufficient on any caller's session (see the helper doc)
+      Streams.ensureTwsRuntime(s)
       Streams.incrementalStatsTws(
         Tables.events(s, d).as[Streams.Event]).toDF()
     },
@@ -1099,7 +1091,7 @@ object Eventing {
         |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val ckpt = twsCheckpointDir.computeIfAbsent(d, { sfDir =>
-        // RocksDB provider is the session default (Session.scala)
+        Streams.ensureTwsRuntime(s)
         val root = java.nio.file.Files
           .createTempDirectory("graft-tws-ckpt").toString
         // stage the fixture through Tables.events once so the stream's

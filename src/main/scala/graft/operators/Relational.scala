@@ -161,10 +161,17 @@ object Relational {
 
   private def day(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
-  /** q166's ranks-per-round batching constant (see the query comment).
-    * `graft.q166.chunk` overrides for tuning experiments only. */
-  private val Q166_CHUNK =
-    sys.props.get("graft.q166.chunk").map(_.toInt).getOrElse(8)
+  /** q166's ranks-per-round batching constant (decision table: SURVEY
+    * §19.6 — 8 beats 12/16/24; the in-chunk fold is O(chunk²)).
+    * `graft.q166.chunk` overrides for tuning experiments only; read
+    * per invocation (an object-init val would silently ignore a
+    * property set after the first query touch) and bounds-checked so
+    * a typo can't reach the SQL as `div 0`. */
+  private def Q166_CHUNK: Int = {
+    val c = sys.props.get("graft.q166.chunk").map(_.toInt).getOrElse(8)
+    require(c >= 1 && c <= 1024, s"graft.q166.chunk out of range: $c")
+    c
+  }
 
   /** q58's single source of truth: runs verbatim in BOTH engines. */
   private val SHARED_SQL_Q58 =

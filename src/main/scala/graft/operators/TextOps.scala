@@ -1138,8 +1138,11 @@ object TextOps {
         |  header=false, delim='\t', quote='', escape='',
         |  columns={'key': 'VARCHAR', 'value': 'VARCHAR'})""".stripMargin) {
       (s, _) =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-refwc").toString + "/out"
+      // under the JVM-scoped scratch root (deleted at exit): the job
+      // runs per invocation, and repeated gate/bench loops must not
+      // accumulate a part-file tree per rep in /tmp
+      val out = java.nio.file.Files.createTempDirectory(
+        graft.sources.FileFormats.scratchRoot, "refwc").toString + "/out"
       MapReduce.runPipe(s, "/root/reference/tests/testdata/input", out,
         // wc_map.sh:13 / wc_reduce.sh:14, verbatim
         mapCmd =
@@ -1157,8 +1160,8 @@ object TextOps {
         |  '/root/reference/tests/testdata/correct/grep_correct.txt',
         |  header=false, delim='\t', quote='', escape='',
         |  columns={'line': 'VARCHAR'})""".stripMargin) { (s, _) =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-refgrep").toString + "/out"
+      val out = java.nio.file.Files.createTempDirectory(
+        graft.sources.FileFormats.scratchRoot, "refgrep").toString + "/out"
       // the reference's actual test executables (default query
       // "product", grep_map.py:15), via the same subprocess contract
       // the worker uses

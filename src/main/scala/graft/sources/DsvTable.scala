@@ -341,7 +341,15 @@ final class DsvWriterFactory(tmpRoot: String, types: Array[DataType],
   * the batch TRUNCATE path. Markers and part names are query-scoped
   * as of the round-12 hardening; directories written by the earlier
   * unscoped protocol are outside the compat contract (a legacy-marker
-  * shim would reintroduce the silent-discard bug for new queries). */
+  * shim would reintroduce the silent-discard bug for new queries).
+  *
+  * Fence scope: crash-then-replay, i.e. Spark's contract that one
+  * driver commits a query's epochs SEQUENTIALLY. Two live drivers
+  * committing the same epoch concurrently (a zombie after failover)
+  * could interleave the recovery pre-clean with each other's renames;
+  * fencing that needs a conditional-put metadata log (the
+  * Delta/Iceberg commit answer), which plain rename cannot express —
+  * the same boundary Spark's own FileStreamSink draws. */
 object DsvStreamingWrite {
   /** Committed-epoch markers kept per query beyond the newest one.
     * Spark replays at most the last epoch of its offset log after a

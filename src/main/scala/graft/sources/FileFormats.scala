@@ -26,7 +26,7 @@ object FileFormats {
   /** JVM-scoped scratch root, recursively deleted at exit — repeated
     * bench/verify loops must not accumulate a written table copy per
     * invocation in /tmp. */
-  private lazy val scratchRoot: java.nio.file.Path = {
+  private[graft] lazy val scratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft-sources-")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}

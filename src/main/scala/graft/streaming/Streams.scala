@@ -20,6 +20,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   */
 object Streams {
 
+  /** Batch-mode transformWithState preamble, callable on ANY session.
+    * The driver contract lets an external caller hand
+    * [[graft.SparkEntry.queries]] its own SparkSession, which may not
+    * come from [[graft.Session.build]] — so the TWS queries must be
+    * self-sufficient: (a) pin the RocksDB provider (the only one TWS
+    * supports; identical to the Session.build default, so on
+    * engine-built sessions this is a no-op — it can never diverge a
+    * shared session's later streaming queries, the ADVICE-r12 leak;
+    * on a foreign session the set persists, which is safe: RocksDB
+    * serves every stateful operator and is the production
+    * recommendation anyway); (b) touch the StreamingQueryManager so
+    * the driver's StateStoreCoordinator RPC endpoint — registered
+    * only when the manager is instantiated — exists for pure-batch
+    * TWS execution. */
+  def ensureTwsRuntime(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    s.streams.active
+    ()
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

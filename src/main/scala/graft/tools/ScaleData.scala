@@ -82,12 +82,15 @@ object ScaleData {
         struct(lit(s0).as("source"), lit(l0).as("lang")) }: _*)
       val planted = spark.range(plant.toLong)
         .select((col("id") + base).as("doc_id"),
-          // 40 globally-unique tokens per doc: no shingle can match
-          // anything else in the corpus, including the eval set
+          // 40 globally-unique tokens per doc, carrying the actual
+          // doc_id (not the raw range id) so a planted doc is
+          // greppable by its id and two cohorts planted at different
+          // bases can never collide token-for-token
           array_join(expr(
-            """transform(sequence(0, 39),
-              |  j -> concat('zq', CAST(id AS STRING), 'x', CAST(j AS STRING)))"""
-              .stripMargin), " ").as("text"),
+            s"""transform(sequence(0, 39),
+               |  j -> concat('zq', CAST(id + ${base}L AS STRING),
+               |              'x', CAST(j AS STRING)))""".stripMargin),
+            " ").as("text"),
           element_at(pairsCol,
             (col("id") % pairs.length).cast("int") + 1).as("p"))
         .select(col("doc_id"), col("text"),

@@ -86,11 +86,12 @@ class ConcurrencySpec extends AnyFunSuite {
     val tmp = Files.createTempDirectory("graft-conc-fixture")
     def copyDir(name: String): Unit = {
       val src = Paths.get(d, name)
-      Files.walk(src).forEach { p =>
+      val walk = Files.walk(src)
+      try walk.forEach { p =>
         val dest = tmp.resolve(Paths.get(d).relativize(p))
         if (Files.isDirectory(p)) Files.createDirectories(dest)
         else Files.copy(p, dest)
-      }
+      } finally walk.close()
     }
     copyDir("documents.parquet")
     copyDir("embeddings.parquet")
@@ -114,8 +115,11 @@ class ConcurrencySpec extends AnyFunSuite {
     // (losing builders must have deleted their .tmp- staging dirs)
     val tree = Artifacts.dirOf(fixture)
     assert(Files.exists(tree), "no artifact tree materialized")
-    val residue = Files.list(tree).toArray.map(_.asInstanceOf[Path])
-      .map(_.getFileName.toString).filter(_.contains(".tmp-"))
+    val listing = Files.list(tree)
+    val residue =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .map(_.getFileName.toString).filter(_.contains(".tmp-"))
+      finally listing.close()
     assert(residue.isEmpty, s"temp staging residue after the race: " +
       residue.mkString(", "))
   }
