@@ -449,7 +449,10 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
       val prefixLen = s"_epoch-$queryId-".length
       stale.foreach { s =>
         val suffix = s.getPath.getName.drop(prefixLen)
-        if (suffix.nonEmpty && suffix.forall(_.isDigit) &&
+        // length cap: a foreign digits-only name longer than any real
+        // epoch id must not NumberFormatException the commit
+        if (suffix.nonEmpty && suffix.length <= 18 &&
+            suffix.forall(_.isDigit) &&
             suffix.toLong < epochId - DsvStreamingWrite.MARKER_TAIL)
           fs.delete(s.getPath, false)
       }
