@@ -60,6 +60,19 @@ object Session {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
+      // Bound RocksDB's NATIVE memory (block cache + memtables shared
+      // across all store instances in the JVM) instead of the default
+      // unbounded per-instance allocation: state memory at scale must
+      // be a budget, not best-effort — an unbounded native footprint
+      // is invisible to the JVM heap sizing above and surfaces as
+      // allocation failure under host memory pressure (a transient
+      // std::bad_alloc abort was observed in the 16× TWS stretch,
+      // SURVEY §19.11). 4 GiB is far above this workload's state
+      // (bounded = RocksDB flushes earlier, never wrong results).
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+        "true")
+      .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+        "4096")
       // Storage-partitioned join: honor a DSv2 scan's reported
       // KeyGroupedPartitioning (graft-seq's cluster=bucket mode) so
       // co-clustered fact⋈fact joins plan with zero exchange; off by
