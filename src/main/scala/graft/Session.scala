@@ -73,6 +73,10 @@ object Session {
         "true")
       .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
         "4096")
+      // SQL scripting (BEGIN…END compound statements, session
+      // variables, control flow — q197): a parser capability switch,
+      // inert for non-script statements.
+      .config("spark.sql.scripting.enabled", "true")
       // Storage-partitioned join: honor a DSv2 scan's reported
       // KeyGroupedPartitioning (graft-seq's cluster=bucket mode) so
       // co-clustered fact⋈fact joins plan with zero exchange; off by

@@ -786,6 +786,62 @@ object Relational {
         Map("tbl" -> "orders", "minprice" -> 1000.0, "status" -> "O"))
     },
 
+    // ----- SQL scripting: compound statements, variables, control flow -----
+    // The procedural front door (SQL/PSM-style scripting): BEGIN…END
+    // compound statements with session variables and a WHILE loop,
+    // executed server-side as ONE spark.sql call — the migration
+    // target for stored-procedure workloads, and the remaining leg of
+    // the SQL surface after literal SQL (q58), pipe syntax (q176) and
+    // parameterized SQL (q183). The script iterates a mean-above-mean
+    // threshold three times (each step a full aggregate over orders
+    // gated by the previous step's variable) and returns the
+    // per-priority count above the final threshold. Arithmetic is
+    // EXACT by construction — integer cents, integer DIV — so the
+    // loop-carried variable is bit-identical in any engine, and the
+    // oracle states the same three steps as unrolled CTEs (scripting
+    // is control flow, not new algebra: each SET is one scalar
+    // subquery the oracle can name). Each iteration's aggregate runs
+    // distributed; only the one-row threshold crosses to the driver —
+    // the scripting runtime's variable store, not a collect in the
+    // operator. Scripting is enabled at session construction
+    // (Session.scala) and re-asserted here so the query stays
+    // self-sufficient on a caller-built session.
+    Q("q197_sql_scripting",
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |t0 AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS t FROM c),
+        |t1 AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS t
+        |       FROM c, t0 WHERE cents > t0.t),
+        |t2 AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS t
+        |       FROM c, t1 WHERE cents > t1.t)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above,
+        |  t2.t AS final_thr_cents
+        |FROM c, t2 WHERE cents > t2.t
+        |GROUP BY o_orderpriority, t2.t""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """BEGIN
+          |  DECLARE thr BIGINT DEFAULT -1;
+          |  DECLARE i INT DEFAULT 0;
+          |  WHILE i < 3 DO
+          |    SET thr = (
+          |      SELECT CAST(sum(cents) DIV count(*) AS BIGINT)
+          |      FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+          |              AS cents FROM orders)
+          |      WHERE cents > thr);
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above,
+          |    thr AS final_thr_cents
+          |  FROM orders
+          |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > thr
+          |  GROUP BY o_orderpriority, thr;
+          |END""".stripMargin)
+    },
+
     // ----- engine-rewritten bounded top-k (graft.plans vertical) ------------
     // The query is the NATURAL declarative spelling — row_number over a
     // window, filtered to rk <= 3 — and the engine's injected

@@ -245,6 +245,35 @@ class SqlEntrySpec extends AnyFunSuite {
     assert(kcSql == kcOp && kcSql.nonEmpty)
   }
 
+  test("q197 scripted control flow equals the unrolled plan in-engine") {
+    // The DuckDB gate already certifies script-vs-unrolled ACROSS
+    // engines; this pins the same identity INSIDE Spark — the scripted
+    // WHILE's loop-carried variable must produce exactly the plan the
+    // three unrolled CTE steps produce (and the thresholds, integer
+    // cents DIV count, must strictly increase or the loop gate would
+    // be vacuous).
+    val s = spark
+    val d = Spec.sfDir
+    val scripted = SparkEntry.queries("q197_sql_scripting")(s, d)
+      .collect().map(_.toString).sorted.toSeq
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    def thr(prev: Long): Long = s.sql(
+      s"""SELECT CAST(sum(cents) DIV count(*) AS BIGINT) FROM
+         |  (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |   FROM orders) WHERE cents > $prev""".stripMargin)
+      .head().getLong(0)
+    val t0 = thr(-1); val t1 = thr(t0); val t2 = thr(t1)
+    assert(t0 < t1 && t1 < t2, s"thresholds not increasing: $t0 $t1 $t2")
+    val unrolled = s.sql(
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above,
+         |  CAST($t2 AS BIGINT) AS final_thr_cents
+         |FROM orders
+         |WHERE CAST(round(o_totalprice * 100) AS BIGINT) > $t2
+         |GROUP BY o_orderpriority""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    assert(scripted == unrolled && scripted.nonEmpty)
+  }
+
   test("dup_clusters lazy fallback equals the materialized labels (or fails loudly)") {
     // Drive the bounded-propagation path DIRECTLY (the plan a fresh
     // environment's view falls back to when no artifact exists) and
