@@ -73,7 +73,7 @@ object ScaleData {
     val withPlants = if (plant <= 0) docs else {
       val src = Tables.documents(spark, sfDir)
       // id base clear of the replicated range (4 * maxId + 3)
-      val base = 4 * src.agg(max(col("doc_id"))).head.getLong(0) + 1000
+      val base = 4 * src.agg(max(col("doc_id"))).head().getLong(0) + 1000
       // the corpus's (source, lang) pairs, cycled deterministically
       val pairs = src.select(col("source"), col("lang")).distinct()
         .orderBy(col("source"), col("lang"))
