@@ -151,9 +151,14 @@ object Artifacts {
         val tmp = dir.resolve(
           s"$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         build.write.parquet(tmp.toString)
-        buildCount.incrementAndGet()
-        try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
-        catch {
+        try {
+          Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+          // count only AFTER the move: a builder that loses the publish
+          // race below did not "materialize and rename a tree into
+          // place", and the bench *_built counts must match that
+          // documented semantics exactly
+          buildCount.incrementAndGet()
+        } catch {
           case _: java.nio.file.FileAlreadyExistsException |
                _: java.nio.file.AccessDeniedException =>
             // another JVM won the race; its artifact is byte-equivalent

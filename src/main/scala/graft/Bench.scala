@@ -89,7 +89,7 @@ object Bench {
     * confound), this number inflates by the SAME factor as every query,
     * turning "the run looks uniformly 2× slow" from an inference into a
     * measurement carried inside the artifact itself. */
-  private def spinProbeMs(): Double = {
+  private[graft] def spinProbeMs(): Double = {
     var x = 0x9E3779B97F4A7C15L
     var i = 0
     val t0 = System.nanoTime()
@@ -118,7 +118,7 @@ object Bench {
     while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
     a
   }
-  private def memProbeMs(): Double = {
+  private[graft] def memProbeMs(): Double = {
     var x = 0L
     var i = 0
     val a = memProbeArr

@@ -85,6 +85,39 @@ object TextOps {
   /** q110's k-anonymity policy floor (a policy constant by design). */
   private val PRIVACY_K = 30
 
+  /** Root of the reference checkout the two golden-parity queries
+    * (q195/q196) read their corpus + goldens from. Env-configurable
+    * like every other input root (`GRAFT_REF_ROOT`); the default is
+    * the driver host's read-only mount. */
+  private val refRoot: String =
+    sys.env.getOrElse("GRAFT_REF_ROOT", "/root/reference")
+
+  /** SHA-256 pins of the reference files q196 EXECUTES. The reference
+    * tree is untrusted content: without the pin, the gate would run
+    * whatever code happens to sit at the path; with it, any drift is a
+    * hard per-query error before a single byte executes. (q195's
+    * executables are one-line shell pipelines vendored verbatim into
+    * the query itself, so only q196's two python files need pinning.) */
+  private val REF_EXEC_PINS = Map(
+    "tests/testdata/exec/grep_map.py" ->
+      "88f1f6d479358066dc7902730e18f2c497f2c171b352d2387a43fd72262de3af",
+    "tests/testdata/exec/grep_reduce.py" ->
+      "3620e38f156f31ab7cae44339e61614edbcab493a9d7325e559817d2e17bf272")
+
+  private def pinnedRefExec(rel: String): String = {
+    val p = java.nio.file.Paths.get(refRoot, rel)
+    require(java.nio.file.Files.exists(p),
+      s"reference tree not found at $refRoot (set GRAFT_REF_ROOT); " +
+        "q195/q196 are reference-parity queries and need the checkout")
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(java.nio.file.Files.readAllBytes(p))
+      .map(b => f"$b%02x").mkString
+    require(hex == REF_EXEC_PINS(rel),
+      s"refusing to execute drifted reference file $p: " +
+        s"sha256=$hex expected=${REF_EXEC_PINS(rel)}")
+    p.toString
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- the reference's word-count query (B1+B4) over documents -----
@@ -1131,11 +1164,17 @@ object TextOps {
     // reads straight from tests/testdata/correct/. These queries
     // ignore sfDir by design (the corpus under test IS the
     // reference's). One reducer, the integration tests' contract.
+    // The reference ROOT is env-configurable ([[refRoot]]) and the two
+    // files q196 EXECUTES are sha256-pinned ([[pinnedRefExec]]) — the
+    // reference tree is untrusted content, so drift fails loudly
+    // instead of running whatever now sits at the path. Absence also
+    // fails loudly (not a silent skip): a parity query that silently
+    // skipped would weaken the gate it exists to strengthen.
     Q("q195_ref_wordcount_golden",
-      """SELECT COALESCE(key, '') AS key, CAST(value AS BIGINT) AS n
+      s"""SELECT COALESCE(key, '') AS key, CAST(value AS BIGINT) AS n
         |FROM read_csv(
-        |  '/root/reference/tests/testdata/correct/word_count_correct.txt',
-        |  header=false, delim='\t', quote='', escape='',
+        |  '$refRoot/tests/testdata/correct/word_count_correct.txt',
+        |  header=false, delim='\\t', quote='', escape='',
         |  columns={'key': 'VARCHAR', 'value': 'VARCHAR'})""".stripMargin) {
       (s, _) =>
       // under the JVM-scoped scratch root (deleted at exit): the job
@@ -1143,7 +1182,7 @@ object TextOps {
       // accumulate a part-file tree per rep in /tmp
       val out = java.nio.file.Files.createTempDirectory(
         graft.sources.FileFormats.scratchRoot, "refwc").toString + "/out"
-      MapReduce.runPipe(s, "/root/reference/tests/testdata/input", out,
+      MapReduce.runPipe(s, s"$refRoot/tests/testdata/input", out,
         // wc_map.sh:13 / wc_reduce.sh:14, verbatim
         mapCmd =
           """tr '[ \t]' '\n' | tr '[:upper:]' '[:lower:]' | awk '{print $1"\t1"}'""",
@@ -1155,19 +1194,21 @@ object TextOps {
     },
 
     Q("q196_ref_grep_golden",
-      """SELECT line
+      s"""SELECT line
         |FROM read_csv(
-        |  '/root/reference/tests/testdata/correct/grep_correct.txt',
-        |  header=false, delim='\t', quote='', escape='',
+        |  '$refRoot/tests/testdata/correct/grep_correct.txt',
+        |  header=false, delim='\\t', quote='', escape='',
         |  columns={'line': 'VARCHAR'})""".stripMargin) { (s, _) =>
       val out = java.nio.file.Files.createTempDirectory(
         graft.sources.FileFormats.scratchRoot, "refgrep").toString + "/out"
       // the reference's actual test executables (default query
       // "product", grep_map.py:15), via the same subprocess contract
-      // the worker uses
-      MapReduce.runPipe(s, "/root/reference/tests/testdata/input", out,
-        mapCmd = "python3 /root/reference/tests/testdata/exec/grep_map.py",
-        reduceCmd = "python3 /root/reference/tests/testdata/exec/grep_reduce.py",
+      // the worker uses — sha256-pinned before anything executes
+      MapReduce.runPipe(s, s"$refRoot/tests/testdata/input", out,
+        mapCmd =
+          s"python3 ${pinnedRefExec("tests/testdata/exec/grep_map.py")}",
+        reduceCmd =
+          s"python3 ${pinnedRefExec("tests/testdata/exec/grep_reduce.py")}",
         numReducers = 1, numMappers = Some(2))
       s.read.text(out).select(col("value").as("line"))
     },

@@ -455,7 +455,11 @@ object FileFormats {
       val sink = s"seq_stream_sink_${math.abs(d.hashCode)}"
       val q = s.readStream.format("graft-seq")
         .option("end", n)
-        .option("rowsPerBatch", math.max(1L, n / streamDepth(8))).load()
+        // CEILING division: flooring would leave a remainder micro-batch
+        // for n not divisible by the depth, so the bench artifact's
+        // recorded `stream_epochs` could understate what actually ran
+        .option("rowsPerBatch",
+          math.max(1L, (n + streamDepth(8) - 1) / streamDepth(8))).load()
         .writeStream.format("memory").queryName(sink)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
