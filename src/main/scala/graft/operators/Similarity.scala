@@ -204,6 +204,25 @@ object Similarity {
   private val PQ_K = 16
   private val PQ_ITERS = 2
 
+  /** Lloyd-training sample cap: codebooks train on at most ~this many
+    * vectors. The round-13 measurement showed full-corpus training
+    * scaling the 64× PQ cold build ~10.5× (53.7 s) — training cost
+    * must be O(sample), not O(corpus), which is standard PQ practice
+    * (codebooks are 128 tiny centroids; beyond a few thousand training
+    * points they stop moving). The sample is DETERMINISTIC and
+    * integer-exact in both engines: step = ⌈n / cap⌉, train on
+    * vec_id % step = 0 — the [[numBits]] derive-from-n rule, so the
+    * DuckDB oracle reproduces the identical codebooks at every rung.
+    * At sf0.1 and below (n ≤ cap) step = 1: training is byte-identical
+    * to round 13 and existing artifacts stay valid; when step > 1 the
+    * artifact names carry it ([[pqChain]]), so a rung's index identity
+    * includes its training population. ASSIGNMENT (corpus encoding)
+    * remains a single full pass either way. */
+  private val PQ_TRAIN_CAP = 8192L
+
+  private[graft] def pqTrainStep(n: Long): Long =
+    math.max(1L, (n + PQ_TRAIN_CAP - 1) / PQ_TRAIN_CAP)
+
   /** Per-vector subspace rows (vec_id, sub, ssv, xx) — the shared input
     * of PQ training, encoding, and query-side distance tables. */
   private def pqSubs(s: SparkSession, d: String): DataFrame =
@@ -228,17 +247,29 @@ object Similarity {
     * whole pipeline from the raw table, so the hash gate certifies the
     * materialized index content itself. */
   private def pqChain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val centsName = s"pq_cents_m${PQ_M}k${PQ_K}i$PQ_ITERS"
-    val codesName = s"pq_codes_m${PQ_M}k${PQ_K}i$PQ_ITERS"
+    val step = pqTrainStep(
+      { graft.functions.VecOps.ensureRegistered(s)
+        Tables.rowCount(s, d, "embeddings") })
+    // the training population is part of the index identity: a rung
+    // where step > 1 gets its own artifact name, while sf0.1-and-below
+    // (step = 1) keeps the round-13 names and their cached trees
+    val sfx = if (step > 1) s"s$step" else ""
+    val centsName = s"pq_cents_m${PQ_M}k${PQ_K}i$PQ_ITERS$sfx"
+    val codesName = s"pq_codes_m${PQ_M}k${PQ_K}i$PQ_ITERS$sfx"
     (graft.Artifacts.existing(s, d, centsName),
       graft.Artifacts.existing(s, d, codesName)) match {
       case (Some(ce), Some(co)) => (ce, co)
       case _ =>
         val subs = pqSubs(s, d).persist()
+        // bounded deterministic training sample ([[PQ_TRAIN_CAP]]);
+        // seeds (vec_id 1..K) are the initial centroids regardless of
+        // sample membership, exactly as the oracle derives them
+        val train =
+          if (step == 1) subs else subs.filter(col("vec_id") % step === 0)
         var centRdd: org.apache.spark.rdd.RDD[_] = null
         try {
-          def assign(c: DataFrame) =
-            subs.join(broadcast(c), Seq("sub"))
+          def assign(base: DataFrame, c: DataFrame) =
+            base.join(broadcast(c), Seq("sub"))
               .select(col("vec_id"), col("sub"), col("ssv"), col("cid"),
                 (col("xx") - lit(2) * dot(col("ssv"), col("cv")) +
                   dot(col("cv"), col("cv"))).as("d"))
@@ -251,7 +282,7 @@ object Similarity {
             cents = c0; centRdd = r0
           }
           (1 to PQ_ITERS).foreach { _ =>
-            val best = assign(cents).groupBy(col("vec_id"), col("sub"))
+            val best = assign(train, cents).groupBy(col("vec_id"), col("sub"))
               .agg(expr("min_by(cid, struct(d, cid))").as("cid"),
                 expr("any_value(ssv)").as("ssv"))
             val upd = best
@@ -276,7 +307,7 @@ object Similarity {
           // encode EVERY vector (the index covers the whole corpus; the
           // query filters its own panel out at read time)
           val co = graft.Artifacts.derived(s, d, codesName) {
-            assign(ce).groupBy(col("vec_id"), col("sub"))
+            assign(subs, ce).groupBy(col("vec_id"), col("sub"))
               .agg(min(struct(col("d"), col("cid"))).as("m"))
               .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
           }
@@ -304,6 +335,49 @@ object Similarity {
   private def codesArraySqlN(numTables: Int): String =
     (0 until numTables).map(t => s"CAST(${codeTSql(t)} AS BIGINT)")
       .mkString("[", ", ", "]")
+
+  /** The corpus-codes CTE chain in VECTORIZABLE form — the shipped
+    * oracle for q34/q35 since round 14 (previously a per-rung manual
+    * conversion, `tools/ann16_oracle.py`). The [[codesArraySqlN]]
+    * lambda form materializes every vector's codes through ~34 KB of
+    * per-row `list_transform` SQL that DuckDB interprets per element:
+    * exact, but interpreter-bound — a documented oracle stop-line at
+    * 16×/64× in rounds 11–13 while the engine side finished. This
+    * chain computes the identical codes as one unnest join-aggregate:
+    * the ±1 projection rows (t, weight 2^b, sign array — the same
+    * [[signs]] constants, emitted as a VALUES relation) join the
+    * unnested quantized vectors on the dimension index, one sum per
+    * (vector, table, bit) gives the projection sign, and a masked
+    * weight-sum rebuilds each full-width code. Bit-equivalent because
+    * the quantized components are INTEGRAL doubles (round(x·1000),
+    * |v| ≤ ~3000): every projection sum stays far below 2^53 and is
+    * exact under ANY association order, so no sign — hence no code,
+    * hence no candidate set — can differ from the lambda form's. The
+    * sf0.01 gate re-certifies that equivalence every round (same
+    * hashes the lambda oracles produced through round 13); the same
+    * rule every other scale-sensitive derivation follows
+    * ([[numBits]], `Dedup.bandRows`) — one form, exact at every rung,
+    * no manual conversion step. */
+  private def codesChainSql(cols: String, numTables: Int): String = {
+    val values = for {
+      t <- 0 until numTables
+      b <- 0 until MAX_BITS
+    } yield s"(${t + 1}, ${1L << b}::BIGINT, ${signs(t)(b).mkString("[", ",", "]")})"
+    s"""pm0 AS (SELECT * FROM (VALUES
+       |  ${values.mkString(",\n  ")}) AS v(t, w, arr)),
+       |pm AS (SELECT t, w, i, arr[i] AS s
+       |  FROM pm0 CROSS JOIN unnest(range(1, ${DIM + 1})) AS u(i)),
+       |eu AS (SELECT vec_id, i, ev[i] AS x
+       |  FROM e CROSS JOIN unnest(range(1, ${DIM + 1})) AS u(i)),
+       |pdots AS (SELECT eu.vec_id, pm.t, pm.w, sum(eu.x * pm.s) AS d
+       |  FROM eu JOIN pm ON pm.i = eu.i GROUP BY 1, 2, 3),
+       |vcodes AS (SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS BIGINT) AS code
+       |  FROM pdots GROUP BY 1, 2),
+       |vcs AS (SELECT vec_id, list(code ORDER BY t) AS cs
+       |  FROM vcodes GROUP BY 1),
+       |c AS MATERIALIZED (SELECT $cols, cs FROM e JOIN vcs USING (vec_id))""".stripMargin
+  }
 
   private def codesArraySql: String = codesArraySqlN(NUM_TABLES)
 
@@ -404,12 +478,13 @@ object Similarity {
     // all Hamming-distance-1 codes, per table) — linear in data size,
     // broadcastable probe side, then exact cosine only on candidates.
     // The oracle expresses the same candidate predicate as a per-row
-    // filter (identical result set; DuckDB needs no scale shape).
+    // filter over codes built by the vectorizable [[codesChainSql]]
+    // chain (identical result set at every rung — no lambda stop-line).
     Q("q34_ann_lsh",
       s"""WITH e AS (
          |  SELECT vec_id, label, $QUANT_SQL AS ev FROM embeddings),
          |nb AS ($NB_SQL),
-         |c AS MATERIALIZED (SELECT vec_id, label, ev, $codesArraySql AS cs FROM e),
+         |${codesChainSql("vec_id, label, ev", NUM_TABLES)},
          |q AS (SELECT ev AS qv, cs AS qcs FROM c WHERE vec_id = 0)
          |SELECT vec_id, label,
          |  list_sum(list_transform(range(1, ${DIM + 1}), i -> ev[i] * qv[i]))
@@ -509,7 +584,7 @@ object Similarity {
       s"""WITH e AS (
          |  SELECT vec_id, $QUANT_SQL AS ev FROM embeddings),
          |nb AS ($NB_SQL),
-         |c AS MATERIALIZED (SELECT vec_id, ev, $codesArraySql AS cs FROM e),
+         |${codesChainSql("vec_id, ev", NUM_TABLES)},
          |u AS MATERIALIZED (
          |  SELECT vec_id, t, cs[t] & msk AS code
          |  FROM c, nb CROSS JOIN unnest(range(1, ${NUM_TABLES + 1})) AS tt(t)),
@@ -888,27 +963,47 @@ object Similarity {
     // dropping out. Evaluation cost is one corpus scan per side at any
     // corpus size; recall is an exact-integer division.
     Q("q123_ann_recall", {
-      val dotSql = (a: String, b: String) =>
-        s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $a[i] * $b[i]))"
+      // Oracle shape (shipped reshaped form, round 14 — previously a
+      // per-rung manual conversion): unlike q34/q35, only the ~10
+      // query vectors and the ≤100 exact-top-10 rows ever have their
+      // LSH codes READ, so codes are computed exactly there (the
+      // lambda form, trivial at that row count) and NOWHERE else; the
+      // exact ranking unnests the quantized vectors once and computes
+      // every dot/norm as a plain join-aggregate instead of an
+      // interpreted per-row lambda. Bit-equivalent by the
+      // [[codesChainSql]] exactness argument (integral doubles, sums
+      // far below 2^53 — exact under any association order, so no
+      // rank or sign can flip).
       s"""WITH e AS (
          |  SELECT vec_id, $QUANT_SQL AS ev FROM embeddings),
          |nb AS ($NB_SQL),
          |cfg AS ($cfgSql),
-         |c AS MATERIALIZED (SELECT vec_id, ev,
-         |  ${codesArraySqlN(MAX_TABLES)} AS cs FROM e),
-         |q AS (SELECT vec_id AS qid, ev AS qv, cs AS qcs FROM c
+         |q AS (SELECT vec_id AS qid, ev AS qv,
+         |  ${codesArraySqlN(MAX_TABLES)} AS qcs FROM e
          |      WHERE vec_id < 10),
-         |x AS (
+         |cu AS (SELECT vec_id, i, ev[i] AS cx
+         |  FROM e CROSS JOIN unnest(range(1, ${DIM + 1})) AS u(i)),
+         |qu AS (SELECT qid, i, qv[i] AS qx
+         |  FROM q CROSS JOIN unnest(range(1, ${DIM + 1})) AS u(i)),
+         |cn AS (SELECT vec_id, sum(cx * cx) AS xx FROM cu GROUP BY 1),
+         |qn AS (SELECT qid, sum(qx * qx) AS qq FROM qu GROUP BY 1),
+         |dp AS (SELECT qu.qid, cu.vec_id, sum(cu.cx * qu.qx) AS d
+         |  FROM cu JOIN qu ON cu.i = qu.i
+         |  WHERE cu.vec_id <> qu.qid
+         |  GROUP BY 1, 2),
+         |x AS MATERIALIZED (
          |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, vec_id) AS rk
-         |  FROM (SELECT q.qid, c.vec_id,
-         |      ${dotSql("c.ev", "q.qv")}
-         |        / (sqrt(list_sum(list_transform(c.ev, x -> x * x)))
-         |           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
-         |    FROM c CROSS JOIN q WHERE c.vec_id <> q.qid) t0),
+         |  FROM (SELECT dp.qid, dp.vec_id,
+         |      dp.d / (sqrt(cn.xx) * sqrt(qn.qq)) AS cos
+         |    FROM dp JOIN cn ON cn.vec_id = dp.vec_id
+         |    JOIN qn ON qn.qid = dp.qid) t0),
+         |cv AS (SELECT vec_id,
+         |  ${codesArraySqlN(MAX_TABLES)} AS cs FROM e
+         |  WHERE vec_id IN (SELECT vec_id FROM x WHERE rk <= 10)),
          |hits AS (
          |  SELECT x.qid, count(*) AS n_hits
-         |  FROM x JOIN c cv ON cv.vec_id = x.vec_id
+         |  FROM x JOIN cv ON cv.vec_id = x.vec_id
          |  JOIN q ON q.qid = x.qid CROSS JOIN nb CROSS JOIN cfg
          |  WHERE x.rk <= 10 AND len(list_filter(range(1, nt + 1),
          |    t -> bit_count(xor(cv.cs[t] & msk, q.qcs[t] & msk)) <= rr)) > 0
@@ -1049,7 +1144,7 @@ object Similarity {
            |    PARTITION BY vec_id, sub
            |    ORDER BY xx - 2 * ${dot8("sv", "cv")} + ${dot8("cv", "cv")},
            |    cid) AS rn
-           |  FROM x2 JOIN c${k - 1} USING (sub)),
+           |  FROM xt JOIN c${k - 1} USING (sub)),
            |b$k AS (SELECT vec_id, sub, sv, cid FROM a$k WHERE rn = 1),
            |c$k AS (
            |  SELECT p.sub, p.cid, coalesce(u.cv, p.cv) AS cv
@@ -1069,6 +1164,10 @@ object Similarity {
          |  CROSS JOIN unnest(range(0, $M)) AS s(sub)),
          |x2 AS MATERIALIZED (
          |  SELECT vec_id, sub, sv, ${dot8("sv", "sv")} AS xx FROM x),
+         |st AS (SELECT greatest(1, (count(*) + ${PQ_TRAIN_CAP - 1})
+         |  // $PQ_TRAIN_CAP) AS step FROM embeddings),
+         |xt AS MATERIALIZED (
+         |  SELECT x2.* FROM x2, st WHERE vec_id % step = 0),
          |c0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM x2
          |       WHERE vec_id BETWEEN 1 AND $KSUB),
          |${(1 to iters).map(step).mkString(",\n")},

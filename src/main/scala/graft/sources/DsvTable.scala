@@ -181,12 +181,34 @@ final class DsvScan(dir: String, schema: StructType) extends Scan with Batch {
   // partitioning, so the read-side fan-out mirrors the write-side
   // fan-out (at 100 TB a production text reader would additionally
   // split large files by byte range; a committed part here is one
-  // task's output, already the granularity the cluster chose)
+  // task's output, already the granularity the cluster chose).
+  //
+  // WHICH files constitute the table comes from ONE directory listing:
+  //   - batch parts (`part-%05d`, published by an atomic job commit)
+  //     are authoritative by name;
+  //   - streaming parts are authoritative only if LISTED in their
+  //     query's newest commit-log generation ([[DsvStreamingWrite]]) —
+  //     a data file a crashed or fenced-out (zombie) commit attempt
+  //     renamed into place but never logged is an invisible orphan,
+  //     never a phantom row. Multiple queries appending to one
+  //     directory each contribute their own log's files.
   override def planInputPartitions(): Array[InputPartition] = {
     val d = new HPath(dir)
     val fs = d.getFileSystem(new Configuration())
-    fs.globStatus(new HPath(d, "part-*")).map(s =>
-      DsvFilePartition(s.getPath.toString): InputPartition)
+    val all = fs.listStatus(d)
+    val batch = all.map(_.getPath).filter { p =>
+      val n = p.getName
+      n.startsWith("part-") && n.length == 10 && n.drop(5).forall(_.isDigit)
+    }
+    val logged = all.map(_.getPath.getName)
+      .filter(_.startsWith(DsvStreamingWrite.LOG_PREFIX))
+      .flatMap(n => DsvStreamingWrite.parseLogName(n).map(_ -> n))
+      .groupBy(_._1._1)                       // by queryId
+      .values.map(_.maxBy(_._1._2)._2)        // newest generation each
+      .flatMap(n => DsvStreamingWrite.readLogFiles(fs, d, n))
+      .map(new HPath(d, _))
+    (batch ++ logged).map(p =>
+      DsvFilePartition(p.toString): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -268,10 +290,11 @@ final class DsvWrite(dir: String, schema: StructType, queryId: String,
       fs.globStatus(new HPath(d, "part-*")).foreach(s =>
         fs.delete(s.getPath, false))
       // a batch overwrite supersedes all streaming history: stale
-      // epoch markers left behind would fence out a future streaming
-      // query that happens to reuse a predecessor's query id
-      fs.globStatus(new HPath(d, "_epoch-*")).foreach(s =>
-        fs.delete(s.getPath, false))
+      // commit logs left behind would both resurrect deleted stream
+      // parts in the read path and fence out a future streaming query
+      // that happens to reuse a predecessor's query id
+      fs.globStatus(new HPath(d, DsvStreamingWrite.LOG_PREFIX + "*"))
+        .foreach(s => fs.delete(s.getPath, false))
     } else {
       // batch part names (`part-%05d`, the reference layout) are not
       // job-unique, so appending into a non-empty table would collide
@@ -329,33 +352,93 @@ final class DsvWriterFactory(tmpRoot: String, types: Array[DataType],
 /** The STREAMING leg of the write contract (TableCapability
   * STREAMING_WRITE): each micro-batch flows through the same
   * temp-then-rename protocol as a batch job, published as an
-  * epoch-fenced APPEND — parts named `part-e<epoch>-<pid>`, plus an
-  * `_epoch-<id>` marker that makes the commit IDEMPOTENT: after a
-  * restart Spark may re-execute and re-commit the last epoch of its
-  * checkpointed offset log, and the marker check turns that replay
-  * into a temp-discarding no-op instead of doubled rows — the
-  * connector-side half of streaming exactly-once (the other half is
-  * the source's replayable offsets, [[SeqMicroBatchStream]]).
-  * Append-only by design: Complete/Update modes would need
-  * per-epoch truncation, which this layout deliberately reserves for
-  * the batch TRUNCATE path. Markers and part names are query-scoped
-  * as of the round-12 hardening; directories written by the earlier
-  * unscoped protocol are outside the compat contract (a legacy-marker
-  * shim would reintroduce the silent-discard bug for new queries).
+  * epoch-fenced APPEND. Since round 14 the source of truth is a
+  * COMPACTED COMMIT LOG — the `_spark_metadata` design Spark's own
+  * FileStreamSink uses — instead of per-epoch marker files:
   *
-  * Fence scope: crash-then-replay, i.e. Spark's contract that one
-  * driver commits a query's epochs SEQUENTIALLY. Two live drivers
-  * committing the same epoch concurrently (a zombie after failover)
-  * could interleave the recovery pre-clean with each other's renames;
-  * fencing that needs a conditional-put metadata log (the
-  * Delta/Iceberg commit answer), which plain rename cannot express —
-  * the same boundary Spark's own FileStreamSink draws. */
+  *   - data files are renamed to ATTEMPT-UNIQUE names
+  *     (`part-e<epoch>-<pid>-<queryId>-<uuid>`), so no rename can ever
+  *     collide with a prior attempt's output and no recovery pre-clean
+  *     exists to interleave with anything;
+  *   - one log file per query, `_dsvlog-<queryId>-g<N>` (N = newest
+  *     committed epoch), lists every committed data file; readers
+  *     ([[DsvScan]]) treat unlisted stream files as invisible orphans.
+  *     The commit POINT is the log's temp-then-rename: rename onto an
+  *     existing name fails (HDFS/local semantics), so the
+  *     generation-numbered rename IS a conditional put;
+  *   - replay of an already-committed epoch — a post-restart
+  *     re-commit, a zombie driver behind the high-water mark, or
+  *     checkpoint surgery arbitrarily far back — reads `gen >= epoch`
+  *     from the newest log and becomes a temp-discarding no-op:
+  *     unbounded fencing history in O(1) files (the per-epoch-marker
+  *     protocol reaped markers beyond a tail, which converted
+  *     beyond-tail re-commits into part deletion + republish);
+  *   - two LIVE drivers racing the SAME epoch (failover zombie) both
+  *     stage and rename their uniquely-named data files, but only one
+  *     log rename wins; the loser deletes its own (unlisted, hence
+  *     invisible) files and dies loudly — the boundary the round-13
+  *     protocol documented as out of contract is now fenced.
+  *
+  * Crash windows: dying after data renames but before the log rename
+  * leaves invisible orphan files that the replay supersedes with a
+  * fresh attempt (orphans are never reaped automatically — the
+  * FileStreamSink trade; they are bounded by crash count and carry no
+  * correctness weight). Dying after the log rename but before the
+  * previous generation's delete leaves one stale log file, reaped by
+  * the next commit or fenced replay (each probes exactly one older
+  * generation by name — no directory glob anywhere on the commit
+  * path). Log content grows with total committed file count, the same
+  * trade FileStreamSink's compact files make; file COUNT stays O(1)
+  * per query. Append-only by design: Complete/Update modes would need
+  * per-epoch truncation, which this layout deliberately reserves for
+  * the batch TRUNCATE path (which deletes stream parts and logs
+  * together). Directories written by the pre-round-14 marker protocol
+  * are outside the compat contract, the round-12 precedent. */
 object DsvStreamingWrite {
-  /** Committed-epoch markers kept per query beyond the newest one.
-    * Spark replays at most the last epoch of its offset log after a
-    * restart, so 1 would suffice; a small tail keeps the fence robust
-    * to an operator hand-rolling checkpoint surgery. */
-  val MARKER_TAIL = 2L
+  val LOG_PREFIX = "_dsvlog-"
+
+  /** `_dsvlog-<queryId>-g<N>` → (queryId, N); queryIds are UUIDs and
+    * contain '-', so the generation parses from the RIGHT. */
+  private[sources] def parseLogName(name: String): Option[(String, Long)] = {
+    val core = name.stripPrefix(LOG_PREFIX)
+    val i = core.lastIndexOf("-g")
+    val gen = if (i <= 0) "" else core.drop(i + 2)
+    if (gen.nonEmpty && gen.length <= 18 && gen.forall(_.isDigit))
+      Some((core.take(i), gen.toLong))
+    else None
+  }
+
+  private[sources] def logName(queryId: String, gen: Long): String =
+    s"$LOG_PREFIX$queryId-g$gen"
+
+  /** Entry lines of a commit log (`<epoch>\t<fileName>`), header
+    * validated. Missing file → None (a racing reaper superseded it). */
+  private[sources] def readLogLines(fs: FileSystem, d: HPath,
+      name: String): Option[Seq[String]] = {
+    val p = new HPath(d, name)
+    try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+      require(lines.nonEmpty && lines.head.startsWith("v1 "),
+        s"graft-dsv: unrecognized commit log header in $p")
+      Some(lines.tail)
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** The committed data-file names a log lists (read side). */
+  private[sources] def readLogFiles(fs: FileSystem, d: HPath,
+      name: String): Seq[String] =
+    readLogLines(fs, d, name).getOrElse(Seq.empty)
+      .map(_.split('\t').last)
+
+  /** Test-only fault injection for the crash/zombie/soak drills:
+    * invoked with (point, epochId) at `"data-renamed"` (files visible,
+    * log not yet published) and `"log-published"` (commit point
+    * passed, cleanup pending). Production value is a no-op. */
+  @volatile private[graft] var faultHook: (String, Long) => Unit =
+    (_, _) => ()
 }
 
 final class DsvStreamingWrite(dir: String, schema: StructType,
@@ -371,53 +454,105 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
       new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()))
 
+  /** Newest commit-log generation at or below this commit, by EXACT
+    * name probes — `g<epoch>` (replay), then `g<epoch-1>` (the normal
+    * successor commit) — falling back to a directory glob only when
+    * both miss (first commit of a run after an epoch gap, checkpoint
+    * surgery): the common path costs two metadata lookups, never a
+    * directory listing. */
+  private def currentLog(fs: FileSystem, d: HPath,
+      epochId: Long): Option[(Long, Seq[String])] = {
+    def probe(gen: Long): Option[(Long, Seq[String])] =
+      if (gen < 0) None
+      else DsvStreamingWrite
+        .readLogLines(fs, d, DsvStreamingWrite.logName(queryId, gen))
+        .map(gen -> _)
+    probe(epochId).orElse(probe(epochId - 1)).orElse {
+      val got = fs.globStatus(new HPath(d,
+        DsvStreamingWrite.LOG_PREFIX + "*"))
+      val gens = (if (got == null) Array.empty[Long]
+        else got.flatMap(s => DsvStreamingWrite
+          .parseLogName(s.getPath.getName)
+          .collect { case (q, g) if q == queryId => g })).sorted
+      gens.lastOption.flatMap(probe)
+    }
+  }
+
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val d = new HPath(dir)
     val fs = d.getFileSystem(new Configuration())
     fs.mkdirs(d)
-    // the marker is scoped by the STREAMING QUERY id (stable across
+    // the log is scoped by the STREAMING QUERY id (stable across
     // restarts — Spark passes `id.toString`, not the per-run id, as
     // the write's queryId), so a replay of this query's epoch fences
     // while a NEW query appending to the same directory — whose epoch
-    // ids restart at 0 — never collides with a predecessor's markers
+    // ids restart at 0 — never collides with a predecessor's log
     // and silently drops its data
-    val marker = new HPath(d, s"_epoch-$queryId-$epochId")
-    if (fs.exists(marker)) {
-      // replayed epoch after a restart: already published — renaming
-      // this attempt's temps would double the rows
-      cleanupEpochTmp(fs, epochId)
-      return
+    val prev = currentLog(fs, d, epochId)
+    prev match {
+      case Some((gen, _)) if gen >= epochId =>
+        // already-committed epoch: a post-restart replay, a zombie
+        // driver behind the high-water mark, or checkpoint surgery —
+        // all become a temp-discarding no-op at ANY distance behind
+        // the mark (O(1) files buy unbounded fencing history).
+        // Opportunistic tidy of the one stale generation a crash
+        // between a log rename and its reap can leave behind:
+        fs.delete(new HPath(d, DsvStreamingWrite.logName(queryId, gen - 1)),
+          false)
+        cleanupEpochTmp(fs, epochId)
+        return
+      case _ => ()
     }
-    // No marker but (query, epoch)-named parts on disk ⇒ a prior
-    // attempt of THIS epoch crashed between its renames and its
-    // marker. Those parts were never acknowledged (the marker is the
-    // acknowledgment), so superseding them is safe — and REQUIRED:
-    // the replay may re-execute with different partitioning (shuffle
-    // partition count changed across the restart), so keeping the old
-    // attempt's part where a dest exists while publishing new parts
-    // for the rest would mix two row-to-partition mappings, dropping
-    // or doubling rows. Delete ALL of the dead attempt's parts first,
-    // then publish this attempt whole — which also keeps recovery
-    // livelock-free on rename-returns-false filesystems (HDFS, object
-    // stores): after the pre-clean no rename can hit an existing dest.
-    val leftovers = fs.globStatus(
-      new HPath(d, f"part-e$epochId%06d-*-$queryId"))
-    if (leftovers != null) leftovers.foreach(s => fs.delete(s.getPath, false))
-    messages.foreach { case DsvCommitMessage(pid, tmp, _) =>
-      // part names carry the query id for the same reason the marker
-      // does: two queries appending to one directory both publish an
-      // epoch 0, and unscoped names would collide at rename time
-      val dest = new HPath(d, f"part-e$epochId%06d-$pid%05d-$queryId")
-      // a failed rename must fail the epoch BEFORE the marker exists:
-      // marking a partially-published epoch committed would convert
-      // Spark's recovery replay into a data-losing no-op. The
-      // pre-clean above removed every prior-attempt dest, and pids are
-      // unique per commit (one coordinator-fenced winner per
-      // partition), so any failure here is a genuine IO error.
+    // Publish this attempt's data files under ATTEMPT-UNIQUE names:
+    // the uuid suffix means no rename can collide with a crashed
+    // prior attempt's output (those files stay as unlisted, invisible
+    // orphans — no pre-clean, so nothing exists for a concurrent
+    // zombie's commit to interleave with), and the query id keeps two
+    // queries appending to one directory out of each other's way.
+    val published = messages.map { case DsvCommitMessage(pid, tmp, _) =>
+      val dest = new HPath(d,
+        f"part-e$epochId%06d-$pid%05d-$queryId-" +
+          UUID.randomUUID().toString.take(8))
       if (!fs.rename(new HPath(tmp), dest))
         throw new java.io.IOException(
           s"graft-dsv epoch $epochId: rename $tmp -> $dest failed")
+      dest.getName
+    }
+    DsvStreamingWrite.faultHook("data-renamed", epochId)
+    // THE COMMIT POINT — a conditional put: write the compacted log
+    // (every previously committed file + this epoch's) to a temp and
+    // rename it to the next generation name. Rename-onto-existing
+    // fails on HDFS/local semantics, so if a concurrent driver (a
+    // failover zombie race on the SAME epoch) already published this
+    // generation, this attempt LOSES: its uniquely-named files are
+    // unlisted orphans — delete them and die loudly. Data renames
+    // before the log rename can still fail the epoch safely: nothing
+    // is acknowledged until the log exists.
+    val entries = prev.map(_._2).getOrElse(Seq.empty) ++
+      published.map(n => s"$epochId\t$n")
+    val logTmp = new HPath(tmpEpochRoot(epochId), "_dsvlog.tmp")
+    val out = fs.create(logTmp, true)
+    try out.write((s"v1 $epochId\n" + entries.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val logDest = new HPath(d,
+      DsvStreamingWrite.logName(queryId, epochId))
+    if (!fs.rename(logTmp, logDest)) {
+      published.foreach(n => fs.delete(new HPath(d, n), false))
+      cleanupEpochTmp(fs, epochId)
+      throw new java.io.IOException(
+        s"graft-dsv epoch $epochId: lost the commit race for $logDest — " +
+          "a concurrent driver committed this epoch first (zombie fencing)")
+    }
+    DsvStreamingWrite.faultHook("log-published", epochId)
+    // reap the superseded generation (exact name — no glob); also
+    // probe one further back, bounding the stale-log debt a crash
+    // inside the previous commit's post-rename window can leave
+    prev.foreach { case (gen, _) =>
+      fs.delete(new HPath(d, DsvStreamingWrite.logName(queryId, gen)), false)
+      fs.delete(new HPath(d, DsvStreamingWrite.logName(queryId, gen - 1)),
+        false)
     }
     // schema is fixed for the query's lifetime: publish the DDL once,
     // via temp + rename — an every-epoch overwrite opens a truncation
@@ -434,28 +569,6 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
       try ddl.write(schema.toDDL.getBytes(StandardCharsets.UTF_8))
       finally ddl.close()
       if (!fs.rename(ddlTmp, ddlFile)) fs.delete(ddlTmp, false)
-    }
-    fs.create(marker, true).close()
-    // Marker retention: epochs are strictly sequential within a query
-    // and Spark only ever replays the tail of its offset log, so once
-    // epoch N is committed, markers older than N - MARKER_TAIL can
-    // never fence anything again — on a long-running query they would
-    // accumulate one file per micro-batch forever, bloating the
-    // directory listings the read path and every commit glob. Reap
-    // them here (this query's namespace only; a concurrent query's
-    // markers carry its own id and never match the glob).
-    val stale = fs.globStatus(new HPath(d, s"_epoch-$queryId-*"))
-    if (stale != null) {
-      val prefixLen = s"_epoch-$queryId-".length
-      stale.foreach { s =>
-        val suffix = s.getPath.getName.drop(prefixLen)
-        // length cap: a foreign digits-only name longer than any real
-        // epoch id must not NumberFormatException the commit
-        if (suffix.nonEmpty && suffix.length <= 18 &&
-            suffix.forall(_.isDigit) &&
-            suffix.toLong < epochId - DsvStreamingWrite.MARKER_TAIL)
-          fs.delete(s.getPath, false)
-      }
     }
     // _SUCCESS is advisory: tolerate a concurrent same-directory
     // query creating it between the exists check and ours

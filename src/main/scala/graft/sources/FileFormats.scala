@@ -517,7 +517,8 @@ object FileFormats {
     // same per-order aggregate as q181 flows in as a MULTI-epoch stream
     // (staged parquet, one file per trigger, ≥4 epochs), each epoch
     // published by the temp-then-rename protocol as fenced
-    // `part-e<epoch>-<pid>` appends, then the directory is read back
+    // `part-e<epoch>-<pid>-<query>-<uuid>` appends under a compacted
+    // commit log, then the directory is read back
     // through the connector and re-aggregated. Any row lost at an epoch
     // boundary, published twice, or leaked from an uncommitted temp is
     // a hash mismatch against the same oracle as q181. The sink +

@@ -1,0 +1,98 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import graft.{Session, SparkEntry}
+
+/** Constrained-memory spill gate (the reference enforces its
+  * O(1)-memory claim by test — `tests/test_worker_11.py:149` caps the
+  * worker's heap and asserts completion; this engine should enforce
+  * its spill-don't-die claim the same way). The bench runs at a fixed
+  * 12 GiB heap with zero major faults, so the spill paths are never
+  * exercised there; this drill runs the heavy subset — the artifact
+  * chain cold builds plus the layout/iterative/join heavyweights —
+  * under WHATEVER heap the JVM was launched with and emits a JSON
+  * line with per-query row-multiset hashes and spill counters.
+  *
+  * Protocol (two launches, one diff):
+  *
+  * {{{
+  * SPARK_GRAFT_ARTIFACT_DIR=$(mktemp -d) SPARK_DRIVER_MEM=12g \
+  *   sbt -batch "runMain graft.tools.MemoryPressureDrill <sfDir>"
+  * SPARK_GRAFT_ARTIFACT_DIR=$(mktemp -d) SPARK_DRIVER_MEM=2g \
+  *   sbt -batch "runMain graft.tools.MemoryPressureDrill <sfDir>"
+  * }}}
+  *
+  * The small-heap run must (a) COMPLETE, (b) report nonzero
+  * `spill_bytes` (proof the pressure was real and the spill paths ran),
+  * and (c) produce per-query hashes identical to the large-heap run
+  * (spilling changed the schedule, never the answer). The launcher caps
+  * SPARK_DRIVER_MEM at 12 GiB and pre-touches the heap (build.sbt), so
+  * the 2 GiB run is a genuine constrained JVM, not a shrunk ceiling.
+  */
+object MemoryPressureDrill {
+  private val panel = Seq(
+    "q161_zorder_prune", "q151_zonemap_prune", "q166_recursive_balance",
+    "q134_setsim_join", "q82_kmeans", "q30_minhash_lsh", "q184_pq_ann",
+    "q57_dup_clusters", "q63_tfidf")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.build(s"local[$cpus]", cpus.toInt, "graft-mem")
+    spark.sparkContext.setLogLevel("WARN")
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null)
+            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          ()
+        }
+      })
+    // artifact-chain builds run INSIDE the drill: with a fresh
+    // SPARK_GRAFT_ARTIFACT_DIR these are the cold multi-job builds —
+    // the heaviest memory consumers the engine has
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tChains = timed {
+      graft.operators.Dedup.warmArtifacts(spark, sfDir)
+      graft.operators.Similarity.warmArtifacts(spark, sfDir)
+      graft.operators.Relational.copurchaseEdges(spark, sfDir)
+      ()
+    }
+    val results = panel.map { name =>
+      val s0 = spill.get()
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(_.toString).sorted
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val md = MessageDigest.getInstance("SHA-256")
+      rows.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
+      val hash = md.digest().take(8).map(b => f"$b%02x").mkString
+      (name, rows.length, hash, wall, spill.get() - s0)
+    }
+    def jstr(s: String) = "\"" + s + "\""
+    val perQ = results.map { case (n, rc, h, w, sp) =>
+      s"${jstr(n)}:{" + s""""rows":$rc,"hash":${jstr(h)},""" +
+        f""""wall_sec":$w%.3f,"spill_bytes":$sp}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"mem_drill","sf":${jstr(sfDir)},""" +
+      s""""xmx_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},""" +
+      f""""chain_build_sec":$tChains%.3f,""" +
+      s""""spill_bytes":${spill.get()},"queries":$perQ}"""
+    val outPath =
+      sys.env.getOrElse("SPARK_GRAFT_MEM_OUT", "MEMDRILL_OUT.json")
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

@@ -142,7 +142,9 @@ class DsvWriteSpec extends AnyFunSuite {
       s"exactly-once across the restart violated: $back")
     val files = names(dir)
     assert(files.count(_.startsWith("part-e")) >= 2, files.toString)
-    assert(files.count(_.startsWith("_epoch-")) >= 2, files.toString)
+    // compacted commit log: exactly ONE generation file, not
+    // one-marker-per-epoch
+    assert(files.count(_.startsWith("_dsvlog-")) == 1, files.toString)
     assert(!files.contains("_tmp"), "no temp residue after commits")
   }
 
@@ -185,80 +187,179 @@ class DsvWriteSpec extends AnyFunSuite {
       "a new query's epoch 0 was fenced out by a predecessor's marker")
   }
 
-  test("replay after a crash between renames and marker recovers, rows once") {
-    // crash window: epoch 0's parts renamed into place, driver died
-    // before _epoch marker creation. Unmarked parts were never
-    // acknowledged, so the replay must SUPERSEDE them wholesale —
-    // delete-then-publish — not keep whichever old dests exist
-    // (mixing two attempts' outputs breaks exactly-once when the
-    // row-to-partition mapping differs between attempts).
-    import org.apache.spark.sql.connector.write.PhysicalWriteInfo
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.types.StructType
+  // ---- direct StreamingWrite drills (shared driver) ----------------------
+
+  private def streamingWriteFor(dir: String, ddl: String, queryId: String) = {
     spark // force the session: the factory resolves SparkSession.active
-    val dir = freshDir()
-    val schema = StructType.fromDDL("id BIGINT")
-    val sw = new sources.DsvWriteBuilder(dir, schema, "specq3")
+    new sources.DsvWriteBuilder(dir,
+      org.apache.spark.sql.types.StructType.fromDDL(ddl), queryId)
       .build().toStreaming
-    def attempt(rowsByPid: Seq[Seq[Long]]): Unit = {
-      val info = new PhysicalWriteInfo {
-        override def numPartitions(): Int = rowsByPid.size
-      }
-      val msgs = rowsByPid.zipWithIndex.map { case (rs, pid) =>
-        val w = sw.createStreamingWriterFactory(info)
-          .createWriter(pid, pid.toLong, 0L)
-        rs.foreach(r => w.write(InternalRow(r)))
-        w.commit()
-      }
-      sw.commit(0L, msgs.toArray)
+  }
+
+  /** Stage + commit one epoch through the full StreamingWrite
+    * contract: one writer per pid, each carrying its row slice. */
+  private def commitEpoch(sw: org.apache.spark.sql.connector.write.streaming.StreamingWrite,
+      epoch: Long, rowsByPid: Seq[Seq[Long]]): Unit = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.write.PhysicalWriteInfo
+    val info = new PhysicalWriteInfo {
+      override def numPartitions(): Int = rowsByPid.size
     }
-    // attempt 1: ONE partition carrying both rows
-    attempt(Seq(Seq(42L, 43L)))
-    // simulate the crash window: marker gone, parts present
-    val marker = names(dir).find(_.startsWith("_epoch-")).get
-    assert(new java.io.File(dir, marker).delete())
-    // the replay re-executes with DIFFERENT partitioning (restart
-    // changed spark.sql.shuffle.partitions): two partitions, one row
-    // each. The old mixed-attempt behavior would keep attempt 1's p0
-    // (both rows) AND publish attempt 2's p1 (43) → 43 doubled.
-    attempt(Seq(Seq(42L), Seq(43L)))
+    val msgs = rowsByPid.zipWithIndex.map { case (rs, pid) =>
+      val w = sw.createStreamingWriterFactory(info)
+        .createWriter(pid, pid.toLong, epoch)
+      rs.foreach(r => w.write(InternalRow(r)))
+      w.commit()
+    }
+    sw.commit(epoch, msgs.toArray)
+  }
+
+  test("replay after a crash between data renames and the log recovers, rows once") {
+    // crash window: epoch 0's uniquely-named parts renamed into place,
+    // driver died before the commit-log rename. Unlogged parts were
+    // never acknowledged (the log is the acknowledgment), so they are
+    // INVISIBLE orphans; the replay — possibly with DIFFERENT
+    // partitioning (restart changed spark.sql.shuffle.partitions) —
+    // publishes a fresh attempt whole, and the reader sees exactly one
+    // attempt's rows.
+    val dir = freshDir()
+    val sw = streamingWriteFor(dir, "id BIGINT", "specq3")
+    // attempt 1: ONE partition carrying both rows; die at the hook
+    sources.DsvStreamingWrite.faultHook = (point, _) =>
+      if (point == "data-renamed") throw new RuntimeException("injected crash")
+    try intercept[RuntimeException] { commitEpoch(sw, 0L, Seq(Seq(42L, 43L))) }
+    finally sources.DsvStreamingWrite.faultHook = (_, _) => ()
+    assert(names(dir).count(_.startsWith("part-e")) == 1,
+      "crash window must leave the orphan part on disk")
+    // explicit schema: _schema.ddl publishes only after the commit
+    // point, which this attempt never reached
+    assert(spark.read.format("graft-dsv").schema("id BIGINT")
+      .option("path", dir).load().count() == 0,
+      "an unlogged orphan part must be invisible to readers")
+    // the replay re-executes with different partitioning: two
+    // partitions, one row each
+    commitEpoch(sw, 0L, Seq(Seq(42L), Seq(43L)))
     val rows = read(dir).collect().map(_.getLong(0)).sorted.toSeq
     assert(rows == Seq(42L, 43L),
       s"recovery replay mixed two attempts' outputs: $rows")
-    assert(names(dir).exists(_.startsWith("_epoch-")), "marker not restored")
+    assert(names(dir).exists(_.startsWith("_dsvlog-")), "log not published")
     assert(!names(dir).contains("_tmp"), "replay temps linger")
   }
 
-  test("committed-epoch markers are reaped beyond a small tail") {
-    // one marker per micro-batch forever would bloat the directory
-    // listing every read and commit globs; only the offset-log tail
-    // can ever replay, so older markers are dead weight
-    import org.apache.spark.sql.connector.write.PhysicalWriteInfo
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.types.StructType
-    spark
+  test("commit metadata stays O(1) files across many epochs; newest fences") {
+    // one marker per micro-batch forever would bloat every directory
+    // listing; the compacted generation-numbered log keeps exactly one
+    // metadata file per query while fencing ALL committed history
     val dir = freshDir()
-    val schema = StructType.fromDDL("id BIGINT")
-    val sw = new sources.DsvWriteBuilder(dir, schema, "specq4")
-      .build().toStreaming
-    val info = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
-    (0L to 9L).foreach { epoch =>
-      val w = sw.createStreamingWriterFactory(info).createWriter(0, 0L, epoch)
-      w.write(InternalRow(epoch))
-      sw.commit(epoch, Array(w.commit()))
-    }
-    val markers = names(dir).filter(_.startsWith("_epoch-"))
-    val tail = sources.DsvStreamingWrite.MARKER_TAIL
-    assert(markers.size <= tail + 1,
-      s"markers not reaped beyond the tail: $markers")
-    assert(markers.contains("_epoch-specq4-9"), markers.toString)
-    // the newest epoch — the only one Spark can replay — still fences
-    val w = sw.createStreamingWriterFactory(info).createWriter(0, 0L, 9L)
-    w.write(InternalRow(9L))
-    sw.commit(9L, Array(w.commit()))
+    val sw = streamingWriteFor(dir, "id BIGINT", "specq4")
+    (0L to 9L).foreach(e => commitEpoch(sw, e, Seq(Seq(e))))
+    val logs = names(dir).filter(_.startsWith("_dsvlog-"))
+    assert(logs == Seq("_dsvlog-specq4-g9"), logs.toString)
+    // the newest epoch — the one Spark replays after a restart — fences
+    commitEpoch(sw, 9L, Seq(Seq(9L)))
     assert(read(dir).count() == 10, "replay of the newest epoch doubled rows")
-    // all ten epochs' data parts are intact
     assert(names(dir).count(_.startsWith("part-e")) == 10)
+  }
+
+  test("a beyond-tail epoch re-commit is a fenced no-op, never destructive") {
+    // checkpoint surgery / a zombie driver arbitrarily far behind the
+    // high-water mark: under the round-13 marker protocol a re-commit
+    // of a reaped epoch DELETED that epoch's committed parts and
+    // republished (ADVICE r13) — under the compacted log it must be a
+    // pure no-op at any distance behind the mark
+    val dir = freshDir()
+    val sw = streamingWriteFor(dir, "id BIGINT", "specq5")
+    (0L to 9L).foreach(e => commitEpoch(sw, e, Seq(Seq(e))))
+    val before = read(dir).collect().map(_.getLong(0)).sorted.toSeq
+    val partsBefore = names(dir).filter(_.startsWith("part-e"))
+    commitEpoch(sw, 3L, Seq(Seq(777L)))  // far behind the mark
+    assert(read(dir).collect().map(_.getLong(0)).sorted.toSeq == before,
+      "beyond-tail re-commit changed committed data")
+    assert(names(dir).filter(_.startsWith("part-e")) == partsBefore,
+      "beyond-tail re-commit touched committed parts")
+    assert(!names(dir).contains("_tmp"), "fenced no-op temps linger")
+  }
+
+  test("two-writer zombie drill: the losing concurrent commit dies harmless") {
+    // failover zombie race: TWO live drivers of the same query both
+    // stage epoch 0 and both pass the already-committed probe, then
+    // race the commit point. The generation-numbered log rename is a
+    // conditional put — exactly one wins; the loser must remove its
+    // own (unlisted) files and fail loudly, leaving the winner's
+    // publish untouched.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.write.PhysicalWriteInfo
+    val dir = freshDir()
+    val w1 = streamingWriteFor(dir, "id BIGINT", "zomq")
+    val w2 = streamingWriteFor(dir, "id BIGINT", "zomq")
+    // stage w2's data up front so its commit can run from inside the
+    // hook (after w1 passed its probe and published its data files)
+    val info = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    val w2writer = w2.createStreamingWriterFactory(info).createWriter(0, 10L, 0L)
+    w2writer.write(InternalRow(200L))
+    val w2msg = w2writer.commit()
+    var fired = false
+    sources.DsvStreamingWrite.faultHook = (point, _) =>
+      if (point == "data-renamed" && !fired) {
+        fired = true // one-shot: w2's own commit passes the same hook
+        w2.commit(0L, Array(w2msg))
+      }
+    val e = try intercept[java.io.IOException] {
+      commitEpoch(w1, 0L, Seq(Seq(100L)))
+    } finally sources.DsvStreamingWrite.faultHook = (_, _) => ()
+    assert(e.getMessage.contains("zombie"), e.getMessage)
+    val rows = read(dir).collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(200L),
+      s"zombie race corrupted the winner's publish: $rows")
+    // the loser's data files are gone, not just unlisted
+    assert(names(dir).count(_.startsWith("part-e")) == 1, names(dir).toString)
+    assert(!names(dir).contains("_tmp"), "loser's temps linger")
+  }
+
+  test("soak: 200 epochs with random kill/restart keep exactly-once + O(1) logs") {
+    // the retention + recovery logic exercised the way a deployment
+    // runs it: hundreds of epochs, a seeded coin deciding per epoch
+    // whether the driver dies at a commit point (before the log → the
+    // epoch is uncommitted, replay republishes; after the log → the
+    // epoch IS committed, replay must fence), each crash followed by
+    // the replay Spark's recovery performs.
+    val dir = freshDir()
+    val sw = streamingWriteFor(dir, "id BIGINT", "soakq")
+    val rng = new scala.util.Random(0xD5C0DE)
+    val expected = scala.collection.mutable.ArrayBuffer[Long]()
+    (0L until 200L).foreach { epoch =>
+      val rows = Seq(epoch * 10, epoch * 10 + 1)
+      expected ++= rows
+      val crashAt = rng.nextInt(4) match {
+        case 0 => Some("data-renamed")
+        case 1 => Some("log-published")
+        case _ => None
+      }
+      crashAt match {
+        case Some(point) =>
+          sources.DsvStreamingWrite.faultHook = (p, _) =>
+            if (p == point) throw new RuntimeException(s"injected@$point")
+          try intercept[RuntimeException] {
+            commitEpoch(sw, epoch, Seq(rows))
+          } finally sources.DsvStreamingWrite.faultHook = (_, _) => ()
+          // Spark's recovery: re-execute and re-commit the epoch
+          // (fenced no-op if the log made it out before the kill) —
+          // with different partitioning half the time, like a restart
+          // that changed spark.sql.shuffle.partitions
+          if (rng.nextBoolean()) commitEpoch(sw, epoch, Seq(rows))
+          else commitEpoch(sw, epoch, rows.map(Seq(_)))
+        case None => commitEpoch(sw, epoch, Seq(rows))
+      }
+    }
+    val got = read(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected.sorted.toSeq,
+      s"soak violated exactly-once: got ${got.size} rows, " +
+        s"expected ${expected.size}")
+    val logs = names(dir).filter(_.startsWith("_dsvlog-"))
+    assert(logs.size <= 2,
+      s"soak accumulated metadata files beyond the crash-window bound: $logs")
+    assert(logs.contains("_dsvlog-soakq-g199"), logs.toString)
+    assert(!names(dir).contains("_tmp"), "soak temps linger")
   }
 
   test("batch append into a non-empty table is refused before any rename") {

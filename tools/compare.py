@@ -81,6 +81,24 @@ def main(outdir, sfdir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = n_skip = 0
+    # Optional per-query disposition artifact (GRAFT_COMPARE_JSON=path):
+    # the scale-rung sweeps need a machine-readable record of every
+    # query's outcome — match / fail / oracle stop-line / no oracle —
+    # not just the tallies, so a rung's oracle coverage is a number.
+    # Written INCREMENTALLY (rewritten after every query) so a killed
+    # or wedged sweep still leaves the dispositions it completed.
+    json_out = os.environ.get("GRAFT_COMPARE_JSON", "")
+    disposition = {}
+    import time as _time
+
+    def record(name, status, **kw):
+        if not json_out:
+            return
+        disposition[name] = {"status": status, **kw}
+        tmp = json_out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(disposition, f, indent=1, sort_keys=True)
+        os.replace(tmp, json_out)
     # Scale-rung controls (builder-side; the driver gate sets neither):
     # GRAFT_COMPARE_SKIP — comma list of names to skip outright (e.g.
     # already verified in a prior partial run); GRAFT_ORACLE_TIMEOUT_SEC
@@ -96,6 +114,7 @@ def main(outdir, sfdir):
     for name in names:
         if name in skip:
             n_skip += 1
+            record(name, "skipped")
             print(f"  - {name}: SKIPPED (GRAFT_COMPARE_SKIP)")
             continue
         # Spark side: pyarrow→pandas, the driver's read path for the
@@ -104,6 +123,7 @@ def main(outdir, sfdir):
         got.columns = [c.lower() for c in got.columns]
         if name not in oracle:
             n_noracle += 1
+            record(name, "no_oracle", spark_rows=len(got))
             print(f"  ~ {name}: no oracle, rows={len(got)}"
                   + ("  [EMPTY!]" if not len(got) else ""))
             continue
@@ -114,6 +134,7 @@ def main(outdir, sfdir):
             timer = threading.Timer(tmo, lambda: (timed_out.append(True),
                                                   con.interrupt()))
             timer.start()
+        t0 = _time.time()
         try:
             # Oracle side: DuckDB via .df() — pandas conversion applies
             # the same type coercions the driver sees (DECIMAL→float64).
@@ -122,17 +143,23 @@ def main(outdir, sfdir):
         except Exception as e:
             if timed_out:
                 n_skip += 1
+                record(name, "oracle_stopline", spark_rows=len(got),
+                       timeout_sec=tmo)
                 print(f"  - {name}: ORACLE TIMEOUT after {tmo:.0f}s "
                       f"(stop-line: oracle cost, engine result present, "
                       f"rows={len(got)})")
             else:
+                record(name, "oracle_error", err=str(e)[:200])
                 print(f"  ✗ {name}: oracle SQL failed: {e}")
                 n_fail += 1
             continue
         finally:
             if timer is not None:
                 timer.cancel()
+        oracle_sec = round(_time.time() - t0, 1)
         if sorted(got.columns) != sorted(exp.columns):
+            record(name, "fail_columns", spark_rows=len(got),
+                   oracle_rows=len(exp), oracle_sec=oracle_sec)
             print(f"  ✗ {name}: columns differ got={sorted(got.columns)}"
                   f" exp={sorted(exp.columns)}")
             n_fail += 1
@@ -140,19 +167,25 @@ def main(outdir, sfdir):
         try:
             g, e = canon(got), canon(exp)
         except TypeError as err:
+            record(name, "fail_types", err=str(err)[:200])
             print(f"  ✗ {name}: {err}")
             n_fail += 1
             continue
         if len(g) != len(e):
+            record(name, "fail_rows", spark_rows=len(g), oracle_rows=len(e),
+                   oracle_sec=oracle_sec)
             print(f"  ✗ {name}: rowcount got={len(g)} exp={len(e)}")
             n_fail += 1
         elif g != e:
             bad = next(i for i in range(len(g)) if g[i] != e[i])
+            record(name, "fail_values", spark_rows=len(g),
+                   oracle_rows=len(e), oracle_sec=oracle_sec)
             print(f"  ✗ {name}: values differ at sorted-row {bad}:")
             print(f"      got: {g[bad]}")
             print(f"      exp: {e[bad]}")
             n_fail += 1
         else:
+            record(name, "match", spark_rows=len(g), oracle_sec=oracle_sec)
             print(f"  ✓ {name}: {len(g)} rows match")
             n_pass += 1
     line = f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}"
