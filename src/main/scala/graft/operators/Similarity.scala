@@ -803,8 +803,16 @@ object Similarity {
     // split across cluster boundaries is missed — the standard IVF
     // recall trade, bought back in search by nprobe (q44).
     Q("q104_semantic_dedup", {
+      // Oracle shape (round 14): dots via NATIVE list_dot_product —
+      // exact for these integral doubles (products ≤ 9·10^6, 64-term
+      // sums < 2^53, order-independent) — and the n×K assignment
+      // window carries only (vec_id, cid), with vectors joined back
+      // AFTER rn = 1: the old per-pair list_transform lambda plus the
+      // vector-wide window sort cost 955 s at 64× (within sight of
+      // the 1200 s stop-line); this form measures 325 s there,
+      // result-equal.
       val dotSql = (a: String, b: String) =>
-        s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $a[i] * $b[i]))"
+        s"CAST(list_dot_product($a, $b) AS BIGINT)"
       s"""WITH nk AS ($NK_SQL),
          |e AS MATERIALIZED (
          |  SELECT vec_id, sv, ${dotSql("sv", "sv")} AS xx
@@ -812,16 +820,19 @@ object Similarity {
          |c AS (SELECT vec_id AS cid, sv AS cv, xx AS cc FROM e, nk
          |      WHERE vec_id BETWEEN 1 AND k),
          |asg AS MATERIALIZED (
-         |  SELECT vec_id, sv, xx, cid FROM (
-         |    SELECT e.vec_id, e.sv, e.xx, c.cid,
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY e.xx - 2 * ${dotSql("e.sv", "c.cv")} + c.cc, c.cid)
          |        AS rn
-         |    FROM e CROSS JOIN c) t WHERE rn = 1)
+         |    FROM e CROSS JOIN c) t WHERE rn = 1),
+         |ap AS MATERIALIZED (
+         |  SELECT asg.vec_id, asg.cid, e.sv, e.xx
+         |  FROM asg JOIN e ON e.vec_id = asg.vec_id)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  CAST(a.cid AS BIGINT) AS cid,
          |  CAST(a.xx - 2 * ${dotSql("a.sv", "b.sv")} + b.xx AS BIGINT) AS d2
-         |FROM asg a JOIN asg b
+         |FROM ap a JOIN ap b
          |  ON a.cid = b.cid AND a.vec_id < b.vec_id
          |ORDER BY d2, vec_a, vec_b
          |LIMIT 20""".stripMargin
@@ -871,10 +882,15 @@ object Similarity {
     // that runs at any corpus size. Completes the embedding toolkit:
     // q85 compresses precision, this compresses dimensionality.
     Q("q105_random_projection", {
+      // native list_dot_product instead of a per-row list_transform
+      // lambda (8 × 64 interpreted ops per vector — 351 s at 64×; the
+      // native form is seconds). Exact: products ≤ 3·10^3 and sums of
+      // 64 of them are integral doubles far below 2^53, so the
+      // double-typed native sum is order-independent and the BIGINT
+      // cast lossless.
       val projs = (0 until RP_DIMS).map { j =>
         val sArr = rpSigns(j).mkString("[", ",", "]")
-        s"""CAST(list_sum(list_transform(range(1, ${DIM + 1}),
-           |    i -> sv[i] * ($sArr)[i])) AS BIGINT) AS p$j""".stripMargin
+        s"CAST(list_dot_product(sv, $sArr) AS BIGINT) AS p$j"
       }.mkString(",\n")
       s"""SELECT vec_id, $projs
          |FROM (SELECT vec_id, $QUANT_SQL AS sv FROM embeddings) q"""
@@ -899,8 +915,11 @@ object Similarity {
     // join, never a broadcast; the cluster table rides along as a
     // column, costing nothing extra. The report is |K|·|langs| rows.
     Q("q115_cluster_profile", {
+      // native list_dot_product in the n×K assignment (the q104
+      // reshape — same exactness argument, same narrow window; the
+      // lambda form cost 195 s at 64×)
       val dotSql = (a: String, b: String) =>
-        s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $a[i] * $b[i]))"
+        s"CAST(list_dot_product($a, $b) AS BIGINT)"
       s"""WITH nk AS ($NK_SQL),
          |e AS MATERIALIZED (
          |  SELECT vec_id, sv, ${dotSql("sv", "sv")} AS xx

@@ -150,22 +150,36 @@ object Skew {
     // row, zero joins and zero shuffles before the 16-row report
     // aggregate. 48-bit hash positions × 64 stay far under 2^63.
     Q("q159_consistent_sharding", {
+      // Oracle shape (vectorized since round 14, the §20.1 rule): the
+      // ring lookup "smallest ring point x with x//64 ≥ hash(doc)" is
+      // a pure 1-D threshold — x = h·64 + s with s < 64 makes
+      // x//64 ≥ dh ⟺ x ≥ dh·64 — so it ships as an ASOF JOIN against
+      // the ring TABLE instead of a per-row 1 000-element list_filter
+      // lambda (which cost 942 s at 64×; the ASOF form is
+      // milliseconds). Exact, not approximate: ring x values are
+      // pairwise distinct (distinct (h, s) pairs differ in x), so the
+      // nearest-above match is unique and equals the old list_min.
       def ringSql(n: Int) =
-        s"""SELECT list(h * 64 + s ORDER BY h * 64 + s) AS r
-           |FROM (
-           |  SELECT s.s, v.v,
-           |    ${TextOps.hex48Sql("'s:' || s.s || ':v:' || v.v")} AS h
+        s"""SELECT ${TextOps.hex48Sql("'s:' || s.s || ':v:' || v.v")}
+           |    * 64 + s.s AS x
            |  FROM unnest(range(0, $n)) s(s)
-           |  CROSS JOIN unnest(range(0, 32)) v(v)) t""".stripMargin
+           |  CROSS JOIN unnest(range(0, 32)) v(v)""".stripMargin
       s"""WITH r16 AS (${ringSql(16)}),
          |r17 AS (${ringSql(17)}),
+         |dh AS (SELECT doc_id, ${TextOps.hex48Sql("doc_id")} * 64 AS dh64
+         |       FROM documents),
+         |m16 AS (SELECT dh.doc_id, r16.x
+         |        FROM dh ASOF LEFT JOIN r16 ON dh.dh64 <= r16.x),
+         |m17 AS (SELECT dh.doc_id, r17.x
+         |        FROM dh ASOF LEFT JOIN r17 ON dh.dh64 <= r17.x),
+         |f16 AS (SELECT min(x) AS x0 FROM r16),
+         |f17 AS (SELECT min(x) AS x0 FROM r17),
          |sel AS (
-         |  SELECT doc_id,
-         |    coalesce(list_min(list_filter(r16.r, x -> x // 64 >=
-         |      ${TextOps.hex48Sql("doc_id")})), r16.r[1]) % 64 AS s16,
-         |    coalesce(list_min(list_filter(r17.r, x -> x // 64 >=
-         |      ${TextOps.hex48Sql("doc_id")})), r17.r[1]) % 64 AS s17
-         |  FROM documents CROSS JOIN r16 CROSS JOIN r17)
+         |  SELECT m16.doc_id,
+         |    coalesce(m16.x, f16.x0) % 64 AS s16,
+         |    coalesce(m17.x, f17.x0) % 64 AS s17
+         |  FROM m16 JOIN m17 ON m16.doc_id = m17.doc_id
+         |  CROSS JOIN f16 CROSS JOIN f17)
          |SELECT CAST(s16 AS BIGINT) AS shard,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS BIGINT)

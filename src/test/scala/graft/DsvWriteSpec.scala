@@ -362,6 +362,28 @@ class DsvWriteSpec extends AnyFunSuite {
     assert(!names(dir).contains("_tmp"), "soak temps linger")
   }
 
+  test("batch TRUNCATE supersedes streaming history: parts AND logs wiped") {
+    // stale commit logs after a batch overwrite would resurrect
+    // deleted stream parts in the read path and fence out a future
+    // query reusing the same query id — the overwrite must delete both
+    val dir = freshDir()
+    val sw = streamingWriteFor(dir, "id BIGINT", "specq6")
+    (0L to 2L).foreach(e => commitEpoch(sw, e, Seq(Seq(e))))
+    assert(read(dir).count() == 3)
+    write(spark.range(7).toDF("id").repartition(1), dir)
+    val files = names(dir)
+    assert(!files.exists(_.startsWith("_dsvlog-")),
+      s"batch overwrite left streaming commit logs: $files")
+    assert(!files.exists(_.startsWith("part-e")),
+      s"batch overwrite left streaming parts: $files")
+    assert(read(dir).count() == 7)
+    // and the SAME query id streaming fresh epochs afterwards is not
+    // fenced by its deleted history
+    commitEpoch(sw, 0L, Seq(Seq(100L)))
+    assert(read(dir).collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 7L) :+ 100L), "post-truncate epoch 0 was fenced out")
+  }
+
   test("batch append into a non-empty table is refused before any rename") {
     import spark.implicits._
     val dir = freshDir()
