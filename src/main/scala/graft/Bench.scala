@@ -234,6 +234,29 @@ object Bench {
     spark.catalog.clearCache()
     // JIT-warm the probe loops before any measured use
     (1 to 20).foreach { _ => spinProbeMs(); memProbeMs() }
+    // Host-window PRECONDITION (stamped, not prose): three rounds of
+    // anchors needed post-hoc adjudication of degraded-memory windows
+    // (r14 mem_ratio 1.204); measuring the window BEFORE the reps and
+    // carrying a boolean turns that paragraph into a bit. The band is
+    // empirical from the round ledger: healthy runs measure memcalib
+    // 8.9–10.4 ms, degraded windows 11.0+ (SURVEY §12.1, §19/§20
+    // adjudications). One settle-and-retry on a bad first read keeps a
+    // transient burst from condemning a whole run; the FINAL verdict
+    // plus both readings ride in the JSON either way — a false
+    // `window_ok` can be re-adjudicated, an absent one cannot.
+    val windowThresholdMs = sys.env
+      .getOrElse("SPARK_GRAFT_MEMCALIB_OK_MS", "10.8").toDouble
+    def windowProbe(): Double = {
+      val v = (1 to 7).map(_ => memProbeMs()).sorted
+      v(v.size / 2)
+    }
+    val windowFirst = windowProbe()
+    val windowFinal = if (windowFirst <= windowThresholdMs) windowFirst
+      else { Thread.sleep(5000); windowProbe() }
+    val windowOk = windowFinal <= windowThresholdMs
+    System.err.println(f"[bench] window precheck: memcalib " +
+      f"$windowFirst%.2f ms (final $windowFinal%.2f, threshold " +
+      f"$windowThresholdMs%.2f) window_ok=$windowOk")
     // (name, per-rep seconds sorted ascending, first error if any)
     val results = selected.map { case (name, fn) =>
       val calib = spinProbeMs()
@@ -329,6 +352,10 @@ object Bench {
       s""""gc_ms_total":$gcMsTotal,""" +
       s""""calib_ms_med":${f"$calibMed%.2f"},""" +
       s""""memcalib_ms_med":${f"$memCalibMed%.2f"},""" +
+      s""""window_ok":$windowOk,""" +
+      s""""window_memcalib_ms":${f"$windowFinal%.2f"},""" +
+      s""""window_memcalib_first_ms":${f"$windowFirst%.2f"},""" +
+      s""""window_threshold_ms":${f"$windowThresholdMs%.2f"},""" +
       s""""stream_epochs":$streamEpochs,""" +
       s""""artifact_build":{""" +
       s""""dedup_chain":${ms(tDedupChain)},"dedup_built":$nDedupBuilt,""" +

@@ -803,14 +803,18 @@ object Similarity {
     // split across cluster boundaries is missed — the standard IVF
     // recall trade, bought back in search by nprobe (q44).
     Q("q104_semantic_dedup", {
-      // Oracle shape (round 14): dots via NATIVE list_dot_product —
+      // Oracle shape (round 15): dots via NATIVE list_dot_product —
       // exact for these integral doubles (products ≤ 9·10^6, 64-term
-      // sums < 2^53, order-independent) — and the n×K assignment
-      // window carries only (vec_id, cid), with vectors joined back
-      // AFTER rn = 1: the old per-pair list_transform lambda plus the
-      // vector-wide window sort cost 955 s at 64× (within sight of
-      // the 1200 s stop-line); this form measures 325 s there,
-      // result-equal.
+      // sums < 2^53, order-independent) — and the n×K assignment as an
+      // ARG-MIN AGGREGATE instead of a row_number window: the window
+      // materialized and partition-sorted all n×K candidate rows
+      // (325-612 s at 64×); arg_min folds them in one streaming
+      // hash-aggregate pass (25.8 s at 64×, row-equal at every rung).
+      // The composite ordering (distance, cid) packs into one BIGINT:
+      // d2 ≤ 64·(2·3000)² < 2^32 and cid ≤ K < 2^16 up to ~16M
+      // vectors, so d2·65536 + cid is exact and strictly
+      // order-preserving, reproducing the window's deterministic
+      // tie-break on cid.
       val dotSql = (a: String, b: String) =>
         s"CAST(list_dot_product($a, $b) AS BIGINT)"
       s"""WITH nk AS ($NK_SQL),
@@ -820,12 +824,11 @@ object Similarity {
          |c AS (SELECT vec_id AS cid, sv AS cv, xx AS cc FROM e, nk
          |      WHERE vec_id BETWEEN 1 AND k),
          |asg AS MATERIALIZED (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY e.xx - 2 * ${dotSql("e.sv", "c.cv")} + c.cc, c.cid)
-         |        AS rn
-         |    FROM e CROSS JOIN c) t WHERE rn = 1),
+         |  SELECT e.vec_id,
+         |    arg_min(c.cid,
+         |      (e.xx - 2 * ${dotSql("e.sv", "c.cv")} + c.cc) * 65536 + c.cid)
+         |      AS cid
+         |  FROM e CROSS JOIN c GROUP BY e.vec_id),
          |ap AS MATERIALIZED (
          |  SELECT asg.vec_id, asg.cid, e.sv, e.xx
          |  FROM asg JOIN e ON e.vec_id = asg.vec_id)
@@ -915,9 +918,9 @@ object Similarity {
     // join, never a broadcast; the cluster table rides along as a
     // column, costing nothing extra. The report is |K|·|langs| rows.
     Q("q115_cluster_profile", {
-      // native list_dot_product in the n×K assignment (the q104
-      // reshape — same exactness argument, same narrow window; the
-      // lambda form cost 195 s at 64×)
+      // native list_dot_product + the q104 arg-min assignment (same
+      // exactness and packing argument — d2·65536 + cid is exact and
+      // order-preserving; the window form cost 195 s at 64×)
       val dotSql = (a: String, b: String) =>
         s"CAST(list_dot_product($a, $b) AS BIGINT)"
       s"""WITH nk AS ($NK_SQL),
@@ -927,12 +930,11 @@ object Similarity {
          |c AS (SELECT vec_id AS cid, sv AS cv, xx AS cc FROM e, nk
          |      WHERE vec_id BETWEEN 1 AND k),
          |asg AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY e.xx - 2 * ${dotSql("e.sv", "c.cv")} + c.cc, c.cid)
-         |        AS rn
-         |    FROM e CROSS JOIN c) t WHERE rn = 1)
+         |  SELECT e.vec_id,
+         |    arg_min(c.cid,
+         |      (e.xx - 2 * ${dotSql("e.sv", "c.cv")} + c.cc) * 65536 + c.cid)
+         |      AS cid
+         |  FROM e CROSS JOIN c GROUP BY e.vec_id)
          |SELECT a.cid, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS mean_chars
          |FROM asg a JOIN documents d ON d.doc_id = a.vec_id

@@ -200,12 +200,24 @@ final class DsvScan(dir: String, schema: StructType) extends Scan with Batch {
       val n = p.getName
       n.startsWith("part-") && n.length == 10 && n.drop(5).forall(_.isDigit)
     }
+    // The listing and the log read are not atomic: a concurrent commit
+    // can rename generation g+1 into place and reap g in between, so a
+    // vanished newest log must NEVER read as "this query committed no
+    // rows". Every log carries the query's FULL committed history, so
+    // any older generation from the same listing is a consistent (at
+    // worst pre-listing) snapshot; walking down finds one unless the
+    // reader slept across every listed generation, in which case a
+    // bounded re-list picks up the newer log (or, after a TRUNCATE,
+    // legitimately nothing).
     val logged = all.map(_.getPath.getName)
       .filter(_.startsWith(DsvStreamingWrite.LOG_PREFIX))
-      .flatMap(n => DsvStreamingWrite.parseLogName(n).map(_ -> n))
-      .groupBy(_._1._1)                       // by queryId
-      .values.map(_.maxBy(_._1._2)._2)        // newest generation each
-      .flatMap(n => DsvStreamingWrite.readLogFiles(fs, d, n))
+      .flatMap(DsvStreamingWrite.parseLogName)
+      .groupBy(_._1)                          // by queryId
+      .toSeq
+      .flatMap { case (q, gens) =>
+        DsvStreamingWrite.logFilesFor(fs, d, q,
+          gens.map(_._2).distinct.sorted(Ordering[Long].reverse).toSeq)
+      }
       .map(new HPath(d, _))
     (batch ++ logged).map(p =>
       DsvFilePartition(p.toString): InputPartition).toArray
@@ -363,9 +375,11 @@ final class DsvWriterFactory(tmpRoot: String, types: Array[DataType],
   *   - one log file per query, `_dsvlog-<queryId>-g<N>` (N = newest
   *     committed epoch), lists every committed data file; readers
   *     ([[DsvScan]]) treat unlisted stream files as invisible orphans.
-  *     The commit POINT is the log's temp-then-rename: rename onto an
-  *     existing name fails (HDFS/local semantics), so the
-  *     generation-numbered rename IS a conditional put;
+  *     The commit POINT is the log's temp-then-rename, made a GENUINE
+  *     conditional put by [[DsvStreamingWrite.conditionalRename]]
+  *     (dest check + FileContext rename without OVERWRITE — stock
+  *     local filesystems overwrite-and-return-true on plain
+  *     `FileSystem.rename`, so the boolean cannot fence);
   *   - replay of an already-committed epoch — a post-restart
   *     re-commit, a zombie driver behind the high-water mark, or
   *     checkpoint surgery arbitrarily far back — reads `gen >= epoch`
@@ -433,6 +447,72 @@ object DsvStreamingWrite {
     readLogLines(fs, d, name).getOrElse(Seq.empty)
       .map(_.split('\t').last)
 
+  /** Committed data-file names for one query, resilient to the
+    * list/read race: try the listed generations NEWEST FIRST (each log
+    * is the full history, so any hit is a consistent snapshot); if a
+    * racing committer reaped every listed generation, re-list — the
+    * fresh listing either carries the newer generation or (after a
+    * batch TRUNCATE wiped the logs) none at all, which is the only
+    * case allowed to read as "no committed rows". A query whose logs
+    * keep vanishing across `retries` fresh listings is a loud error,
+    * never a silent drop of committed streaming rows. */
+  private[graft] def logFilesFor(fs: FileSystem, d: HPath, queryId: String,
+      gensDesc: Seq[Long], retries: Int = 3): Seq[String] = {
+    val hit = gensDesc.iterator
+      .map(g => readLogLines(fs, d, logName(queryId, g)))
+      .collectFirst { case Some(lines) => lines }
+    hit match {
+      case Some(lines) => lines.map(_.split('\t').last)
+      case None if gensDesc.isEmpty => Seq.empty
+      case None =>
+        if (retries <= 0)
+          throw new java.io.IOException(
+            s"graft-dsv: every commit-log generation of query $queryId " +
+              "vanished between listing and read, repeatedly — refusing " +
+              "to silently drop committed streaming rows")
+        val fresh = fs.listStatus(d).map(_.getPath.getName)
+          .filter(_.startsWith(LOG_PREFIX))
+          .flatMap(parseLogName)
+          .collect { case (q, g) if q == queryId => g }
+          .sorted(Ordering[Long].reverse).toSeq
+        logFilesFor(fs, d, queryId, fresh, retries - 1)
+    }
+  }
+
+  /** Genuine conditional put of the commit log: rename `src` onto
+    * `dest` only if `dest` does not exist, returning false when it
+    * does. `FileSystem.rename`'s boolean CANNOT carry the fence —
+    * stock Hadoop `RawLocalFileSystem`/`LocalFileSystem` return true
+    * and silently overwrite an existing destination (the round-14
+    * comment's "HDFS/local semantics" held only because this
+    * classpath happens to resolve Hive's ProxyLocalFileSystem for
+    * `file://`). `FileContext.rename` without `Options.Rename
+    * .OVERWRITE` performs an explicit destination check and throws
+    * `FileAlreadyExistsException` — atomic server-side on HDFS; on a
+    * local fs the check-then-rename window is vanishingly narrow and
+    * LOUD on the far side (the later generation's reap makes the
+    * clobbered log unreadable, tripping [[logFilesFor]]'s retry
+    * error), versus the old path where both drivers reported
+    * success. An explicit pre-check handles the common zombie case
+    * without relying on exception mapping. */
+  private[graft] def conditionalRename(fs: FileSystem, src: HPath,
+      dest: HPath): Boolean = {
+    if (fs.exists(dest)) return false
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(fs.makeQualified(src), fs.makeQualified(dest))
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      // some FileSystems surface the dest check as a generic
+      // IOException naming the path; anything else propagates
+      case e: java.io.IOException
+          if e.getMessage != null &&
+            e.getMessage.contains("already exists") => false
+    }
+  }
+
   /** Test-only fault injection for the crash/zombie/soak drills:
     * invoked with (point, epochId) at `"data-renamed"` (files visible,
     * log not yet published) and `"log-published"` (commit point
@@ -467,14 +547,29 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
       else DsvStreamingWrite
         .readLogLines(fs, d, DsvStreamingWrite.logName(queryId, gen))
         .map(gen -> _)
+    // fallback: walk the globbed generations NEWEST FIRST — the single
+    // newest can vanish between glob and read when a concurrent commit
+    // reaps it (each log is full history, so any older hit is a
+    // consistent earlier snapshot, never a history-less prev=None that
+    // would write a log omitting committed files); if every globbed
+    // generation misses, re-glob once before concluding the query
+    // really has no logs
     probe(epochId).orElse(probe(epochId - 1)).orElse {
-      val got = fs.globStatus(new HPath(d,
-        DsvStreamingWrite.LOG_PREFIX + "*"))
-      val gens = (if (got == null) Array.empty[Long]
+      def globGens(): Seq[Long] = {
+        val got = fs.globStatus(new HPath(d,
+          DsvStreamingWrite.LOG_PREFIX + "*"))
+        (if (got == null) Array.empty[Long]
         else got.flatMap(s => DsvStreamingWrite
           .parseLogName(s.getPath.getName)
-          .collect { case (q, g) if q == queryId => g })).sorted
-      gens.lastOption.flatMap(probe)
+          .collect { case (q, g) if q == queryId => g }))
+          .distinct.sorted(Ordering[Long].reverse).toSeq
+      }
+      def walk(gens: Seq[Long]): Option[(Long, Seq[String])] =
+        gens.iterator.map(probe).collectFirst { case Some(x) => x }
+      walk(globGens()).orElse {
+        val fresh = globGens()
+        if (fresh.isEmpty) None else walk(fresh)
+      }
     }
   }
 
@@ -522,13 +617,16 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
     DsvStreamingWrite.faultHook("data-renamed", epochId)
     // THE COMMIT POINT — a conditional put: write the compacted log
     // (every previously committed file + this epoch's) to a temp and
-    // rename it to the next generation name. Rename-onto-existing
-    // fails on HDFS/local semantics, so if a concurrent driver (a
-    // failover zombie race on the SAME epoch) already published this
-    // generation, this attempt LOSES: its uniquely-named files are
-    // unlisted orphans — delete them and die loudly. Data renames
-    // before the log rename can still fail the epoch safely: nothing
-    // is acknowledged until the log exists.
+    // rename it to the next generation name VIA
+    // [[DsvStreamingWrite.conditionalRename]] (dest-exists check +
+    // FileContext rename without OVERWRITE — `FileSystem.rename`'s
+    // boolean silently overwrites on stock local filesystems and
+    // cannot fence). If a concurrent driver (a failover zombie race
+    // on the SAME epoch) already published this generation, this
+    // attempt LOSES: its uniquely-named files are unlisted orphans —
+    // delete them and die loudly. Data renames before the log rename
+    // can still fail the epoch safely: nothing is acknowledged until
+    // the log exists.
     val entries = prev.map(_._2).getOrElse(Seq.empty) ++
       published.map(n => s"$epochId\t$n")
     val logTmp = new HPath(tmpEpochRoot(epochId), "_dsvlog.tmp")
@@ -538,7 +636,7 @@ final class DsvStreamingWrite(dir: String, schema: StructType,
     finally out.close()
     val logDest = new HPath(d,
       DsvStreamingWrite.logName(queryId, epochId))
-    if (!fs.rename(logTmp, logDest)) {
+    if (!DsvStreamingWrite.conditionalRename(fs, logTmp, logDest)) {
       published.foreach(n => fs.delete(new HPath(d, n), false))
       cleanupEpochTmp(fs, epochId)
       throw new java.io.IOException(

@@ -264,11 +264,73 @@ object FaultDemo {
     }
   }
 
+  /** Task-level retry THROUGH the `graft-dsv` streaming sink: the
+    * exactly-once argument for a retried task inside one epoch attempt
+    * rests on attempt-unique temp names + [[graft.sources.DsvTable]]'s
+    * abort-deletes-temp + the commit log listing only coordinator-
+    * acknowledged files — this drill injects the scenario instead of
+    * arguing it. One micro-batch of 1..20 over 4 write partitions;
+    * the task owning id=13 dies on its FIRST attempt AFTER some rows
+    * already reached its DataWriter (a half-written temp exists at
+    * failure time). `local[4,2]`'s retry budget re-runs the task; the
+    * epoch must commit with every row exactly once and zero temp or
+    * orphan residue visible to the reader. */
+  private def sinkRetryDemo(): Int = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val spark = graft.Session.build("local[4,2]", 4, "graft-fault-sinkretry")
+    spark.sparkContext.setLogLevel("ERROR")
+    val failedAttempts = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskInfo.failed) failedAttempts.incrementAndGet()
+    })
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sinkretry").toString
+    val in = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$root/in")).toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/batch.txt"), (1 to 20).mkString("\n"))
+    val dir = s"$root/t"
+    // the planted failure runs FUSED with the DataWriter (same task,
+    // same stage), so rows the projection already passed through were
+    // written to the attempt's temp file before the throw
+    val planted = udf((id: Long) => {
+      if (id == 13L && TaskContext.get().attemptNumber() == 0)
+        throw new RuntimeException("planted sink-task failure (attempt 0)")
+      id
+    })
+    val q = spark.readStream.text(in)
+      .selectExpr("CAST(value AS BIGINT) AS id")
+      .repartition(4)
+      .select(planted(col("id")).as("id"))
+      .writeStream.format("graft-dsv")
+      .option("path", dir)
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (failedAttempts.get() < 1 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val back = spark.read.format("graft-dsv").option("path", dir).load()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    spark.stop()
+    val ok = back == (1L to 20L) && failedAttempts.get() >= 1 &&
+      !files.contains("_tmp")
+    println(s"SINKRETRY result=${if (ok) "OK" else "BAD"} " +
+      s"rows=${back.size} failedAttempts=${failedAttempts.get()} " +
+      s"tmpResidue=${files.contains("_tmp")}")
+    if (ok) 0 else 1
+  }
+
   def main(args: Array[String]): Unit =
     sys.exit(args.headOption.getOrElse("retry") match {
       case "retry"       => retryDemo()
       case "speculation" => specDemo()
       case "workerloss"  => workerLossDemo()
+      case "sinkretry"   => sinkRetryDemo()
       case other => System.err.println(s"unknown mode: $other"); 2
     })
 }

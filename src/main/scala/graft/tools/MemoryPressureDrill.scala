@@ -35,7 +35,16 @@ object MemoryPressureDrill {
   private val panel = Seq(
     "q161_zorder_prune", "q151_zonemap_prune", "q166_recursive_balance",
     "q134_setsim_join", "q82_kmeans", "q30_minhash_lsh", "q184_pq_ann",
-    "q57_dup_clusters", "q63_tfidf")
+    "q57_dup_clusters", "q63_tfidf",
+    // streaming rows (round 15): the spill gate must also cover
+    // Structured Streaming state and the DSv2 sink drains — q193's
+    // RocksDB transformWithState path holds its state OFF-heap (its
+    // native bound is set at Session construction), q192 drives the
+    // micro-batch source protocol, q194 the epoch-commit sink; each
+    // runs its full stream per invocation, so completion + an
+    // unchanged drained hash at the squeezed heap is the assertion
+    "q192_dsv2_stream_source", "q193_stream_neardup",
+    "q194_dsv2_stream_sink")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

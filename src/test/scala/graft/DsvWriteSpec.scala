@@ -362,6 +362,74 @@ class DsvWriteSpec extends AnyFunSuite {
     assert(!names(dir).contains("_tmp"), "soak temps linger")
   }
 
+  test("torn read: reader falls back past reaped generations, never empty") {
+    // the list/read race: a reader's listing captured generation g as
+    // newest, but a concurrent commit renamed g+1 into place and
+    // reaped g before the reader opened it. logFilesFor must walk to
+    // an older listed generation (full-history logs make any hit a
+    // consistent snapshot) and, with every listed generation gone,
+    // re-list — only a genuinely log-less directory may read empty.
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = freshDir()
+    val sw = streamingWriteFor(dir, "id BIGINT", "tornq")
+    commitEpoch(sw, 0L, Seq(Seq(1L)))
+    commitEpoch(sw, 1L, Seq(Seq(2L)))          // newest log is g1
+    val d = new HPath(dir)
+    val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // listed newest g3/g2 already reaped; g1 is the surviving history
+    val got = sources.DsvStreamingWrite.logFilesFor(fs, d, "tornq",
+      Seq(3L, 2L, 1L))
+    assert(got.size == 2, got.toString)        // both epochs' files
+    // every LISTED generation reaped: the re-list finds the real g1
+    val got2 = sources.DsvStreamingWrite.logFilesFor(fs, d, "tornq",
+      Seq(5L, 4L))
+    assert(got2.size == 2, got2.toString)
+    // a query with no logs at all reads empty, not an error
+    assert(sources.DsvStreamingWrite.logFilesFor(fs, d, "ghostq",
+      Seq.empty).isEmpty)
+    // a query whose logs are GONE from a fresh listing (batch TRUNCATE
+    // removed them) legitimately reads empty — stale listed
+    // generations don't turn a truncate into an error
+    commitEpoch(streamingWriteFor(dir, "id BIGINT", "phantomq"),
+      0L, Seq(Seq(9L)))
+    fs.delete(new HPath(d, "_dsvlog-phantomq-g0"), false)
+    assert(sources.DsvStreamingWrite.logFilesFor(fs, d, "phantomq",
+      Seq(0L)).isEmpty)
+    // end-to-end: the full read still sees every committed row of the
+    // surviving query (phantomq's files are unlisted orphans now)
+    val rows = read(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L), rows.toString)
+  }
+
+  test("conditional put refuses an existing destination on ANY filesystem") {
+    // the zombie fence cannot ride on FileSystem.rename's boolean —
+    // stock RawLocalFileSystem overwrites and returns true. The
+    // conditionalRename primitive must refuse when dest exists and
+    // leave the incumbent's content untouched.
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = freshDir()
+    val d = new HPath(dir)
+    val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(d)
+    def put(p: HPath, s: String): Unit = {
+      val o = fs.create(p, true)
+      try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    def get(p: HPath): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val dest = new HPath(d, "log")
+    val src1 = new HPath(d, "src1"); put(src1, "winner")
+    val src2 = new HPath(d, "src2"); put(src2, "zombie")
+    assert(sources.DsvStreamingWrite.conditionalRename(fs, src1, dest))
+    assert(!sources.DsvStreamingWrite.conditionalRename(fs, src2, dest),
+      "second put onto an existing destination must lose")
+    assert(get(dest) == "winner", "loser overwrote the winner's log")
+    assert(fs.exists(src2), "loser's temp is the caller's to clean")
+  }
+
   test("batch TRUNCATE supersedes streaming history: parts AND logs wiped") {
     // stale commit logs after a batch overwrite would resurrect
     // deleted stream parts in the read path and fence out a future

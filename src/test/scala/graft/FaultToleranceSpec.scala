@@ -51,6 +51,13 @@ class FaultToleranceSpec extends AnyFunSuite {
     assert(out.contains("SPECULATION result=OK"))
   }
 
+  test("a retried sink task inside one epoch keeps exactly-once (DSv2 write)") {
+    val (rc, out) = runDemo("sinkretry", 180)
+    assert(rc == 0,
+      s"sink-retry drill failed (rc=$rc):\n${out.takeRight(2000)}")
+    assert(out.contains("SINKRETRY result=OK"))
+  }
+
   test("a worker killed mid-job loses its executor; the job still completes") {
     val (rc, out) = runDemo("workerloss", 180)
     assert(rc == 0,

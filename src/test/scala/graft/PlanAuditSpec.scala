@@ -214,6 +214,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(aRows === cRows)
   }
 
+  test("q45's fixture has no AQE-visible skew: the salted path is exercised by construction, not need") {
+    // VERDICT-r14 #6 adjudication: does AQE's native skew split handle
+    // the same join q45 hand-salts? Measured (tools/SkewAb, 4×,
+    // SURVEY §21): plain+AQE 0.57 s vs salted 1.79 s with
+    // `aqe_skew_fired=false` — lineitem's ≤7 rows per orderkey is
+    // UNIFORM at partition granularity, so AQE (correctly) never
+    // splits and salting is pure overhead on this data. The engine's
+    // default join path therefore stays plain+AQE (saltedJoin is an
+    // opt-in operator for the C-regime: AQE unavailable, aggregate-
+    // side skew, or a single key overflowing one partition — the
+    // planted-skew drill above proves that regime). q45 keeps the
+    // deliberately low hotThreshold BECAUSE it is the salting
+    // operator's oracle gate: the assert here pins the premise that
+    // its fixture shows no runtime skew, so the routing is coverage,
+    // not mitigation.
+    import org.apache.spark.sql.functions._
+    val s = spark.newSession()
+    // same aggressive thresholds that make the planted-skew drill
+    // fire: if q45's join had AQE-visible skew, this would catch it
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val li = Tables.lineitem(s, Spec.sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+    val ord = Tables.orders(s, Spec.sfDir)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val j = li.join(ord, "okey").groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    j.collect()
+    val fp = j.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(!fp.contains("skew=true"),
+      "q45's fixture join showed AQE-visible skew; revisit the " +
+        "salted-vs-AQE decision in SURVEY §21")
+  }
+
   test("semantic dedup broadcasts centroids and self-joins on cid") {
     val p = plan("q104_semantic_dedup")
     // assignment = K-row broadcast against the corpus; pair stage = a
