@@ -593,9 +593,9 @@ object Similarity {
          |  FROM u a JOIN u b
          |    ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id)
          |SELECT va AS vec_a, vb AS vec_b,
-         |  list_sum(list_transform(range(1, ${DIM + 1}), i -> a.ev[i] * b.ev[i]))
-         |    / (sqrt(list_sum(list_transform(a.ev, x -> x * x)))
-         |       * sqrt(list_sum(list_transform(b.ev, x -> x * x)))) AS cos_sim
+         |  list_dot_product(a.ev, b.ev)
+         |    / (sqrt(list_dot_product(a.ev, a.ev))
+         |       * sqrt(list_dot_product(b.ev, b.ev))) AS cos_sim
          |FROM cand JOIN c a ON a.vec_id = va JOIN c b ON b.vec_id = vb
          |ORDER BY cos_sim DESC, vec_a, vec_b
          |LIMIT 20""".stripMargin) { (s, d) =>

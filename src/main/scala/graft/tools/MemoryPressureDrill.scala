@@ -49,13 +49,26 @@ object MemoryPressureDrill {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Session.build(s"local[$cpus]", cpus.toInt, "graft-mem")
+    // cluster-default task retry budget (spark.task.maxFailures=4):
+    // plain local[N] runs at maxFailures=1, where a single transient
+    // UNABLE_TO_ACQUIRE_MEMORY — 32 tasks racing a ~140 MB squeezed
+    // pool can leave one task's 64 KB pointer-array grow with nothing
+    // of its own to spill — kills the whole job, a failure mode no
+    // production deployment has. The retried task lands on a drained
+    // pool and spills normally; the gate still demands completion,
+    // nonzero spill, and hashes identical to the big-heap run, and the
+    // artifact records how many task attempts failed (`tasks_failed`)
+    // so a retry-heavy pass is visible, not laundered.
+    val spark = Session.build(s"local[$cpus,4]", cpus.toInt, "graft-mem")
     spark.sparkContext.setLogLevel("WARN")
     val spill = new java.util.concurrent.atomic.AtomicLong
+    val failed = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (t.taskInfo != null && t.taskInfo.failed)
+            failed.incrementAndGet()
           val m = t.taskMetrics
           if (m != null)
             spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
@@ -97,6 +110,7 @@ object MemoryPressureDrill {
       s"""{"metric":"mem_drill","sf":${jstr(sfDir)},""" +
       s""""xmx_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},""" +
       f""""chain_build_sec":$tChains%.3f,""" +
+      s""""tasks_failed":${failed.get()},""" +
       s""""spill_bytes":${spill.get()},"queries":$perQ}"""
     val outPath =
       sys.env.getOrElse("SPARK_GRAFT_MEM_OUT", "MEMDRILL_OUT.json")
