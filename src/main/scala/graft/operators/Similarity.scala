@@ -852,15 +852,24 @@ object Similarity {
           col("xx").as("cc"))
       // persisted: BOTH pair-join sides read the assignment, and the
       // n×K distance aggregation is the dominant cost — without the
-      // persist it runs once per branch (the q49 rule)
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("sv"), col("xx"),
+      // persist it runs once per branch (the q49 rule). The aggregate
+      // carries ONLY (vec_id, cid): dragging the 512-byte vector
+      // through the n×K rows as an any_value payload was the 256×
+      // knee (1 286 s single-rep — the hash agg spilled ~n×K×550 B
+      // and a single sort-agg tail dominated; the narrow form is
+      // 44 s there, result-identical) — the same width cut the r14
+      // ORACLE reshape made, now applied to the engine plan. Vectors
+      // join back from `e` (n rows, co-partitioned on vec_id), one
+      // narrow shuffle instead of a wide one.
+      val best = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
           col("cid"),
           (col("xx") - lit(2) * dot(col("sv"), col("cv")) + col("cc"))
             .as("dc"))
         .groupBy(col("vec_id"))
-        .agg(expr("min_by(cid, struct(dc, cid))").as("cid"),
-          expr("any_value(sv)").as("sv"), expr("any_value(xx)").as("xx"))
+        .agg(expr("min_by(cid, struct(dc, cid))").as("cid"))
+      val assigned = best.join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("cid"), col("sv"), col("xx"))
         .persist()
       val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
         col("sv").as("sa"), col("xx").as("xa"))
