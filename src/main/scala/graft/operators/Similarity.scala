@@ -383,10 +383,21 @@ object Similarity {
 
   // ---- semantic-dedup / projection constants ------------------------------
 
-  /** Cluster count for q104, derived from corpus size: smallest K
+  /** Cluster count for q104/q115, derived from corpus size: smallest K
     * (≥ 8) with expected cluster population n/K ≤ 256, integer-exact
-    * so the oracle re-derives it verbatim ([[NK_SQL]]). */
-  private[graft] def sdK(n: Long): Long = math.max(8L, (n + 255L) / 256L)
+    * so the oracle re-derives it verbatim ([[NK_SQL]]). Guarded at
+    * K < 2^16: the ORACLES pack the (distance, cid) composite order
+    * into one BIGINT as `d2·65536 + cid`, which is order-preserving
+    * only while cid fits in 16 bits (n ≲ 16.8M vectors). Beyond that
+    * the oracle would silently diverge — fail loudly here instead. */
+  private[graft] def sdK(n: Long): Long = {
+    val k = math.max(8L, (n + 255L) / 256L)
+    require(k < 65536L,
+      s"q104/q115 oracle BIGINT packing (d2*65536 + cid) requires " +
+        s"K < 2^16, got K=$k for n=$n vectors — re-derive the pack " +
+        "factor from K before scaling past ~16.8M vectors")
+    k
+  }
 
   private val NK_SQL =
     "SELECT greatest(8, (count(*) + 255) // 256) AS k FROM embeddings"

@@ -58,9 +58,12 @@ object ConcurrencyDrill {
       case c => c.toString
     } + "\""
 
-  /** Nearest-rank percentile over an ASCENDING-sorted sample. */
+  /** Nearest-rank percentile over an ASCENDING-sorted sample; NaN on
+    * an empty sample (loopSec=0 or no closed-loop run completing must
+    * report, not crash after all work succeeded). */
   private def pct(sorted: IndexedSeq[Double], q: Double): Double =
-    sorted((q * sorted.size).ceil.toInt.max(1).min(sorted.size) - 1)
+    if (sorted.isEmpty) Double.NaN
+    else sorted((q * sorted.size).ceil.toInt.max(1).min(sorted.size) - 1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -142,7 +145,8 @@ object ConcurrencyDrill {
     val loopWall = (System.nanoTime() - loopStart) / 1e9
     pool.shutdown()
 
-    def ms(v: Double) = f"$v%.3f"
+    // NaN (empty closed-loop sample) must stay valid JSON → null
+    def ms(v: Double) = if (v.isNaN) "null" else f"$v%.3f"
     val seqJson = seqRuns.map { case (q, _, w) => s"${jstr(q)}:${ms(w)}" }
       .mkString("{", ",", "}")
     // race-phase per-query mean of the two runs (the old field

@@ -42,7 +42,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     // force the full chain (pairs → sigs → capped shingles)
     operators.Dedup.nearDupPairs(spark, Spec.sfDir).count()
     val root = Artifacts.derived(spark, Spec.sfDir, "shingles_df50") {
-      fail("artifact should already be materialized"); ???
+      throw new AssertionError("artifact should already be materialized")
     }
     assert(root.count() > 0)
     // consuming the whole graph family back-to-back adds no cached RDDs:

@@ -430,6 +430,107 @@ class DsvWriteSpec extends AnyFunSuite {
     assert(fs.exists(src2), "loser's temp is the caller's to clean")
   }
 
+  test("writer-side torn read: vanishing generations throw, never prev=None") {
+    // commit() derives its full-history snapshot from latestFullHistory;
+    // if a non-empty listing's logs all vanish persistently, decaying to
+    // None would publish a HISTORY-LESS log that silently drops every
+    // previously committed file from visibility. Mirror of the reader's
+    // logFilesFor contract: bounded retries, then a loud IOException.
+    import org.apache.hadoop.fs.{Path => HPath, FilterFileSystem}
+    val dir = freshDir()
+    val d = new HPath(dir)
+    val raw = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    raw.mkdirs(d)
+    def putLog(gen: Long, lines: Seq[String]): Unit = {
+      val o = raw.create(new HPath(d, s"_dsvlog-tornq-g$gen"), true)
+      try o.write((s"v1 $gen\n" + lines.mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+      finally o.close()
+    }
+    putLog(0L, Seq("0\tpart-a")); putLog(1L, Seq("0\tpart-a", "1\tpart-b"))
+    // a FileSystem where every log OPEN misses while the LISTING still
+    // carries the names — the torn-read race, made persistent
+    val torn = new FilterFileSystem(raw) {
+      override def open(p: HPath, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream =
+        if (p.getName.startsWith("_dsvlog-"))
+          throw new java.io.FileNotFoundException(p.toString)
+        else super.open(p, bufferSize)
+    }
+    // exact probes miss (epoch 9 has no g9/g8), glob lists g0/g1, every
+    // read misses across all retries → loud error
+    val ex = intercept[java.io.IOException] {
+      sources.DsvStreamingWrite.latestFullHistory(torn, d, "tornq", 9L)
+    }
+    assert(ex.getMessage.contains("history-less"), ex.getMessage)
+    // the newest generation vanishing while an OLDER one survives is a
+    // consistent earlier snapshot, not an error
+    val newestTorn = new FilterFileSystem(raw) {
+      override def open(p: HPath, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream =
+        if (p.getName == "_dsvlog-tornq-g1")
+          throw new java.io.FileNotFoundException(p.toString)
+        else super.open(p, bufferSize)
+    }
+    val snap = sources.DsvStreamingWrite.latestFullHistory(
+      newestTorn, d, "tornq", 9L)
+    assert(snap == Some((0L, Seq("0\tpart-a"))), snap.toString)
+    // a genuinely log-less query reads None — an empty listing is the
+    // ONLY path allowed to conclude "no committed history"
+    assert(sources.DsvStreamingWrite.latestFullHistory(
+      raw, d, "neverran", 9L).isEmpty)
+  }
+
+  test("conditional put is ATOMIC on local fs: racing pair, one winner") {
+    // the round-15 fence (exists-check + FileContext.rename) still had
+    // a narrow check-then-act window on POSIX local filesystems; the
+    // commit point is now link(2), whose EEXIST is kernel-atomic. Two
+    // writers racing the SAME generation name must produce exactly one
+    // winner on EVERY iteration — no adjudication-by-luck: a barrier
+    // aligns the attempts so both threads hit the commit point
+    // together, and any double-win or double-loss fails the spec.
+    import org.apache.hadoop.fs.{Path => HPath}
+    import java.util.concurrent.CyclicBarrier
+    val dir = freshDir()
+    val d = new HPath(dir)
+    val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(d)
+    def put(p: HPath, s: String): Unit = {
+      val o = fs.create(p, true)
+      try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    def get(p: HPath): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val iterations = 200
+    val barrier = new CyclicBarrier(2)
+    for (i <- 0 until iterations) {
+      val dest = new HPath(d, s"log-g$i")
+      val srcs = Array(new HPath(d, s"a$i"), new HPath(d, s"b$i"))
+      put(srcs(0), "A"); put(srcs(1), "B")
+      val results = new Array[Boolean](2)
+      val threads = (0 to 1).map { t =>
+        new Thread(() => {
+          barrier.await()
+          results(t) =
+            sources.DsvStreamingWrite.conditionalRename(fs, srcs(t), dest)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(results.count(identity) == 1,
+        s"iteration $i: expected exactly one winner, got ${results.toSeq}")
+      val winner = if (results(0)) "A" else "B"
+      assert(get(dest) == winner,
+        s"iteration $i: dest content is not the winner's")
+      // the loser's temp survives for its caller's cleanup path; the
+      // winner's temp name was consumed by the publish
+      val loser = if (results(0)) srcs(1) else srcs(0)
+      assert(fs.exists(loser), s"iteration $i: loser's temp vanished")
+    }
+  }
+
   test("batch TRUNCATE supersedes streaming history: parts AND logs wiped") {
     // stale commit logs after a batch overwrite would resurrect
     // deleted stream parts in the read path and fence out a future
