@@ -22,6 +22,14 @@ object Dedup {
 
   private val toks: Column = split(lower(col("text")), " ", -1)
 
+  /** Window width (tokens) for the exact-substring detector (q198):
+    * runs of ≥ this many shared consecutive tokens count as duplicate
+    * text — the k=50-token threshold of Lee et al. 2022 scaled to this
+    * corpus's short synthetic docs, and deliberately offset from
+    * [[graft.operators.TextOps]]'s 16-token q102 blocks so the two
+    * detectors exercise different passage granularities. */
+  private val EXSUB_W = 12
+
   /** The normalized-content fingerprint every exact-dedup signal keys
     * on: md5 of the lowercased, whitespace-collapsed, trimmed text —
     * ONE definition shared by all Scala call sites (q27/q29/q62/q74/
@@ -1568,6 +1576,99 @@ object Dedup {
           size(col("ta")).cast("long").as("n_a"))
         .filter(col("n_inter") * 10 >= col("n_a") * 9)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ----- cross-document EXACT substring dedup (suffix-array semantics) ----
+    // The exact-substring removal step real LLM pipelines run beside
+    // MinHash (Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better"): any run of ≥ W consecutive tokens
+    // appearing in more than one document is duplicate text. The
+    // suffix-array construction the paper uses is a single-machine
+    // algorithm; the distributed form here is EXACTLY equivalent by a
+    // window identity — a token position lies inside a cross-document
+    // shared substring of length ≥ W iff at least one of the W-grams
+    // covering it is itself cross-document shared (any W-window of a
+    // shared run is shared; a shared W-gram IS a shared run). So:
+    // slide a stride-1 W-token window over every doc IN-ROW (the q102
+    // blocking machinery at stride 1), fingerprint each window (md5 —
+    // identical in both engines, the q106/normFp discipline), and mark
+    // a gram shared iff its fp's doc set has ≥ 2 members — detected as
+    // min(doc_id) ≠ max(doc_id) over the fp partition (the q106
+    // trick): ONE fp shuffle, no join-back, and NO pairwise work
+    // anywhere — a passage shared by k docs costs k rows, never k²,
+    // so the plan is linear in corpus size by construction. Coverage
+    // per doc is then an interval union over the shared starts (equal
+    // W-length intervals ⇒ union = Σ min(W, next−s) with W for the
+    // last; a new span opens where the gap exceeds W), one doc_id
+    // shuffle whose sort the final aggregate reuses. Output: per
+    // affected doc, the duplicate token mass a removal pass would cut
+    // and the maximal-span count.
+    Q("q198_exact_substring", {
+      val w = EXSUB_W
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS l
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, len(l) AS n_tokens, s,
+         |    md5(array_to_string(l[s + 1 : s + $w], ' ')) AS fp
+         |  FROM t CROSS JOIN
+         |    unnest(range(0, greatest(len(l) - $w + 1, 0))) AS u(s)),
+         |sh AS (
+         |  SELECT doc_id, n_tokens, s FROM (
+         |    SELECT doc_id, n_tokens, s,
+         |      min(doc_id) OVER (PARTITION BY fp) AS mn,
+         |      max(doc_id) OVER (PARTITION BY fp) AS mx
+         |    FROM g) x
+         |  WHERE mn <> mx),
+         |c AS (
+         |  SELECT doc_id, n_tokens, s,
+         |    least($w, coalesce(
+         |      lead(s) OVER (PARTITION BY doc_id ORDER BY s) - s, $w))
+         |      AS contrib,
+         |    CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+         |           IS NULL
+         |         OR s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) > $w
+         |         THEN 1 ELSE 0 END AS newspan
+         |  FROM sh)
+         |SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(contrib) AS BIGINT) AS dup_tokens,
+         |  CAST(sum(newspan) AS BIGINT) AS n_spans
+         |FROM c GROUP BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val w = EXSUB_W
+      val t = col("toks")
+      val n = size(t)
+      val idx = when(n >= w, sequence(lit(0), n - w))
+        .otherwise(array().cast("array<int>"))
+      // W-gram fps built in-row (token array materialized first — the
+      // shingles rule: a split() referenced inside a lambda re-evaluates
+      // per element), then posexplode: pos IS the 0-based start
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), n.cast("long").as("n_tokens"),
+          posexplode(transform(idx, i =>
+            md5(concat_ws(" ", slice(t, i + lit(1), lit(w)))
+              .cast("binary")))))
+        .select(col("doc_id"), col("n_tokens"),
+          col("pos").as("s"), col("col").as("fp"))
+      val byFp = Window.partitionBy(col("fp"))
+      val shared = grams
+        .withColumn("mn", min(col("doc_id")).over(byFp))
+        .withColumn("mx", max(col("doc_id")).over(byFp))
+        .filter(col("mn") =!= col("mx"))
+        .select(col("doc_id"), col("n_tokens"), col("s"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      val nxt = lead(col("s"), 1).over(byDoc)
+      val prv = lag(col("s"), 1).over(byDoc)
+      shared
+        .withColumn("contrib",
+          least(lit(w), coalesce(nxt - col("s"), lit(w))))
+        .withColumn("newspan",
+          when(prv.isNull || col("s") - prv > w, 1).otherwise(0))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          sum(col("contrib")).cast("long").as("dup_tokens"),
+          sum(col("newspan")).cast("long").as("n_spans"))
     }
   )
 

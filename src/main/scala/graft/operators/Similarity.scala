@@ -359,24 +359,32 @@ object Similarity {
     * ([[numBits]], `Dedup.bandRows`) — one form, exact at every rung,
     * no manual conversion step. */
   private def codesChainSql(cols: String, numTables: Int): String = {
-    val values = for {
-      t <- 0 until numTables
-      b <- 0 until MAX_BITS
-    } yield s"(${t + 1}, ${1L << b}::BIGINT, ${signs(t)(b).mkString("[", ",", "]")})"
-    s"""pm0 AS (SELECT * FROM (VALUES
-       |  ${values.mkString(",\n  ")}) AS v(t, w, arr)),
-       |pm AS (SELECT t, w, i, arr[i] AS s
-       |  FROM pm0 CROSS JOIN unnest(range(1, ${DIM + 1})) AS u(i)),
-       |eu AS (SELECT vec_id, i, ev[i] AS x
-       |  FROM e CROSS JOIN unnest(range(1, ${DIM + 1})) AS u(i)),
-       |pdots AS (SELECT eu.vec_id, pm.t, pm.w, sum(eu.x * pm.s) AS d
-       |  FROM eu JOIN pm ON pm.i = eu.i GROUP BY 1, 2, 3),
-       |vcodes AS (SELECT vec_id, t,
-       |    CAST(sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS BIGINT) AS code
-       |  FROM pdots GROUP BY 1, 2),
-       |vcs AS (SELECT vec_id, list(code ORDER BY t) AS cs
-       |  FROM vcodes GROUP BY 1),
-       |c AS MATERIALIZED (SELECT $cols, cs FROM e JOIN vcs USING (vec_id))""".stripMargin
+    // Round 16: the unnest join-aggregate form (vector elements ×
+    // projection rows joined on the dimension index) pushed n×64×128
+    // rows through a hash join + aggregate — ~10⁹ intermediate rows at
+    // 64×, the worst remaining oracle cost (~183 s, shared by
+    // q34/q35/q123's comparator runs). The codes are now built IN-ROW:
+    // one native `list_dot_product` per (table, bit) — 128 fused
+    // loops per vector, zero intermediate rows, zero joins, one scan.
+    // Bit-equivalent for the same reason as before: the quantized
+    // components are INTEGRAL doubles (round(x·1000), |v| ≤ ~3000), so
+    // every projection sum is an exactly-represented integer under ANY
+    // association order and no sign — hence no code, hence no
+    // candidate set — can differ. (This is NOT the round-11 lambda
+    // stop-line shape coming back: that form was slow because
+    // `list_transform` interprets a lambda per ELEMENT; native
+    // list_dot_product has no per-element dispatch.)
+    val codeExprs = (0 until numTables).map { t =>
+      val bits = (0 until MAX_BITS).map { b =>
+        s"(CASE WHEN list_dot_product(ev, " +
+          s"${signs(t)(b).mkString("[", ",", "]")}) > 0 " +
+          s"THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($bits AS BIGINT)"
+    }
+    s"""c AS MATERIALIZED (SELECT $cols,
+       |  [${codeExprs.mkString(",\n   ")}] AS cs
+       |  FROM e)""".stripMargin
   }
 
   private def codesArraySql: String = codesArraySqlN(NUM_TABLES)
@@ -856,30 +864,35 @@ object Similarity {
       // AND both pair sides — the per-query artifact (q35 rule)
       val e = embTable(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("sv"))
+        // CPU-bound from here on: a single parquet split (one ~50 MB
+        // file holds 512k vectors at 256×) must not serialize the
+        // assignment pass — spread it over the executor slots
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("xx", dot(col("sv"), col("sv")))
         .persist()
-      val cents = e.filter(col("vec_id").between(1, k))
-        .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv"),
-          col("xx").as("cc"))
-      // persisted: BOTH pair-join sides read the assignment, and the
-      // n×K distance aggregation is the dominant cost — without the
-      // persist it runs once per branch (the q49 rule). The aggregate
-      // carries ONLY (vec_id, cid): dragging the 512-byte vector
-      // through the n×K rows as an any_value payload was the 256×
-      // knee (1 286 s single-rep — the hash agg spilled ~n×K×550 B
-      // and a single sort-agg tail dominated; the narrow form is
-      // 44 s there, result-identical) — the same width cut the r14
-      // ORACLE reshape made, now applied to the engine plan. Vectors
-      // join back from `e` (n rows, co-partitioned on vec_id), one
-      // narrow shuffle instead of a wide one.
-      val best = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          col("cid"),
-          (col("xx") - lit(2) * dot(col("sv"), col("cv")) + col("cc"))
-            .as("dc"))
-        .groupBy(col("vec_id"))
-        .agg(expr("min_by(cid, struct(dc, cid))").as("cid"))
-      val assigned = best.join(e, Seq("vec_id"))
+      // Assignment (round 16): a norm-bound-pruned EXACT arg-min per
+      // row ([[graft.functions.CentroidIndex]]) — the n×K crossJoin +
+      // min_by aggregate it replaces paid Θ(n×K) dot products AND an
+      // n×K-row hash aggregate (631 s at 256× even in the narrow
+      // (vec_id, cid) form); the pruned pass skips most centroid
+      // evaluations via the Cauchy–Schwarz norm bound while keeping
+      // the (dc, cid) arg-min bit-identical, and the whole assignment
+      // collapses to ONE codegen'd projection over the corpus: no
+      // candidate rows, no aggregate, no join-back, no shuffle. The
+      // collected centroid table is the same K = n/256 rows the old
+      // plan broadcast.
+      val centIdx = graft.functions.CentroidIndex.build(
+        e.filter(col("vec_id").between(1, k))
+          .select(col("vec_id").cast("long"), col("sv"), col("xx"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getDouble(2))))
+      // persisted: BOTH pair-join sides read the assignment (the q49
+      // rule — without the persist the scan+assign runs once per
+      // branch)
+      val assigned = e.withColumn("cid",
+          graft.functions.CentroidOps.nearestCentroid(centIdx,
+            col("sv"), col("xx")))
         .select(col("vec_id"), col("cid"), col("sv"), col("xx"))
         .persist()
       val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
@@ -966,17 +979,23 @@ object Similarity {
       // the 100 TB waste the q49 rule exists for
       val e = embTable(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("sv"))
+        // CPU-bound from here on: a single parquet split (one ~50 MB
+        // file holds 512k vectors at 256×) must not serialize the
+        // assignment pass — spread it over the executor slots
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("xx", dot(col("sv"), col("sv")))
         .persist()
-      val cents = e.filter(col("vec_id").between(1, k))
-        .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv"),
-          col("xx").as("cc"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          (col("xx") - lit(2) * dot(col("sv"), col("cv")) + col("cc"))
-            .as("dc"))
-        .groupBy(col("vec_id"))
-        .agg(expr("min_by(cid, struct(dc, cid))").as("cid"))
+      // same bound-pruned exact assignment as q104 — one codegen'd
+      // projection pass instead of the n×K crossJoin + min_by
+      val centIdx = graft.functions.CentroidIndex.build(
+        e.filter(col("vec_id").between(1, k))
+          .select(col("vec_id").cast("long"), col("sv"), col("xx"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getDouble(2))))
+      val assigned = e.select(col("vec_id"),
+        graft.functions.CentroidOps.nearestCentroid(centIdx,
+          col("sv"), col("xx")).as("cid"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .join(assigned, col("doc_id") === col("vec_id"))

@@ -42,13 +42,26 @@ import graft.{Bench, Session, SparkEntry}
   * never come from a wrong answer.
   */
 object ConcurrencyDrill {
-  private val panel = Seq(
+  private val defaultPanel = Seq(
     "q01_pricing_summary", "q03_join3_topk", "q07_window_topk",
     "q14_sort_limit", "q24_token_stats", "q30_minhash_lsh",
     "q32_ngram_jaccard", "q44_ann_ivf", "q57_dup_clusters",
     "q58_spark_sql", "q63_tfidf", "q97_topk_per_group",
     "q134_setsim_join", "q142_equidepth_histogram",
     "q151_zonemap_prune", "q184_pq_ann")
+
+  /** SPARK_GRAFT_CONC_PANEL=qA,qB,... overrides the default panel —
+    * the tail-adjudication lever: a single-query panel isolates
+    * self-contention from cross-query pool queuing. Unknown names fail
+    * fast (the SPARK_GRAFT_ONLY rule). */
+  private val panel: Seq[String] = sys.env.get("SPARK_GRAFT_CONC_PANEL")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .map { ps =>
+      val unknown = ps.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"unknown panel queries: $unknown")
+      ps
+    }
+    .getOrElse(defaultPanel)
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {

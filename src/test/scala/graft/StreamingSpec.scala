@@ -550,6 +550,115 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("soak: ingest-LSH TWS state survives random mid-stream kills") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.Streams.BandRow
+    // The argued-not-injected corner from the round-15 verdict: q193's
+    // RocksDB transformWithState recovery after an UNCONTROLLED stop.
+    // Band rows stream one file per micro-batch into the graft-dsv
+    // sink; a seeded coin kills the driver at sink commit points
+    // (faultHook throws mid-commit — after data renames, or after the
+    // log publish but before cleanup), which aborts the query between
+    // the state checkpoint and the sink's acknowledged epoch. Each
+    // restart must replay from the checkpoint, reconstruct bucket
+    // state, and re-emit verdicts the sink then fences — so after the
+    // soak the drained table holds EXACTLY one verdict row per input
+    // band row, the verdicts equal the one-batch backfill's, and the
+    // offline state reader sees exactly the bucket minima.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-neardup-soak").toString
+    val allRows = (1L to 40L).flatMap(id => Seq(
+      BandRow(id, 0, s"s${id % 7}"), BandRow(id, 1, s"s${id % 11}")))
+    // 10 id-ordered chunks, one file each, mtimes forced strictly
+    // increasing so FileStreamSource admits them in id order (the
+    // append-log norm q193's invariance argument assumes) with
+    // maxFilesPerTrigger=1 → one chunk per micro-batch
+    allRows.grouped(8).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF().coalesce(1).write.mode("append").parquet(s"$root/src")
+      val dir = new java.io.File(s"$root/src")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .filter(_.lastModified() > 1e12.toLong + i * 60000L)
+        .foreach(f => f.setLastModified(1e12.toLong + (i + 1) * 60000L))
+    }
+    val rng = new scala.util.Random(0x5041CE)
+    val killEpochs: Map[Long, String] = (0L until 10L)
+      .filter(_ => rng.nextInt(3) == 0)
+      .map(e => e -> (if (rng.nextBoolean()) "data-renamed"
+        else "log-published")).toMap
+    assert(killEpochs.nonEmpty, "seed produced no kills — pick another")
+    val fired = scala.collection.mutable.Set[Long]()
+    sources.DsvStreamingWrite.faultHook = (point, epoch) =>
+      killEpochs.get(epoch) match {
+        case Some(p) if p == point && !fired.contains(epoch) =>
+          fired += epoch
+          throw new RuntimeException(s"injected@$point@e$epoch")
+        case _ => ()
+      }
+    var restarts = 0
+    try {
+      var done = false
+      while (!done) {
+        val stream = spark.readStream
+          .schema("doc_id LONG, band INT, bsig STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$root/src").as[BandRow]
+        val q = Streams.nearDupIngest(stream).toDF()
+          .select(col("doc_id"), col("band"),
+            col("dup").cast("int").as("dup"))
+          .writeStream.format("graft-dsv")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        try { q.awaitTermination(); done = true }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            restarts += 1
+            assert(restarts <= killEpochs.size + 2,
+              s"soak did not converge after $restarts restarts: $e")
+        } finally if (!done) q.stop()
+      }
+      sources.DsvStreamingWrite.faultHook = (_, _) => ()
+      assert(restarts == killEpochs.size,
+        s"expected ${killEpochs.size} injected kills, saw $restarts restarts")
+      // exactly-once drain: one verdict row per input band row, verdicts
+      // equal to the one-batch backfill (id-ordered batches ⇒ invariant)
+      val drained = spark.read.format("graft-dsv")
+        .option("path", s"$root/out").load()
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .sorted.toSeq
+      assert(drained.size == allRows.size,
+        s"exactly-once violated: ${drained.size} rows for ${allRows.size}")
+      val expected = Streams.nearDupIngest(allRows.toDS()).toDF()
+        .select(col("doc_id"), col("band"),
+          col("dup").cast("int").as("dup"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .sorted.toSeq
+      assert(drained == expected, "drained verdicts diverge from backfill")
+      // state reconstruction: the offline reader sees one min per bucket
+      val state = spark.read.format("statestore")
+        .option("path", s"$root/ckpt").option("stateVarName", "min_seen")
+        .load()
+        .select(col("key._1").as("band"), col("key._2").as("bsig"),
+          col("value.value").as("min_id"))
+        .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+      val minima = allRows.groupBy(b => (b.band, b.bsig))
+        .map { case (k, rs) => k -> rs.map(_.doc_id).min }
+      assert(state.length == minima.size,
+        s"state rows ${state.length} != buckets ${minima.size}")
+      state.foreach { case (k, got) => assert(got == minima(k), s"$k") }
+    } finally {
+      sources.DsvStreamingWrite.faultHook = (_, _) => ()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("rate source: watermarked window agg holds state bounded on a live stream") {
     // A GENUINELY unbounded built-in source (wall-clock rows, no end):
     // values are deterministic (0,1,2,...) but timing is not, so the
