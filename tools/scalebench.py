@@ -1,24 +1,28 @@
 #!/usr/bin/env python3
-"""Per-query cost-scaling artifact (VERDICT r14 #1).
+"""Per-query cost-scaling artifact (VERDICT r14 #1, extended to 64x in r16).
 
 Correctness scaling is proven at five rungs; COST scaling was only
 ever inferred from aggregate verify walls, which can hide one
-super-linear query inside a sum. This tool merges three full
-graft.Bench outputs (the sf0.1 bench corpus, the 4x corpus, the 16x
-corpus — same reps, same cpus) into one artifact with the per-query
-medians and their scale ratios, and flags any query whose 16x/sf0.1
-ratio exceeds the super-linear line.
+super-linear query inside a sum. This tool merges full graft.Bench
+outputs (the sf0.1 bench corpus, the 4x corpus, the 16x corpus, and —
+since round 16 — optionally the 64x corpus; same reps, same cpus)
+into one artifact with the per-query medians and their scale ratios,
+and flags any query whose top-rung/sf0.1 ratio exceeds the
+super-linear line.
 
 Usage:
   python3 tools/scalebench.py <bench_sf01.json> <bench_4x.json> \
       <bench_16x.json> <out.json> [flag_ratio]
+  python3 tools/scalebench.py <bench_sf01.json> <bench_4x.json> \
+      <bench_16x.json> --x64 <bench_64x.json> <out.json> [flag_ratio]
 
 Each input is a graft.Bench SPARK_GRAFT_BENCH_OUT file (the FULL line
-is the first line). flag_ratio defaults to 20.0: 16x the rows on the
-same 32 cores is at most ~16x the work for a linear-shape plan, plus
-scheduling overhead — a query beyond 20x is growing super-linearly
-and gets adjudicated by name, the way benchnorm adjudicates window
-drift.
+is the first line). flag_ratio defaults to 20.0 for the 16x rung: 16x
+the rows on the same 32 cores is at most ~16x the work for a
+linear-shape plan, plus scheduling overhead — a query beyond 20x is
+growing super-linearly and gets adjudicated by name, the way
+benchnorm adjudicates window drift. The 64x flag line scales the same
+allowance: 64/16 * flag_ratio (so 80.0 at the default).
 
 Two structural notes the thresholds encode:
   - only documents/embeddings/events/lineitem scale in the ScaleData
@@ -26,9 +30,7 @@ Two structural notes the thresholds encode:
     queries ride near ratio 1 — that is sub-linear, never flagged;
   - the bench's fixed per-query floor (~60-100 ms of plan/submit
     time) makes small queries read sub-linear too; the flag line only
-    catches growth, so the floor cannot mask a super-linear query
-    (its 16x median would have to exceed 20x a floor-dominated
-    number, which is exactly the signal we want).
+    catches growth, so the floor cannot mask a super-linear query.
 """
 import json
 import sys
@@ -41,13 +43,19 @@ def load(path):
     return d
 
 
-def main(p01, p4, p16, out, flag_ratio=20.0):
+def main(p01, p4, p16, out, flag_ratio=20.0, p64=None):
     b01, b4, b16 = load(p01), load(p4), load(p16)
+    b64 = load(p64) if p64 else None
     qs = sorted(b01["queries"])
     assert set(qs) == set(b4["queries"]) == set(b16["queries"]), \
         "bench runs cover different query sets"
+    if b64:
+        assert set(qs) == set(b64["queries"]), \
+            "64x bench covers a different query set"
+    flag64 = flag_ratio * 4.0
     rows = {}
     flagged = []
+    flagged64 = []
     for q in qs:
         m01, m4, m16 = (b01["queries"][q], b4["queries"][q],
                         b16["queries"][q])
@@ -55,8 +63,18 @@ def main(p01, p4, p16, out, flag_ratio=20.0):
         r16 = round(m16 / m01, 2) if m01 > 0 else None
         rows[q] = {"sf0.1_sec": m01, "4x_sec": m4, "16x_sec": m16,
                    "ratio_4x": r4, "ratio_16x": r16}
+        if b64:
+            m64 = b64["queries"][q]
+            r64 = round(m64 / m01, 2) if m01 > 0 else None
+            rows[q]["64x_sec"] = m64
+            rows[q]["ratio_64x"] = r64
+            if r64 is not None and r64 > flag64:
+                flagged64.append(q)
         if r16 is not None and r16 > flag_ratio:
             flagged.append(q)
+    runs = [("sf0.1", b01), ("4x", b4), ("16x", b16)]
+    if b64:
+        runs.append(("64x", b64))
     meta = {k: {
         "total_sec": b["value"], "n": b["n"], "reps": b["reps"],
         "cpus": b["cpus"], "sf": b["sf"], "failed": b["failed"],
@@ -65,7 +83,7 @@ def main(p01, p4, p16, out, flag_ratio=20.0):
         "window_ok": b.get("window_ok"),
         "majflt_total": b.get("majflt_total"),
         "artifact_build": b.get("artifact_build"),
-    } for k, b in (("sf0.1", b01), ("4x", b4), ("16x", b16))}
+    } for k, b in runs}
     artifact = {
         "metric": "bench_scale",
         "flag_ratio_16x": flag_ratio,
@@ -74,20 +92,38 @@ def main(p01, p4, p16, out, flag_ratio=20.0):
         "runs": meta,
         "queries": rows,
     }
+    if b64:
+        artifact["flag_ratio_64x"] = flag64
+        artifact["flagged_64x"] = sorted(
+            flagged64, key=lambda q: -rows[q]["ratio_64x"])
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
         f.write("\n")
-    worst = sorted(qs, key=lambda q: -(rows[q]["ratio_16x"] or 0))[:10]
+    top = "ratio_64x" if b64 else "ratio_16x"
+    worst = sorted(qs, key=lambda q: -(rows[q].get(top) or 0))[:10]
     print(f"flagged (>~{flag_ratio}x at 16x): {flagged or 'none'}")
-    print("worst 16x/sf0.1 ratios:")
+    if b64:
+        print(f"flagged (>~{flag64}x at 64x): {flagged64 or 'none'}")
+    print(f"worst {top}/sf0.1 ratios:")
     for q in worst:
         r = rows[q]
-        print(f"  {q}: {r['sf0.1_sec']:.3f} -> {r['16x_sec']:.3f} "
-              f"({r['ratio_16x']}x; 4x={r['ratio_4x']}x)")
+        if b64:
+            print(f"  {q}: {r['sf0.1_sec']:.3f} -> {r['64x_sec']:.3f} "
+                  f"({r['ratio_64x']}x; 16x={r['ratio_16x']}x; "
+                  f"4x={r['ratio_4x']}x)")
+        else:
+            print(f"  {q}: {r['sf0.1_sec']:.3f} -> {r['16x_sec']:.3f} "
+                  f"({r['ratio_16x']}x; 4x={r['ratio_4x']}x)")
 
 
 if __name__ == "__main__":
-    if len(sys.argv) not in (5, 6):
+    args = sys.argv[1:]
+    p64 = None
+    if "--x64" in args:
+        i = args.index("--x64")
+        p64 = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if len(args) not in (4, 5):
         sys.exit(__doc__)
-    main(sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4],
-         float(sys.argv[5]) if len(sys.argv) == 6 else 20.0)
+    main(args[0], args[1], args[2], args[3],
+         float(args[4]) if len(args) == 5 else 20.0, p64=p64)
