@@ -1669,6 +1669,91 @@ object Dedup {
         .agg(max(col("n_tokens")).as("n_tokens"),
           sum(col("contrib")).cast("long").as("dup_tokens"),
           sum(col("newspan")).cast("long").as("n_spans"))
+    },
+
+    // ----- exact-substring REMOVAL: the scrubbed corpus ---------------------
+    // q198 reports the duplicate mass; this is the half users actually
+    // run — MATERIALIZE each affected document with its cross-document
+    // duplicated spans cut out (the removal step of Lee et al. 2022).
+    // Same detector (shared W-grams via one fp shuffle, no pairwise
+    // work); the covered token positions are the union of [s, s+W) over
+    // shared starts — expanded to at most W rows per shared gram and
+    // deduplicated in the same doc_id shuffle — and the scrubbed text
+    // is the anti-join of token positions against that cover,
+    // reassembled in order. Fully-covered documents survive as empty
+    // strings (a removal pass must say "this doc is all boilerplate",
+    // not drop it from the report). Output is one row per AFFECTED doc
+    // — the unaffected corpus needs no rewrite, so at 100 TB the write
+    // amplification tracks the duplicate volume, not the corpus.
+    Q("q199_substring_scrub", {
+      val w = EXSUB_W
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS l
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, s,
+         |    md5(array_to_string(l[s + 1 : s + $w], ' ')) AS fp
+         |  FROM t CROSS JOIN
+         |    unnest(range(0, greatest(len(l) - $w + 1, 0))) AS u(s)),
+         |sh AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT doc_id, s,
+         |      min(doc_id) OVER (PARTITION BY fp) AS mn,
+         |      max(doc_id) OVER (PARTITION BY fp) AS mx
+         |    FROM g) x
+         |  WHERE mn <> mx),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, s + o.o AS p
+         |  FROM sh CROSS JOIN unnest(range(0, $w)) AS o(o)),
+         |tok AS (
+         |  SELECT doc_id, p, l[p + 1] AS tok
+         |  FROM t CROSS JOIN unnest(range(0, len(l))) AS u(p)),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.p, tok.tok
+         |  FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov
+         |    WHERE cov.doc_id = tok.doc_id AND cov.p = tok.p))
+         |SELECT c.doc_id, CAST(count(k.p) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '')
+         |    AS scrubbed_text
+         |FROM (SELECT DISTINCT doc_id FROM cov) c
+         |LEFT JOIN kept k ON k.doc_id = c.doc_id
+         |GROUP BY c.doc_id""".stripMargin
+    }) { (s, d) =>
+      val w = EXSUB_W
+      val t = col("toks")
+      val n = size(t)
+      val idx = when(n >= w, sequence(lit(0), n - w))
+        .otherwise(array().cast("array<int>"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+      val grams = docs
+        .select(col("doc_id"),
+          posexplode(transform(idx, i =>
+            md5(concat_ws(" ", slice(t, i + lit(1), lit(w)))
+              .cast("binary")))))
+        .select(col("doc_id"), col("pos").as("s"), col("col").as("fp"))
+      val byFp = Window.partitionBy(col("fp"))
+      val shared = grams
+        .withColumn("mn", min(col("doc_id")).over(byFp))
+        .withColumn("mx", max(col("doc_id")).over(byFp))
+        .filter(col("mn") =!= col("mx"))
+        .select(col("doc_id"), col("s"))
+      val covered = shared
+        .select(col("doc_id"),
+          explode(sequence(col("s"), col("s") + w - 1)).as("p"))
+        .distinct()
+      val tokPos = docs
+        .select(col("doc_id"), posexplode(col("toks")))
+        .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
+      val kept = tokPos.join(covered, Seq("doc_id", "p"), "left_anti")
+      covered.select(col("doc_id")).distinct()
+        .join(kept, Seq("doc_id"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("p")).as("n_kept"),
+          array_join(transform(array_sort(collect_list(
+              when(col("p").isNotNull, struct(col("p"), col("tok"))))),
+            x => x.getField("tok")), " ").as("scrubbed_text"))
     }
   )
 
