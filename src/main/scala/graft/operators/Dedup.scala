@@ -1746,14 +1746,25 @@ object Dedup {
       val tokPos = docs
         .select(col("doc_id"), posexplode(col("toks")))
         .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
-      val kept = tokPos.join(covered, Seq("doc_id", "p"), "left_anti")
-      covered.select(col("doc_id")).distinct()
-        .join(kept, Seq("doc_id"), "left")
+      // ONE pass: mark each position covered/uncovered (left join —
+      // `covered` is distinct on (doc_id, p), so multiplicity is safe)
+      // and fold per doc. An anti-join + separate covered-docs branch
+      // would make Spark recompute the whole detector window per
+      // branch (caught by a PlanDump audit: three document scans, two
+      // fp windows); the mark form runs the detector once and scans
+      // documents twice (grams + tokens) — the minimum, since the
+      // gram pass cannot also carry every token through the fp
+      // shuffle without widening it W-fold.
+      tokPos
+        .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "p"), "left")
         .groupBy(col("doc_id"))
-        .agg(count(col("p")).as("n_kept"),
+        .agg(count(when(col("cov").isNull, 1)).as("n_kept"),
+          max(coalesce(col("cov"), lit(0))).as("anycov"),
           array_join(transform(array_sort(collect_list(
-              when(col("p").isNotNull, struct(col("p"), col("tok"))))),
+              when(col("cov").isNull, struct(col("p"), col("tok"))))),
             x => x.getField("tok")), " ").as("scrubbed_text"))
+        .filter(col("anycov") === 1)
+        .select(col("doc_id"), col("n_kept"), col("scrubbed_text"))
     }
   )
 

@@ -44,7 +44,12 @@ object MemoryPressureDrill {
     // runs its full stream per invocation, so completion + an
     // unchanged drained hash at the squeezed heap is the assertion
     "q192_dsv2_stream_source", "q193_stream_neardup",
-    "q194_dsv2_stream_sink")
+    "q194_dsv2_stream_sink",
+    // round 16: the exact-substring pair — a corpus-wide fp-window
+    // shuffle plus a (doc, position) anti-join and an ordered
+    // collect_list reassembly, the widest new shuffle shapes this
+    // round added
+    "q198_exact_substring", "q199_substring_scrub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
