@@ -1754,9 +1754,118 @@ object Dedup {
       // fp windows); the mark form runs the detector once and scans
       // documents twice (grams + tokens) — the minimum, since the
       // gram pass cannot also carry every token through the fp
-      // shuffle without widening it W-fold.
+      // shuffle without widening it W-fold. The build side MUST be a
+      // shuffle join: `covered` scales with duplicate VOLUME (a
+      // corpus-dependent, unbounded quantity — 8.6 GiB at the 256×
+      // rung, where Catalyst's post-window size estimate undershot and
+      // a static BroadcastHashJoin died on the 8 GiB broadcast limit).
       tokPos
-        .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "p"), "left")
+        .join(covered.withColumn("cov", lit(1)).hint("shuffle_hash"),
+          Seq("doc_id", "p"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(when(col("cov").isNull, 1)).as("n_kept"),
+          max(coalesce(col("cov"), lit(0))).as("anycov"),
+          array_join(transform(array_sort(collect_list(
+              when(col("cov").isNull, struct(col("p"), col("tok"))))),
+            x => x.getField("tok")), " ").as("scrubbed_text"))
+        .filter(col("anycov") === 1)
+        .select(col("doc_id"), col("n_kept"), col("scrubbed_text"))
+    },
+
+    // ----- exact-substring removal, KEEP-ONE-COPY variant --------------------
+    // q199 cuts EVERY occurrence of a cross-document shared span — a
+    // boilerplate scrub, which deletes the content from the corpus
+    // entirely. The dedup form real pipelines run (Lee et al. 2022,
+    // §3: "remove all but one" — /root/reference has no analogue;
+    // this is the LLM-pipeline extension surface) keeps one canonical
+    // occurrence so unique content survives with multiplicity 1.
+    // Contract: per shared W-gram fingerprint the OWNER occurrence is
+    // the lexicographic min (doc_id, s) over the fp partition —
+    // deterministic, computed with the same single fp-window pass that
+    // detects sharing (min(struct) rides the mn/mx window, so the
+    // detector still costs ONE fp shuffle and k rows for k sharers).
+    // A token position is removed iff some NON-owner shared gram
+    // covers it: owner spans survive verbatim unless a different
+    // fingerprint's non-owner occurrence overlaps them (positional
+    // rule — the per-position cover is what makes overlapping spans
+    // from different fps compose exactly, same as q199). Output is
+    // one row per doc that LOSES ≥ 1 token — strictly fewer rewrites
+    // than q199 (owner docs that lose nothing don't appear), so at
+    // 100 TB write amplification tracks NON-canonical duplicate
+    // volume only.
+    Q("q200_substring_keep_one", {
+      val w = EXSUB_W
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS l
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, s,
+         |    md5(array_to_string(l[s + 1 : s + $w], ' ')) AS fp
+         |  FROM t CROSS JOIN
+         |    unnest(range(0, greatest(len(l) - $w + 1, 0))) AS u(s)),
+         |sh AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT doc_id, s,
+         |      min(doc_id) OVER (PARTITION BY fp) AS mn,
+         |      max(doc_id) OVER (PARTITION BY fp) AS mx,
+         |      min({'d': doc_id, 's': s}) OVER (PARTITION BY fp) AS own
+         |    FROM g) x
+         |  WHERE mn <> mx AND NOT (doc_id = own.d AND s = own.s)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, s + o.o AS p
+         |  FROM sh CROSS JOIN unnest(range(0, $w)) AS o(o)),
+         |tok AS (
+         |  SELECT doc_id, p, l[p + 1] AS tok
+         |  FROM t CROSS JOIN unnest(range(0, len(l))) AS u(p)),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.p, tok.tok
+         |  FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov
+         |    WHERE cov.doc_id = tok.doc_id AND cov.p = tok.p))
+         |SELECT c.doc_id, CAST(count(k.p) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '')
+         |    AS scrubbed_text
+         |FROM (SELECT DISTINCT doc_id FROM cov) c
+         |LEFT JOIN kept k ON k.doc_id = c.doc_id
+         |GROUP BY c.doc_id""".stripMargin
+    }) { (s, d) =>
+      val w = EXSUB_W
+      val t = col("toks")
+      val n = size(t)
+      val idx = when(n >= w, sequence(lit(0), n - w))
+        .otherwise(array().cast("array<int>"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+      val grams = docs
+        .select(col("doc_id"),
+          posexplode(transform(idx, i =>
+            md5(concat_ws(" ", slice(t, i + lit(1), lit(w)))
+              .cast("binary")))))
+        .select(col("doc_id"), col("pos").as("s"), col("col").as("fp"))
+      val byFp = Window.partitionBy(col("fp"))
+      // owner = lexicographic min (doc_id, s) — struct min orders by
+      // field position on both engines; s widened to long so the
+      // struct field types are stable regardless of posexplode's int
+      val occ = struct(col("doc_id"), col("s").cast("long"))
+      val nonOwner = grams
+        .withColumn("mn", min(col("doc_id")).over(byFp))
+        .withColumn("mx", max(col("doc_id")).over(byFp))
+        .withColumn("own", min(occ).over(byFp))
+        .filter(col("mn") =!= col("mx") && !(occ === col("own")))
+        .select(col("doc_id"), col("s"))
+      val covered = nonOwner
+        .select(col("doc_id"),
+          explode(sequence(col("s"), col("s") + w - 1)).as("p"))
+        .distinct()
+      val tokPos = docs
+        .select(col("doc_id"), posexplode(col("toks")))
+        .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
+      // same one-pass mark-and-fold as q199 (see the plan + shuffle-
+      // join notes there: `covered` is duplicate-volume-sized, never
+      // broadcastable)
+      tokPos
+        .join(covered.withColumn("cov", lit(1)).hint("shuffle_hash"),
+          Seq("doc_id", "p"), "left")
         .groupBy(col("doc_id"))
         .agg(count(when(col("cov").isNull, 1)).as("n_kept"),
           max(coalesce(col("cov"), lit(0))).as("anycov"),

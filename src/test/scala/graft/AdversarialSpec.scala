@@ -562,4 +562,44 @@ class AdversarialSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4)))).toMap
     assert(merged == direct)
   }
+
+  test("substring keep-one retains exactly the (min doc_id, min s) owner") {
+    import org.apache.spark.sql.functions._
+    // W = 12 (the q198 detector width). One 12-token span shared by
+    // three docs, with the owner doc carrying a SECOND copy of it:
+    // keep-one must cut the non-owner occurrences (incl. the owner
+    // doc's own later copy) and leave the (min doc_id, min s)
+    // occurrence verbatim — while remove-all (q199) cuts every copy.
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    def fill(c: Char) = (0 until 12).map(i => s"$c$i").mkString(" ")
+    val rows = Seq(
+      (10L, s"$shared ${fill('a')} $shared"), // owner @0, own dup @24
+      (20L, s"${fill('b')} $shared"),         // non-owner @12
+      (30L, s"$shared ${fill('c')}"),         // non-owner @0
+      (40L, fill('d'))                        // untouched bystander
+    ).map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val dir = Files.createTempDirectory("graft-keepone").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val keep = SparkEntry.queries("q200_substring_keep_one")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // all three sharers lose SOMETHING (doc 10 its second copy), the
+    // bystander is absent, and the owner occurrence survives verbatim
+    assert(keep.keySet == Set(10L, 20L, 30L), s"rewrote ${keep.keySet}")
+    assert(keep(10L) == ((24L, s"$shared ${fill('a')}")),
+      s"owner doc kept ${keep(10L)}")
+    assert(keep(20L) == ((12L, fill('b'))))
+    assert(keep(30L) == ((12L, fill('c'))))
+    // remove-all on the same corpus: every copy gone, same doc set
+    val scrub = SparkEntry.queries("q199_substring_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(scrub.keySet == Set(10L, 20L, 30L))
+    assert(scrub(10L) == fill('a') && scrub(20L) == fill('b') &&
+      scrub(30L) == fill('c'))
+    // corpus-wide invariant: keep-one retains >= remove-all everywhere
+    scrub.keySet.foreach { id =>
+      assert(keep(id)._1 >= scrub(id).split(" ").filter(_.nonEmpty).length)
+    }
+  }
 }
