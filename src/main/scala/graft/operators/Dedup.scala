@@ -1739,37 +1739,33 @@ object Dedup {
         .withColumn("mx", max(col("doc_id")).over(byFp))
         .filter(col("mn") =!= col("mx"))
         .select(col("doc_id"), col("s"))
-      val covered = shared
+      // Fold the cover into ONE position-set row per affected doc
+      // (collect_set dedups overlapping spans in the same doc_id
+      // shuffle a distinct would need), then mark in-row against the
+      // token ARRAY. The join is per-DOC — one row per affected doc,
+      // never per token: the earlier token-level mark join carried
+      // every corpus token through a (doc_id, p) shuffle and died at
+      // the 256× rung twice over — Catalyst's post-window estimate
+      // undershoots the duplicate-volume-sized cover (8.6 GiB there),
+      // so static planning broadcast it into the 8 GiB limit, and a
+      // shuffle_hash pin then OOM'd building 32 concurrent unspillable
+      // hash maps. Duplicate volume is corpus-dependent and unbounded,
+      // so the join is pinned to sort-merge — the only fully
+      // spillable strategy — and an inner join, since the output IS
+      // the affected-doc set. Detector cost is unchanged: one fp
+      // shuffle, two document scans.
+      val covSet = shared
         .select(col("doc_id"),
           explode(sequence(col("s"), col("s") + w - 1)).as("p"))
-        .distinct()
-      val tokPos = docs
-        .select(col("doc_id"), posexplode(col("toks")))
-        .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
-      // ONE pass: mark each position covered/uncovered (left join —
-      // `covered` is distinct on (doc_id, p), so multiplicity is safe)
-      // and fold per doc. An anti-join + separate covered-docs branch
-      // would make Spark recompute the whole detector window per
-      // branch (caught by a PlanDump audit: three document scans, two
-      // fp windows); the mark form runs the detector once and scans
-      // documents twice (grams + tokens) — the minimum, since the
-      // gram pass cannot also carry every token through the fp
-      // shuffle without widening it W-fold. The build side MUST be a
-      // shuffle join: `covered` scales with duplicate VOLUME (a
-      // corpus-dependent, unbounded quantity — 8.6 GiB at the 256×
-      // rung, where Catalyst's post-window size estimate undershot and
-      // a static BroadcastHashJoin died on the 8 GiB broadcast limit).
-      tokPos
-        .join(covered.withColumn("cov", lit(1)).hint("shuffle_hash"),
-          Seq("doc_id", "p"), "left")
         .groupBy(col("doc_id"))
-        .agg(count(when(col("cov").isNull, 1)).as("n_kept"),
-          max(coalesce(col("cov"), lit(0))).as("anycov"),
-          array_join(transform(array_sort(collect_list(
-              when(col("cov").isNull, struct(col("p"), col("tok"))))),
-            x => x.getField("tok")), " ").as("scrubbed_text"))
-        .filter(col("anycov") === 1)
-        .select(col("doc_id"), col("n_kept"), col("scrubbed_text"))
+        .agg(collect_set(col("p")).as("cps"))
+      docs
+        .join(covSet.hint("merge"), Seq("doc_id"), "inner")
+        .select(col("doc_id"),
+          (size(col("toks")) - size(col("cps"))).cast("long").as("n_kept"),
+          array_join(filter(col("toks"),
+            (t, i) => !array_contains(col("cps"), i)), " ")
+            .as("scrubbed_text"))
     },
 
     // ----- exact-substring removal, KEEP-ONE-COPY variant --------------------
@@ -1853,27 +1849,21 @@ object Dedup {
         .withColumn("own", min(occ).over(byFp))
         .filter(col("mn") =!= col("mx") && !(occ === col("own")))
         .select(col("doc_id"), col("s"))
-      val covered = nonOwner
+      // same per-doc position-set mark as q199 (see the plan notes
+      // there: the cover is duplicate-volume-sized — never broadcast,
+      // never hash-build; sort-merge on one row per affected doc)
+      val covSet = nonOwner
         .select(col("doc_id"),
           explode(sequence(col("s"), col("s") + w - 1)).as("p"))
-        .distinct()
-      val tokPos = docs
-        .select(col("doc_id"), posexplode(col("toks")))
-        .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
-      // same one-pass mark-and-fold as q199 (see the plan + shuffle-
-      // join notes there: `covered` is duplicate-volume-sized, never
-      // broadcastable)
-      tokPos
-        .join(covered.withColumn("cov", lit(1)).hint("shuffle_hash"),
-          Seq("doc_id", "p"), "left")
         .groupBy(col("doc_id"))
-        .agg(count(when(col("cov").isNull, 1)).as("n_kept"),
-          max(coalesce(col("cov"), lit(0))).as("anycov"),
-          array_join(transform(array_sort(collect_list(
-              when(col("cov").isNull, struct(col("p"), col("tok"))))),
-            x => x.getField("tok")), " ").as("scrubbed_text"))
-        .filter(col("anycov") === 1)
-        .select(col("doc_id"), col("n_kept"), col("scrubbed_text"))
+        .agg(collect_set(col("p")).as("cps"))
+      docs
+        .join(covSet.hint("merge"), Seq("doc_id"), "inner")
+        .select(col("doc_id"),
+          (size(col("toks")) - size(col("cps"))).cast("long").as("n_kept"),
+          array_join(filter(col("toks"),
+            (t, i) => !array_contains(col("cps"), i)), " ")
+            .as("scrubbed_text"))
     }
   )
 
