@@ -45,11 +45,13 @@ object MemoryPressureDrill {
     // unchanged drained hash at the squeezed heap is the assertion
     "q192_dsv2_stream_source", "q193_stream_neardup",
     "q194_dsv2_stream_sink",
-    // round 16: the exact-substring pair — a corpus-wide fp-window
-    // shuffle plus a (doc, position) anti-join and an ordered
-    // collect_list reassembly, the widest new shuffle shapes this
-    // round added
-    "q198_exact_substring", "q199_substring_scrub")
+    // round 16: the exact-substring family — a corpus-wide fp-window
+    // shuffle, a per-doc position-set fold (collect_set), and the
+    // sort-merge mark join (§22.6: the cover side is duplicate-volume
+    // sized, so the squeezed heap must prove the SMJ sorts SPILL
+    // rather than die the way the hash strategies did at 256×)
+    "q198_exact_substring", "q199_substring_scrub",
+    "q200_substring_keep_one")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
