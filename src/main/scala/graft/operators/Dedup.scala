@@ -1647,15 +1647,41 @@ object Dedup {
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), n.cast("long").as("n_tokens"),
           posexplode(transform(idx, i =>
-            md5(concat_ws(" ", slice(t, i + lit(1), lit(w)))
-              .cast("binary")))))
+            struct(
+              xxhash64(lit(1), slice(t, i + lit(1), lit(w))).as("h1"),
+              xxhash64(lit(2), slice(t, i + lit(1), lit(w))).as("h2")))))
         .select(col("doc_id"), col("n_tokens"),
           col("pos").as("s"), col("col").as("fp"))
-      val byFp = Window.partitionBy(col("fp"))
-      val shared = grams
-        .withColumn("mn", min(col("doc_id")).over(byFp))
-        .withColumn("mx", max(col("doc_id")).over(byFp))
+      // Sharing detector as a map-side-combinable aggregate + fp
+      // join-back, NOT a `min/max OVER (PARTITION BY fp)` window: the
+      // two are row-equal (min/max over the fp partition ≡ groupBy(fp)
+      // min/max joined back on fp), but the window serializes every
+      // occurrence of one fingerprint onto ONE task — a power-law fp
+      // (license header shared by 10⁷ docs at 100 TB) becomes an
+      // unsplittable straggler partition, and AQE can never split a
+      // window partition. The aggregate shape is skew-immune end to
+      // end: partial min/max combine map-side (one row per fp per map
+      // task crosses the wire), and the sort-merge join-back's skewed
+      // occurrence side is AQE-skew-splittable at runtime (guide §2.5;
+      // LeftSemi splits the left side). Two load-bearing details, both
+      // measured in tools/SkewProbe: (1) the small side aggregates on
+      // the struct's FIELDS and re-assembles `fp`, so its hash(h1,h2)
+      // partitioning does NOT satisfy the join's hash(fp) distribution
+      // and BOTH SMJ children plan fresh ENSURE_REQUIREMENTS exchanges
+      // — were the aggregate's own fp partitioning reused, the plan
+      // would never match OptimizeSkewedJoin's SMJ(Sort(Shuffle),
+      // Sort(Shuffle)) pattern and the hot partition would stay whole
+      // (a ~4× straggler in the probe, same class as the window);
+      // (2) the join is pinned sort-merge — the shared-fp set is
+      // duplicate-volume-sized, the exact class whose underestimated
+      // post-agg stats broadcast-killed q199's first mark join at 256×.
+      val sharedFp = grams
+        .groupBy(col("fp.h1").as("h1"), col("fp.h2").as("h2"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
         .filter(col("mn") =!= col("mx"))
+        .select(struct(col("h1"), col("h2")).as("fp"))
+      val shared = grams
+        .join(sharedFp.hint("merge"), Seq("fp"), "left_semi")
         .select(col("doc_id"), col("n_tokens"), col("s"))
       val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
       val nxt = lead(col("s"), 1).over(byDoc)
@@ -1730,14 +1756,21 @@ object Dedup {
       val grams = docs
         .select(col("doc_id"),
           posexplode(transform(idx, i =>
-            md5(concat_ws(" ", slice(t, i + lit(1), lit(w)))
-              .cast("binary")))))
+            struct(
+              xxhash64(lit(1), slice(t, i + lit(1), lit(w))).as("h1"),
+              xxhash64(lit(2), slice(t, i + lit(1), lit(w))).as("h2")))))
         .select(col("doc_id"), col("pos").as("s"), col("col").as("fp"))
-      val byFp = Window.partitionBy(col("fp"))
-      val shared = grams
-        .withColumn("mn", min(col("doc_id")).over(byFp))
-        .withColumn("mx", max(col("doc_id")).over(byFp))
+      // same skew-immune detector shape as q198 (see the note there):
+      // map-side-combinable field-keyed groupBy min/max + merge-pinned
+      // semi join-back through fresh exchanges on both sides, never a
+      // window — a hot fp must stay AQE-splittable
+      val sharedFp = grams
+        .groupBy(col("fp.h1").as("h1"), col("fp.h2").as("h2"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
         .filter(col("mn") =!= col("mx"))
+        .select(struct(col("h1"), col("h2")).as("fp"))
+      val shared = grams
+        .join(sharedFp.hint("merge"), Seq("fp"), "left_semi")
         .select(col("doc_id"), col("s"))
       // Fold the cover into ONE position-set row per affected doc
       // (collect_set dedups overlapping spans in the same doc_id
@@ -1835,19 +1868,39 @@ object Dedup {
       val grams = docs
         .select(col("doc_id"),
           posexplode(transform(idx, i =>
-            md5(concat_ws(" ", slice(t, i + lit(1), lit(w)))
-              .cast("binary")))))
+            struct(
+              xxhash64(lit(1), slice(t, i + lit(1), lit(w))).as("h1"),
+              xxhash64(lit(2), slice(t, i + lit(1), lit(w))).as("h2")))))
         .select(col("doc_id"), col("pos").as("s"), col("col").as("fp"))
-      val byFp = Window.partitionBy(col("fp"))
-      // owner = lexicographic min (doc_id, s) — struct min orders by
-      // field position on both engines; s widened to long so the
-      // struct field types are stable regardless of posexplode's int
-      val occ = struct(col("doc_id"), col("s").cast("long"))
+      // owner = lexicographic min (doc_id, s), carried as ONE exact
+      // decimal `doc_id·10¹⁰ + s` — order-isomorphic to the pair
+      // because 0 ≤ s < 10¹⁰ (a position inside one document; ten
+      // billion tokens per doc is orders of magnitude past any real
+      // corpus), and decimal(32,0) arithmetic is exact. The packing
+      // matters for the PLAN, not the math: min over a STRUCT is not
+      // a mutable-buffer aggregate, so Spark demotes the whole
+      // detector aggregate to SortAggregate — a full sort of the gram
+      // table before partial aggregation (measured: +0.5 s at sf0.1,
+      // and a scale-tracking extra sort) — while min(decimal) keeps
+      // the one-pass HashAggregate of q198/q199.
+      val occ = col("doc_id").cast("decimal(20,0)") *
+        lit(10000000000L) + col("s")
+      // same skew-immune detector shape as q198 (see the note there),
+      // with the packed owner riding the same aggregate: min is
+      // algebraic, so the whole sharing+ownership decision still
+      // combines map-side; the merge-pinned inner join-back carries
+      // ONE packed `own` per shared fp, and Inner joins are
+      // AQE-skew-splittable on the occurrence side (the duplicated
+      // one-row build partition cannot duplicate output rows)
+      val fpOwn = grams
+        .groupBy(col("fp.h1").as("h1"), col("fp.h2").as("h2"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+          min(occ).as("own"))
+        .filter(col("mn") =!= col("mx"))
+        .select(struct(col("h1"), col("h2")).as("fp"), col("own"))
       val nonOwner = grams
-        .withColumn("mn", min(col("doc_id")).over(byFp))
-        .withColumn("mx", max(col("doc_id")).over(byFp))
-        .withColumn("own", min(occ).over(byFp))
-        .filter(col("mn") =!= col("mx") && !(occ === col("own")))
+        .join(fpOwn.hint("merge"), Seq("fp"))
+        .filter(!(occ === col("own")))
         .select(col("doc_id"), col("s"))
       // same per-doc position-set mark as q199 (see the plan notes
       // there: the cover is duplicate-volume-sized — never broadcast,

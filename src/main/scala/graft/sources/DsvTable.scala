@@ -570,11 +570,20 @@ object DsvStreamingWrite {
           java.nio.file.Paths.get(qDest.toUri.getPath),
           java.nio.file.Paths.get(qSrc.toUri.getPath))
         fs.delete(src, false)
-        true
+        return true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => return false
+        // local mounts without hard-link support (CIFS/exFAT/some FUSE
+        // filesystems reachable via file://) reject link(2) outright —
+        // fall THROUGH to the FileContext.rename fence below rather
+        // than crashing every streaming commit on such a mount. (The
+        // createLink path also bypasses ChecksumFileSystem, so no .crc
+        // sidecar is written either way on LocalFileSystem.)
+        case _: UnsupportedOperationException => ()
+        case _: java.nio.file.FileSystemException => ()
       }
-    } else try {
+    }
+    try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         fs.getUri, fs.getConf)
       fc.rename(qSrc, qDest)

@@ -430,6 +430,31 @@ class DsvWriteSpec extends AnyFunSuite {
     assert(fs.exists(src2), "loser's temp is the caller's to clean")
   }
 
+  test("conditional put survives a createLink-hostile source (rename fence fallback)") {
+    // file:// mounts without hard-link support (CIFS/exFAT/some FUSE)
+    // make Files.createLink throw FileSystemException — the put must
+    // fall through to the FileContext.rename fence instead of crashing
+    // every streaming commit. link(2) also refuses DIRECTORY sources
+    // with EPERM on Linux, which gives the spec a deterministic way to
+    // drive that fallback on a normal local filesystem.
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = freshDir()
+    val d = new HPath(dir)
+    val fs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(d)
+    val src = new HPath(d, "srcdir")
+    fs.mkdirs(src)
+    val dest = new HPath(d, "published")
+    assert(sources.DsvStreamingWrite.conditionalRename(fs, src, dest),
+      "fallback fence failed to publish a source createLink rejects")
+    assert(fs.getFileStatus(dest).isDirectory && !fs.exists(src))
+    // and the fence still refuses an existing destination on that path
+    val src2 = new HPath(d, "srcdir2")
+    fs.mkdirs(src2)
+    assert(!sources.DsvStreamingWrite.conditionalRename(fs, src2, dest),
+      "fallback fence overwrote an existing destination")
+  }
+
   test("writer-side torn read: vanishing generations throw, never prev=None") {
     // commit() derives its full-history snapshot from latestFullHistory;
     // if a non-empty listing's logs all vanish persistently, decaying to

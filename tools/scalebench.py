@@ -121,6 +121,8 @@ if __name__ == "__main__":
     p64 = None
     if "--x64" in args:
         i = args.index("--x64")
+        if i + 1 >= len(args):
+            sys.exit(__doc__)
         p64 = args[i + 1]
         args = args[:i] + args[i + 2:]
     if len(args) not in (4, 5):
