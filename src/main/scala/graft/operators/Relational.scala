@@ -134,6 +134,25 @@ object Relational {
     s.createDataFrame(partials, outSchema)
   }
 
+  /** Construct independent DataFrame branches CONCURRENTLY (guide §2.6
+    * job overlap). [[binPartials]]' zipWithIndex pins its lineage with
+    * a construction-time count job over the range-shuffled input, so a
+    * layout-experiment query (q151: 2 layouts, q161: 3) otherwise runs
+    * its sort+count chains strictly head-to-tail with most of the
+    * executor idle through each chain's tail. The branches share no
+    * state — submitting their constructions from a small thread pool
+    * lets Spark's FIFO scheduler back-fill freed slots with the next
+    * layout's tasks. Results are identical: each branch's DataFrame is
+    * a pure function of its inputs, and the caller unions them in the
+    * stated order. */
+  private def concurrently[A](fs: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(fs.map(f => Future(f())).toList), 15.minutes).toSeq
+  }
+
   /** MERGE/upsert: `delta` rows win per `key`; `base` rows survive only
     * where no delta key matches; the base is scanned exactly once. Both
     * inputs must share `delta`'s schema.
@@ -244,12 +263,26 @@ object Relational {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      // Aggregate lineitem to one row per order BEFORE the join (guide
+      // §2.3): the group key contains the join key and the c⋈o side is
+      // unique per o_orderkey (o_orderkey is a key; each order matches
+      // at most one customer row on the unique c_custkey), so summing
+      // before the join is row-for-row the post-join grouping — the
+      // DECIMAL partial sums merge to the identical exact total. The
+      // join then carries ~¼ the rows at any scale, and at bench scale
+      // it stops the planner broadcasting the filtered FACT side: the
+      // 330k-row hashed relation of raw lineitem was built
+      // single-threaded on the driver (measured 1.7 s vs the 1.1 s
+      // anchor class), while the aggregated side is ~110k narrow rows.
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev_dec"))
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_orderkey"), day(col("o_orderdate")).as("odate"))
-        .agg(sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .select(col("l_orderkey"), day(col("o_orderdate")).as("odate"),
+          col("rev_dec").cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -1521,10 +1554,12 @@ object Relational {
           .agg(min(col("v_lo")).as("lo"), max(col("v_hi")).as("hi"))
           .select(lit(layout).as("layout"), col("bin"), col("lo"), col("hi"))
       }
-      val bins = binStats("natural", Seq(col("l_orderkey"), col("l_linenumber")))
-        .unionByName(binStats("shipdate",
-          Seq(col("v"), col("l_orderkey"), col("l_linenumber"))))
-        .persist()
+      val layouts = concurrently(Seq(
+        () => binStats("natural",
+          Seq(col("l_orderkey"), col("l_linenumber"))),
+        () => binStats("shipdate",
+          Seq(col("v"), col("l_orderkey"), col("l_linenumber")))))
+      val bins = layouts.reduce(_ unionByName _).persist()
       val windows = bins.agg(min(col("lo")).as("gmin"), max(col("hi")).as("gmax"))
         .select(col("gmin"), col("gmax"),
           explode(sequence(lit(0L), lit(11L))).as("k"))
@@ -1611,9 +1646,11 @@ object Relational {
             col("xlo"), col("xhi"), col("ylo"), col("yhi"))
       }
       val tie = Seq(col("l_orderkey"), col("l_linenumber"))
-      val bins = binStats("natural", tie)
-        .unionByName(binStats("x_sorted", col("x") +: tie))
-        .unionByName(binStats("z_order", col("zv") +: tie))
+      val bins = concurrently(Seq(
+        () => binStats("natural", tie),
+        () => binStats("x_sorted", col("x") +: tie),
+        () => binStats("z_order", col("zv") +: tie)))
+        .reduce(_ unionByName _)
       val probes = s.range(8).toDF("k")
         .select(col("k"), (col("k") * 32).as("wlo"),
           ((col("k") + 1) * 32).as("whi"))
