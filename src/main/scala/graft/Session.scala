@@ -125,7 +125,21 @@ object Session {
     // (besides cache misses): a JVM that builds a fresh session has, by
     // definition, finished with whatever sessions it stopped before.
     Caches.sweep()
-    (extra.toSeq ++ envConf).foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
+    val sp = (extra.toSeq ++ envConf)
+      .foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
+    // Silence LogicalRDD's output-columns WARN (AFTER getOrCreate —
+    // SparkContext init re-applies the log4j configuration, clobbering
+    // any earlier level): the native recursive CTE (q166's UnionLoop)
+    // re-wraps each materialized step as a LogicalRDD whose optimized
+    // plan carries fresh attribute IDs, and the rebind check warns
+    // even though names and types match exactly (IDs-only mismatch;
+    // rebinding is positional, results hash-gated). Every verify log
+    // carried ~20 copies of what reads like a planner bug; targeted at
+    // the one logger, not a blanket level change.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.LogicalRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    sp
   }
 }

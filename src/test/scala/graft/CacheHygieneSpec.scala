@@ -82,18 +82,21 @@ class CacheHygieneSpec extends AnyFunSuite {
   test("q82 k-means frees superseded centroid rounds and keeps the corpus cache") {
     reset()
     SparkEntry.queries("q82_kmeans")(spark, Spec.sfDir).count()
-    // before clearCache: EXACTLY the persisted corpus frame plus the
-    // FINAL centroid checkpoint — all superseded rounds were freed
-    // in-loop. The equality matters: the RDD-id bookkeeping bug class
-    // (corpus cache swept by the round-1 cleanup) leaves 1 entry, which
-    // an upper bound alone would wave through
-    assert(persisted.size == 2,
-      s"net persisted RDDs after q82: ${persisted.size} (expected 2: " +
-        "corpus cache + final centroid checkpoint)")
+    // before clearCache: EXACTLY the persisted corpus frame. Since the
+    // r17 rewrite the centroids are K=8 rows of DRIVER state updated
+    // per Lloyd round (no localCheckpoint frames at all), so the only
+    // legitimate persisted RDD is the quantized-corpus cache. The
+    // equality matters: the RDD-id bookkeeping bug class (corpus cache
+    // swept by an in-loop cleanup) leaves 0 entries, which an upper
+    // bound alone would wave through
+    assert(persisted.size == 1,
+      s"net persisted RDDs after q82: ${persisted.size} (expected 1: " +
+        "the corpus cache; centroids are driver state since r17)")
     spark.catalog.clearCache()
-    // RDD-level residual: the final centroid localCheckpoint backing
-    // the returned frame
-    assert(persisted.size <= 1)
+    // no RDD-level residual: the catalog owns the corpus cache and no
+    // checkpoint outlives the query
+    assert(persisted.isEmpty,
+      s"q82 left non-catalog RDDs persisted: ${persisted.size}")
     persisted.values.foreach(_.unpersist(blocking = false))
   }
 

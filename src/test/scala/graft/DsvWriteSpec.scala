@@ -455,6 +455,58 @@ class DsvWriteSpec extends AnyFunSuite {
       "fallback fence overwrote an existing destination")
   }
 
+  test("steady-state epoch commit does ZERO directory listings") {
+    // The per-epoch listing-cost invariant: a long-running stream's
+    // commit path must not walk the directory every epoch (a
+    // month-long stream accumulates generations between compactor
+    // runs, and directory listings on object stores are the slow
+    // path). latestFullHistory's steady path is two EXACT name probes
+    // — `g<epoch>` (replay) then `g<epoch-1>` (the normal successor
+    // commit) — and the glob fallback may run only on the first commit
+    // of a run after an epoch gap or checkpoint surgery.
+    import org.apache.hadoop.fs.{Path => HPath, FilterFileSystem}
+    val dir = freshDir()
+    val d = new HPath(dir)
+    val raw = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    raw.mkdirs(d)
+    def putLog(gen: Long, lines: Seq[String]): Unit = {
+      val o = raw.create(new HPath(d, s"_dsvlog-steadyq-g$gen"), true)
+      try o.write((s"v1 $gen\n" + lines.mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+      finally o.close()
+    }
+    putLog(4L, Seq("4\tpart-a"))
+    val listings = new java.util.concurrent.atomic.AtomicInteger
+    val counting = new FilterFileSystem(raw) {
+      override def globStatus(p: HPath)
+          : Array[org.apache.hadoop.fs.FileStatus] = {
+        listings.incrementAndGet(); super.globStatus(p)
+      }
+      override def listStatus(p: HPath)
+          : Array[org.apache.hadoop.fs.FileStatus] = {
+        listings.incrementAndGet(); super.listStatus(p)
+      }
+    }
+    // successor commit (epoch 5 over committed g4): g5 misses, g4 hits
+    val snap = sources.DsvStreamingWrite.latestFullHistory(
+      counting, d, "steadyq", 5L)
+    assert(snap == Some((4L, Seq("4\tpart-a"))), snap.toString)
+    assert(listings.get() == 0,
+      s"steady-state commit walked the directory ${listings.get()} times")
+    // replay of the committed epoch itself: g4 hits directly
+    assert(sources.DsvStreamingWrite.latestFullHistory(
+      counting, d, "steadyq", 4L).isDefined)
+    assert(listings.get() == 0, "replay probe walked the directory")
+    // epoch GAP (surgery): both exact probes miss, ONE glob allowed —
+    // Hadoop's globber delegates to listStatus internally, so the one
+    // logical listing registers as ≤ 2 calls on the counting wrapper
+    assert(sources.DsvStreamingWrite.latestFullHistory(
+      counting, d, "steadyq", 9L).isDefined)
+    assert(listings.get() >= 1 && listings.get() <= 2,
+      s"gap fallback should list once (≤2 delegated calls), " +
+        s"saw ${listings.get()}")
+  }
+
   test("writer-side torn read: vanishing generations throw, never prev=None") {
     // commit() derives its full-history snapshot from latestFullHistory;
     // if a non-empty listing's logs all vanish persistently, decaying to

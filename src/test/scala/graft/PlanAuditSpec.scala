@@ -96,14 +96,18 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(400))
   }
 
-  test("k-means assignment broadcasts the centroids (no corpus window/cartesian)") {
+  test("k-means assignment is a literal-centroid projection (no join, window, or cartesian)") {
+    // since r17 the K=8 centroids are driver state inlined as literals:
+    // the assignment arg-min must reach the plan as a pure projection —
+    // no join of the corpus against a centroid frame at all, and
+    // certainly no per-vector window sort or cartesian fan-out
     val p = plan("q82_kmeans")
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Join"), p.take(400))
     assert(!p.contains("CartesianProduct"))
-    // argmin is a partial aggregation, not a per-vector window sort
     assert(!p.contains("RunningWindowFunction") &&
       !"Window \\[min".r.findFirstIn(p).isDefined)
+    // the arg-min rides array_min over literal struct candidates
+    assert(p.contains("array_min"), p.take(400))
   }
 
   test("stream-static enrich and merge-upsert broadcast their small side") {
