@@ -1646,10 +1646,11 @@ object Dedup {
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), n.cast("long").as("n_tokens"),
-          posexplode(transform(idx, i =>
-            struct(
-              xxhash64(lit(1), slice(t, i + lit(1), lit(w))).as("h1"),
-              xxhash64(lit(2), slice(t, i + lit(1), lit(w))).as("h2")))))
+          posexplode(transform(
+            transform(idx, i => slice(t, i + lit(1), lit(w))),
+            sl => struct(
+              xxhash64(lit(1), sl).as("h1"),
+              xxhash64(lit(2), sl).as("h2")))))
         .select(col("doc_id"), col("n_tokens"),
           col("pos").as("s"), col("col").as("fp"))
       // Sharing detector as a map-side-combinable aggregate + fp
@@ -1755,10 +1756,11 @@ object Dedup {
         .select(col("doc_id"), toks.as("toks"))
       val grams = docs
         .select(col("doc_id"),
-          posexplode(transform(idx, i =>
-            struct(
-              xxhash64(lit(1), slice(t, i + lit(1), lit(w))).as("h1"),
-              xxhash64(lit(2), slice(t, i + lit(1), lit(w))).as("h2")))))
+          posexplode(transform(
+            transform(idx, i => slice(t, i + lit(1), lit(w))),
+            sl => struct(
+              xxhash64(lit(1), sl).as("h1"),
+              xxhash64(lit(2), sl).as("h2")))))
         .select(col("doc_id"), col("pos").as("s"), col("col").as("fp"))
       // same skew-immune detector shape as q198 (see the note there):
       // map-side-combinable field-keyed groupBy min/max + merge-pinned
@@ -1867,10 +1869,11 @@ object Dedup {
         .select(col("doc_id"), toks.as("toks"))
       val grams = docs
         .select(col("doc_id"),
-          posexplode(transform(idx, i =>
-            struct(
-              xxhash64(lit(1), slice(t, i + lit(1), lit(w))).as("h1"),
-              xxhash64(lit(2), slice(t, i + lit(1), lit(w))).as("h2")))))
+          posexplode(transform(
+            transform(idx, i => slice(t, i + lit(1), lit(w))),
+            sl => struct(
+              xxhash64(lit(1), sl).as("h1"),
+              xxhash64(lit(2), sl).as("h2")))))
         .select(col("doc_id"), col("pos").as("s"), col("col").as("fp"))
       // owner = lexicographic min (doc_id, s), carried as ONE exact
       // decimal `doc_id·10¹⁰ + s` — order-isomorphic to the pair

@@ -108,10 +108,11 @@ object SkewProbe {
       .otherwise(array().cast("array<int>"))
     def grams: DataFrame = docs
       .select(col("doc_id"),
-        posexplode(transform(idx, i =>
-          struct(
-            xxhash64(lit(1), slice(t, i + lit(1), lit(w))).as("h1"),
-            xxhash64(lit(2), slice(t, i + lit(1), lit(w))).as("h2")))))
+        posexplode(transform(
+          transform(idx, i => slice(t, i + lit(1), lit(w))),
+          sl => struct(
+            xxhash64(lit(1), sl).as("h1"),
+            xxhash64(lit(2), sl).as("h2")))))
       .select(col("doc_id"), col("pos").as("s"), col("col").as("fp"))
 
     // shape A — the PRE-r17 window detector (kept here as the probe's
