@@ -136,10 +136,15 @@ object Session {
     // even though names and types match exactly (IDs-only mismatch;
     // rebinding is positional, results hash-gated). Every verify log
     // carried ~20 copies of what reads like a planner bug; targeted at
-    // the one logger, not a blanket level change.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.LogicalRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // the one logger, not a blanket level change. Opt back in with
+    // SPARK_GRAFT_LOGICALRDD_WARN=1 (e.g. when debugging a REAL
+    // name/type rebind mismatch, which this level would also hide),
+    // and guarded so a non-log4j2 logging backend can't throw here.
+    if (!sys.env.get("SPARK_GRAFT_LOGICALRDD_WARN").contains("1"))
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.LogicalRDD",
+        org.apache.logging.log4j.Level.ERROR)
+      catch { case _: NoClassDefFoundError | _: RuntimeException => }
     sp
   }
 }

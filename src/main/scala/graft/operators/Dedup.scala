@@ -1590,12 +1590,15 @@ object Dedup {
     // covering it is itself cross-document shared (any W-window of a
     // shared run is shared; a shared W-gram IS a shared run). So:
     // slide a stride-1 W-token window over every doc IN-ROW (the q102
-    // blocking machinery at stride 1), fingerprint each window (md5 —
-    // identical in both engines, the q106/normFp discipline), and mark
-    // a gram shared iff its fp's doc set has ≥ 2 members — detected as
-    // min(doc_id) ≠ max(doc_id) over the fp partition (the q106
-    // trick): ONE fp shuffle, no join-back, and NO pairwise work
-    // anywhere — a passage shared by k docs costs k rows, never k²,
+    // blocking machinery at stride 1), fingerprint each window (a
+    // 16-byte struct(xxhash64×2) — fps never leave the query, so each
+    // engine may hash its own way; the oracle uses md5 on its side),
+    // and mark a gram shared iff its fp's doc set has ≥ 2 members:
+    // min(doc_id) ≠ max(doc_id) per fp, computed as a map-side-
+    // combinable groupBy(fp) aggregate with a merge-pinned semi
+    // join-back (NOT a window over fp — see the detector note below).
+    // NO pairwise work anywhere — a passage shared by k docs costs k
+    // rows, never k²,
     // so the plan is linear in corpus size by construction. Coverage
     // per doc is then an interval union over the shared starts (equal
     // W-length intervals ⇒ union = Σ min(W, next−s) with W for the
@@ -1811,10 +1814,11 @@ object Dedup {
     // this is the LLM-pipeline extension surface) keeps one canonical
     // occurrence so unique content survives with multiplicity 1.
     // Contract: per shared W-gram fingerprint the OWNER occurrence is
-    // the lexicographic min (doc_id, s) over the fp partition —
-    // deterministic, computed with the same single fp-window pass that
-    // detects sharing (min(struct) rides the mn/mx window, so the
-    // detector still costs ONE fp shuffle and k rows for k sharers).
+    // the lexicographic min (doc_id, s) over the fp's occurrences —
+    // deterministic, carried as a packed decimal riding the SAME
+    // groupBy(fp) detector aggregate that computes mn/mx (min is
+    // algebraic, so sharing and ownership combine map-side together;
+    // the detector still costs one fp shuffle plus the join-back).
     // A token position is removed iff some NON-owner shared gram
     // covers it: owner spans survive verbatim unless a different
     // fingerprint's non-owner occurrence overlaps them (positional
@@ -1879,7 +1883,11 @@ object Dedup {
       // decimal `doc_id·10¹⁰ + s` — order-isomorphic to the pair
       // because 0 ≤ s < 10¹⁰ (a position inside one document; ten
       // billion tokens per doc is orders of magnitude past any real
-      // corpus), and decimal(32,0) arithmetic is exact. The packing
+      // corpus). The product types as decimal(38,0) (decimal(20,0) ×
+      // bigint, Catalyst-capped at 38 digits) and can NEVER overflow
+      // it: doc_id is a BIGINT, so |doc_id| < 10¹⁹ and the packed
+      // value < 10¹⁹·10¹⁰ + 10¹⁰ < 10³⁰ ≪ 10³⁸ — exact for the whole
+      // bigint domain, no NULL-on-overflow path. The packing
       // matters for the PLAN, not the math: min over a STRUCT is not
       // a mutable-buffer aggregate, so Spark demotes the whole
       // detector aggregate to SortAggregate — a full sort of the gram

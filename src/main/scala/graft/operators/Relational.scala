@@ -144,13 +144,40 @@ object Relational {
     * lets Spark's FIFO scheduler back-fill freed slots with the next
     * layout's tasks. Results are identical: each branch's DataFrame is
     * a pure function of its inputs, and the caller unions them in the
-    * stated order. */
+    * stated order.
+    *
+    * Pool discipline (ADVICE r17): a DEDICATED per-call daemon pool,
+    * never ExecutionContext.global — the global pool is shared with
+    * anything else on the JVM and sized by availableProcessors, so
+    * under concurrent serving a layout construction could contend with
+    * unrelated futures. Spark local properties (scheduler pool, job
+    * description, job group) are copied from the caller onto each
+    * branch thread before it submits jobs, so FAIR-scheduler pool
+    * assignment and bench attribution survive the thread hop. The wait
+    * is unbounded: each branch fails loudly on its own errors, and a
+    * 15-minute cap turned a legitimately long layout build at a large
+    * scale rung into a spurious TimeoutException. */
   private def concurrently[A](fs: Seq[() => A]): Seq[A] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.DurationInt
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(
-      Future.sequence(fs.map(f => Future(f())).toList), 15.minutes).toSeq
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    import scala.concurrent.duration.Duration
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val inherit = Seq("spark.scheduler.pool", "spark.job.description",
+      "spark.jobGroup.id", "spark.job.interruptOnCancel")
+      .map(k => k -> sc.getLocalProperty(k))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      fs.size.min(3),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-branch"); t.setDaemon(true); t
+      })
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val work = Future.sequence(fs.map(f => Future {
+        inherit.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+        f()
+      }).toList)
+      blocking { Await.result(work, Duration.Inf) }.toSeq
+    } finally pool.shutdown()
   }
 
   /** MERGE/upsert: `delta` rows win per `key`; `base` rows survive only

@@ -162,7 +162,7 @@ object SkewProbe {
     spark.sparkContext.addSparkListener(listener)
 
     def measure(name: String,
-        df: => DataFrame): (String, (Long, Long, Int)) = {
+        df: => DataFrame): ((Long, String), (Long, Long, Int)) = {
       listener.reset()
       spark.sparkContext.setJobDescription(s"skewprobe: $name")
       val t0 = System.nanoTime()
@@ -183,7 +183,7 @@ object SkewProbe {
         s""""chk":${chk._2},"max_task_ms":${listener.worst._1},""" +
         s""""med_task_ms":${listener.worst._2},""" +
         s""""n_tasks":${listener.worst._3}}""")
-      (chk._2, listener.worst)
+      (chk, listener.worst)
     }
 
     // window first so its straggler cannot be blamed on cold JIT alone;
@@ -193,6 +193,8 @@ object SkewProbe {
     val (chkW, _) = measure("window", windowShape)
     val (chkA, _) = measure("agg-reusedpart", aggShape)
     val (chkS, _) = measure("shipped", splittableShape)
+    // full (rowCount, checksum) pairs must agree — a checksum-only
+    // comparison would let a dropped-row/duplicated-row pair cancel
     require(chkW == chkA && chkA == chkS,
       s"shapes disagree: window=$chkW agg=$chkA shipped=$chkS")
     println(s"""{"shapes_agree":true}""")
