@@ -109,6 +109,73 @@ object Tables {
     }.sum)
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Total parquet row-group count of a fixture table — the SPLIT
+    * FLOOR of its scan: a row group never splits across tasks, so a
+    * single-file single-row-group table scans as ONE task no matter
+    * how many cores the session has or how low maxPartitionBytes is
+    * set. Cached like [[rowCount]] (a property of the fixture bytes,
+    * keyed by content fingerprint); None on any surprise. */
+  private val rgCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Integer]()
+
+  private def rowGroupCount(s: SparkSession, d: String, name: String): Option[Int] = {
+    val k = (d, Artifacts.fingerprint(d), name)
+    Option(rgCache.get(k)).map(_.intValue()).orElse {
+      val n = try {
+        import org.apache.hadoop.fs.{Path => HPath}
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val conf = s.sessionState.newHadoopConf()
+        val root = new HPath(s"$d/$name.parquet")
+        val fs = root.getFileSystem(conf)
+        if (!fs.exists(root)) None
+        else {
+          val files: Seq[HPath] =
+            if (fs.getFileStatus(root).isDirectory)
+              fs.listStatus(root).toSeq.filter(_.isFile).map(_.getPath)
+                .filter(p => p.getName.endsWith(".parquet") ||
+                  p.getName.startsWith("part-"))
+            else Seq(root)
+          if (files.isEmpty) None
+          else Some(files.map { f =>
+            val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+            try r.getRowGroups.size finally r.close()
+          }.sum)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      n.foreach(v => rgCache.put(k, java.lang.Integer.valueOf(v)))
+      n
+    }
+  }
+
+  /** A fixture scan WIDENED for a CPU-bound generator (guide §2.5
+    * "input skew: one huge unsplittable file… repartition immediately
+    * after the read"). The corpus fixtures are written as one file
+    * with one row group, so every scan of them is ONE task — harmless
+    * for byte-bound consumers, but a generator whose per-row CPU is
+    * orders of magnitude above its input bytes (W-gram fingerprinting
+    * at ~2·W hashes per token position, shingling) then runs the whole
+    * corpus on one core while the other N−1 idle; measured 11.9 s of
+    * 13.5 s wall for q198 at the 16× rung. The decision derives from
+    * the INPUT LAYOUT, not a tuned constant: if the table's natural
+    * split count (its row-group total — the parquet split floor) is at
+    * or above the session's parallelism, the scan already spreads and
+    * this is the identity (the 100 TB case: thousands of row groups,
+    * adding a corpus shuffle there would be a pessimization); only a
+    * layout-capped scan pays one hash exchange on `key` to session
+    * width. Identical subtrees in one query reuse the exchange
+    * (ReuseExchange), so a detector that consumes the same spread scan
+    * twice shuffles the bytes once. */
+  def spread(s: SparkSession, d: String, name: String, key: String): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    val df = apply(s, d, name)
+    rowGroupCount(s, d, name) match {
+      case Some(n) if n < p =>
+        df.repartition(p, org.apache.spark.sql.functions.col(key))
+      case _ => df // wide enough, or unknown layout: never add a shuffle
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

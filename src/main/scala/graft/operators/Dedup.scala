@@ -57,8 +57,11 @@ object Dedup {
     // per-doc dedup happens in the ARRAY (array_distinct) before the
     // explode — the distinct set is identical to a global
     // DISTINCT (doc_id, shingle) but costs zero shuffle: dedup is
-    // within-row, so no row ever needs to meet another
-    Tables.documents(s, d)
+    // within-row, so no row ever needs to meet another. The docs scan
+    // is width-guarded (Tables.spread): shingling is a CPU-bound
+    // generator over a one-row-group fixture file, which otherwise
+    // tokenizes the whole corpus on one core (see the q198 note).
+    Tables.spread(s, d, "documents", "doc_id")
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), explode(array_distinct(transform(idx, i =>
         concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2)))))
@@ -1564,6 +1567,10 @@ object Dedup {
         // unmatched probes are the only budget spent inside the prefix
         .filter(col("cp") >= col("sa") - expr("(9 * sa + 9) DIV 10") + 1)
         .select(col("doc_a"), col("doc_b"))
+        // verify-width pin (the setsimJoin note): array_intersect per
+        // candidate is CPU-bound, AQE's byte-based coalescer packs it
+        // onto a handful of tasks; width derives from the session
+        .repartition(p, col("doc_a"))
       val prof = setsimProfiles(s, d)
       cand
         .join(prof.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
@@ -1645,8 +1652,13 @@ object Dedup {
         .otherwise(array().cast("array<int>"))
       // W-gram fps built in-row (token array materialized first — the
       // shingles rule: a split() referenced inside a lambda re-evaluates
-      // per element), then posexplode: pos IS the 0-based start
-      val grams = Tables.documents(s, d)
+      // per element), then posexplode: pos IS the 0-based start. The
+      // docs scan is width-guarded (Tables.spread): the gram build is
+      // ~2·W hashes per token position over a one-row-group fixture
+      // file, the exact CPU-bound-generator-over-unsplittable-scan
+      // shape that serialized the whole build onto one core; both
+      // detector consumers reuse the ONE spread exchange.
+      val grams = Tables.spread(s, d, "documents", "doc_id")
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), n.cast("long").as("n_tokens"),
           posexplode(transform(
@@ -1755,7 +1767,11 @@ object Dedup {
       val n = size(t)
       val idx = when(n >= w, sequence(lit(0), n - w))
         .otherwise(array().cast("array<int>"))
-      val docs = Tables.documents(s, d)
+      // width-guarded docs scan (see the q198 note): the gram build's
+      // CPU is ~2·W hashes per token position, and the one-row-group
+      // fixture file otherwise scans as ONE task; the mark join's
+      // docs side reuses the same spread exchange
+      val docs = Tables.spread(s, d, "documents", "doc_id")
         .select(col("doc_id"), toks.as("toks"))
       val grams = docs
         .select(col("doc_id"),
@@ -1869,7 +1885,11 @@ object Dedup {
       val n = size(t)
       val idx = when(n >= w, sequence(lit(0), n - w))
         .otherwise(array().cast("array<int>"))
-      val docs = Tables.documents(s, d)
+      // width-guarded docs scan (see the q198 note): the gram build's
+      // CPU is ~2·W hashes per token position, and the one-row-group
+      // fixture file otherwise scans as ONE task; the mark join's
+      // docs side reuses the same spread exchange
+      val docs = Tables.spread(s, d, "documents", "doc_id")
         .select(col("doc_id"), toks.as("toks"))
       val grams = docs
         .select(col("doc_id"),
@@ -2009,6 +2029,13 @@ object Dedup {
           least(col("sa") - col("ma"), col("sb") - col("mb")) >=
           expr("(3 * (sa + sb) + 7) DIV 8"))
         .select(col("doc_a"), col("doc_b"))
+        // verify-width pin (same class as the candidate join above):
+        // the exact verify is array_intersect per candidate — CPU ~50×
+        // its bytes — and AQE's byte-based coalescer otherwise packs
+        // the surviving candidates onto a handful of tasks (measured:
+        // 747 ms on 4 tasks of a 1.7 s query at sf0.1); derived from
+        // session parallelism, not a literal
+        .repartition(p, col("doc_a"))
       // Exact verify over document PROFILES: one sorted array of
       // capped shingles per doc (the narrow per-doc sketch a
       // similarity system keeps next to its index), joined to each
