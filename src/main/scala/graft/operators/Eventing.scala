@@ -263,18 +263,29 @@ object Eventing {
         |  ON a.user_id = b.user_id AND a.sid = b.sid
         |    AND a.event_type < b.event_type
         |GROUP BY type_a, type_b""".stripMargin) { (s, d) =>
-      val dst = sessionIds(Tables.events(s, d)
+      // Pairs are generated IN-ROW from each session's distinct type
+      // set instead of a self-join (guide §2.4 remove shuffles): the
+      // per-session set is ≤|event types| by construction, so
+      // collect_set replaces the standalone DISTINCT shuffle (dedup
+      // happens inside the aggregate buffer), the (user, sid) agg
+      // reuses sessionIds' hash(user_id) clustering — a SUBSET of its
+      // keys, so no new exchange — and the ordered pairs explode
+      // in-row from the sorted array before a metadata-scale final
+      // aggregate over |types|² keys. Row-equal to the self-join:
+      // each session contributes each unordered distinct-type pair
+      // exactly once, ordered lexicographically either way. Plan:
+      // 3 corpus-keyed exchanges + 1 join → 1 exchange.
+      val sets = sessionIds(Tables.events(s, d)
           .select(col("user_id"), col("event_id"), col("event_type"),
             unix_micros(col("ts")).as("t")))
-        .select(col("user_id"), col("sid"), col("event_type"))
-        .distinct()
-      val a = dst.select(col("user_id"), col("sid"),
-        col("event_type").as("type_a"))
-      val b = dst.select(col("user_id").as("u2"), col("sid").as("s2"),
-        col("event_type").as("type_b"))
-      a.join(b, col("user_id") === col("u2") && col("sid") === col("s2") &&
-          col("type_a") < col("type_b"))
-        .groupBy(col("type_a"), col("type_b"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(sort_array(collect_set(col("event_type"))).as("tys"))
+      sets
+        .select(explode(expr(
+          """flatten(transform(tys, (a, i) ->
+            |  transform(slice(tys, i + 2, size(tys)), b ->
+            |    struct(a, b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
         .agg(count(lit(1)).as("n_sessions"))
     },
 

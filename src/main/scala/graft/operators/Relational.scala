@@ -366,8 +366,13 @@ object Relational {
         |    PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rn
         |  FROM pr) t
         |WHERE rn <= 3""".stripMargin) { (s, d) =>
+      // width-guarded lineitem scan (Tables.spread): the broadcast
+      // join + per-(brand,part) partial aggregate is CPU-bound and
+      // otherwise runs on the one-row-group scan's single task
+      // (measured 651 ms of a 1.1 s query at sf0.1)
       val pr = Tables.part(s, d)
-        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+        .join(Tables.spread(s, d, "lineitem", "l_orderkey"),
+          col("p_partkey") === col("l_partkey"))
         .groupBy(col("p_brand"), col("p_partkey"))
         .agg(sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
       val w = Window.partitionBy(col("p_brand"))
@@ -638,9 +643,15 @@ object Relational {
         df.select(h(col(key)).as("v")).distinct()
           .orderBy(col("v")).limit(k)
       // each side sketch feeds the union AND the membership probes —
-      // persist so each base table is scanned exactly once
-      val sa = sketch(Tables.orders(s, d), "o_orderkey").persist()
-      val sb = sketch(Tables.lineitem(s, d), "l_orderkey").persist()
+      // persist so each base table is scanned exactly once. Scans are
+      // width-guarded (Tables.spread): the sketch maps an md5 over
+      // every key before the distinct, and the one-row-group fixture
+      // files otherwise hash the whole table on ONE task (measured
+      // 777 ms of a 1.4 s query at sf0.1)
+      val sa = sketch(Tables.spread(s, d, "orders", "o_orderkey"),
+        "o_orderkey").persist()
+      val sb = sketch(Tables.spread(s, d, "lineitem", "l_orderkey"),
+        "l_orderkey").persist()
       val su = sa.unionByName(sb).distinct().orderBy(col("v")).limit(k)
       val fl = su
         .join(broadcast(sa.select(col("v").as("va"))),
@@ -984,7 +995,12 @@ object Relational {
         |WHERE rk <= 2""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_quantity").desc)
-      Tables.lineitem(s, d)
+      // width-guarded lineitem scan (Tables.spread): the partial
+      // WindowGroupLimit sorts the scan partition by (suppkey, qty)
+      // BEFORE the exchange — a full-corpus local sort on the
+      // one-row-group scan's single task otherwise (measured 620 ms
+      // of a 0.8 s query at sf0.1)
+      Tables.spread(s, d, "lineitem", "l_orderkey")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"))
         .withColumn("rk", dense_rank().over(w))
@@ -1763,7 +1779,12 @@ object Relational {
           min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))
       }
-      val one = Tables.lineitem(s, d)
+      // width-guarded scan (Tables.spread): the 4-way multi-distinct
+      // plans an Expand — every row fans out once per distinct column
+      // into the partial aggregate, CPU ~4× the scan bytes — and the
+      // one-row-group fixture file otherwise runs that whole stage as
+      // ONE task (measured 975 ms of a 1.4 s query at sf0.1)
+      val one = Tables.spread(s, d, "lineitem", "l_orderkey")
         .agg(count(lit(1)).as("n_rows"), aggs: _*)
       one.select(expr(
         s"""stack(${cols.size}, ${cols.map(c =>
@@ -1932,7 +1953,15 @@ object Relational {
     val ed = if (forView) copurchaseEdgesPlan(s, d) else copurchaseEdges(s, d)
     val e = ed.select(col("u"), col("v"))
     val lowerFirst = ed.select(col("s"), col("t"))
-    val wedges = lowerFirst
+    // Wedge-width pin: at bench scale the edge artifact broadcasts, so
+    // the whole wedge+close enumeration (the CPU-bound O(m√m) fan-out)
+    // would run on the artifact scan's task count — ONE task for a
+    // single-file artifact (measured 910 ms of a 1.5 s query at
+    // sf0.1). Hash-repartition the probe side by the wedge key at
+    // session width; at cluster scale the join shuffles on s anyway,
+    // so the exchange is reused, not added.
+    val p = s.sparkContext.defaultParallelism
+    val wedges = lowerFirst.repartition(p, col("s"))
       .join(lowerFirst.select(col("s").as("s2"), col("t").as("t2")),
         col("s") === col("s2") && col("t") < col("t2"))
       .select(col("s"), col("t").as("t1"), col("t2"))

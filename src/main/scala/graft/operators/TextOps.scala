@@ -770,7 +770,11 @@ object TextOps {
         |GROUP BY pair
         |ORDER BY n DESC, pair
         |LIMIT 30""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      // width-guarded docs scan (Tables.spread, see the Dedup q198
+      // note): the pair expansion is per-character CPU over a
+      // one-row-group fixture file — otherwise ONE task counts every
+      // pair in the corpus (measured 462 ms of a 0.6 s query)
+      Tables.spread(s, d, "documents", "doc_id")
         .select(explode(tokens).as("tok"))
         .filter(length(col("tok")) > 1)
         // sequence(1, len-1) needs len > 1: Spark infers step -1 when
