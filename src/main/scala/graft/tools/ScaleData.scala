@@ -35,12 +35,13 @@ import graft.{Session, Tables}
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || args.length == 3,
-      "usage: ScaleData <sfDir> <outDir> [plantSurvivors]")
+    require(args.length >= 2 && args.length <= 4,
+      "usage: ScaleData <sfDir> <outDir> [plantSurvivors] [hotFpDocs]")
     val spark = Session.build("local[16]", 16, "graft-scaledata")
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, args(0), args(1),
-      if (args.length == 3) args(2).toInt else 0)
+      if (args.length >= 3) args(2).toInt else 0,
+      if (args.length >= 4) args(3).toInt else 0)
     spark.stop()
   }
 
@@ -49,7 +50,8 @@ object ScaleData {
     * recall panel) pass the shared test session, which must NOT be
     * stopped out from under the rest of the suite. */
   def generate(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, outDir: String, plant: Int = 0): Unit = {
+      sfDir: String, outDir: String, plant: Int = 0,
+      hotFp: Int = 0): Unit = {
     // token array projected as a column FIRST: a split() referenced
     // inside the transform lambda would re-evaluate per element
     // (no CSE across higher-order functions — the Dedup.shingles rule)
@@ -98,7 +100,39 @@ object ScaleData {
           length(col("text")).cast("long").as("n_chars"))
       docs.unionByName(planted)
     }
-    withPlants.coalesce(1).write.mode("overwrite")
+    // Optional HOT-FINGERPRINT cohort (VERDICT-r17 task #1, the Zipf
+    // class the uniform replication never exercises): `hotFp` docs
+    // whose text is EXACTLY one fixed 12-gram (q198's EXSUB_W window),
+    // so ONE substring fingerprint owns `hotFp` occurrences — the
+    // license-header/cookie-banner shape of real corpora, where the
+    // detector's fp shuffle gets a power-law partition. Sizing note:
+    // AQE's DEFAULT skew split fires on partitions > max(256 MB
+    // COMPRESSED, 5× median), so a cohort that is supposed to trip the
+    // default rule (not the probe-scaled one) needs ~10⁷ occurrences;
+    // `12000000` is the drill value. Ids sit beyond both the
+    // replicated range and the survivor cohort; (source, lang) cycle
+    // like the survivors so metadata joins stay unaffected.
+    val withHot = if (hotFp <= 0) withPlants else {
+      val src = Tables.documents(spark, sfDir)
+      val base = 4 * src.agg(max(col("doc_id"))).head().getLong(0) +
+        1000 + plant.toLong + 1000000
+      val pairs = src.select(col("source"), col("lang")).distinct()
+        .orderBy(col("source"), col("lang"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val pairsCol = array(pairs.toIndexedSeq.map { case (s0, l0) =>
+        struct(lit(s0).as("source"), lit(l0).as("lang")) }: _*)
+      val hotText = (0 until 12).map(i => s"hotgram$i").mkString(" ")
+      val hot = spark.range(hotFp.toLong)
+        .select((col("id") + base).as("doc_id"),
+          lit(hotText).as("text"),
+          element_at(pairsCol,
+            (col("id") % pairs.length).cast("int") + 1).as("p"))
+        .select(col("doc_id"), col("text"),
+          col("p.lang").as("lang"), col("p.source").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      withPlants.unionByName(hot)
+    }
+    withHot.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
 
     val embs = Tables.embeddings(spark, sfDir)

@@ -36,6 +36,15 @@ import graft.Session
   *
   * Usage: `runMain graft.tools.SkewProbe [nDocs] [tailTokens]`
   * (defaults 400000 / 1; honors SPARK_GRAFT_CPUS).
+  *
+  * DIR MODE (VERDICT-r17 task #1): `runMain graft.tools.SkewProbe
+  * /path/to/corpusDir` — reads `documents.parquet` from a real corpus
+  * (e.g. a ScaleData rung with the hot-fp cohort planted) and runs the
+  * same three shapes at Spark's DEFAULT AQE skew thresholds (256 MB /
+  * factor 5), so the split under test is the exact rule production
+  * fires, not a probe-scaled one. The corpus scan is spread to session
+  * width first (all three shapes share the identical gram table, so
+  * the comparison isolates the detector shape).
   */
 object SkewProbe {
 
@@ -68,16 +77,21 @@ object SkewProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val nDocs = args.headOption.map(_.toInt).getOrElse(400000)
+    val dirMode = args.headOption.exists(_.startsWith("/"))
+    val nDocs = if (dirMode) 0 else
+      args.headOption.map(_.toInt).getOrElse(400000)
     val tail = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val w = 12 // EXSUB_W
     val spark = Session.build(s"local[$cpus]", cpus, "graft-skewprobe",
-      Map(
+      if (dirMode) Map.empty[String, String]
+      else Map(
         // scale the 100 TB skew-split trigger down to the probe's MB
         // range: partitions > max(64 KB, 2x median) split, targeting
         // 64 KB pieces — the MECHANISM under test is the same rule
-        // that fires at the 256 MB default on a real hot key
+        // that fires at the 256 MB default on a real hot key.
+        // DIR MODE keeps the DEFAULTS: the planted rung corpus is
+        // sized so the real 256 MB rule itself fires.
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
           -> "65536",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
@@ -92,13 +106,19 @@ object SkewProbe {
     // boundary-crossing grams are per-doc unique background. tail=1
     // makes the hot fingerprint ~16× a 16-partition background; larger
     // tails dilute it toward the uniform corpora ScaleData plants.
+    // DIR MODE instead reads the real corpus (spread to session width
+    // so all three shapes share one wide gram table).
     val hot = (0 until w).map(i => s"hotgram$i").mkString(" ")
-    val docs = spark.range(1, nDocs + 1L).toDF("doc_id")
+    val docs = (if (dirMode)
+      spark.read.parquet(s"${args(0)}/documents.parquet")
+        .repartition(cpus, col("doc_id"))
+        .select(col("doc_id"), split(lower(col("text")), " ", -1).as("toks"))
+    else spark.range(1, nDocs + 1L).toDF("doc_id")
       .select(col("doc_id"), concat_ws(" ",
           lit(hot) +: (0 until tail).map(j =>
             concat(lit("t"), col("doc_id"), lit("x"), lit(j))): _*)
         .as("text"))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks")))
       .persist()
     docs.count()
 
